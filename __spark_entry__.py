@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: a spec-compiled pipeline (the engine's own
+stage vocabulary) over sf0.001 lineitem, finished with an aggregation.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2, checked against DuckDB at sf0.01 by the driver.
 """
 
 from __future__ import annotations
@@ -12,27 +11,48 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pricing-summary over lineitem driven through the engine's
+    pipeline compiler (filter → regex extract → format → dedup stages), then
+    a groupBy aggregation. Driver checks rows>0 and schema stability."""
+    from etlpy_spark.plans.compiler import CompileContext, compile_stages, finalize
+    from etlpy_spark.plans.spec import Stage
+
+    ctx = CompileContext(spark=spark, parallelism=8, files_root=SF0001)
+    stages = [
+        Stage("DBGE", {"TableName": "lineitem.parquet", "MergeType": "Append"}),
+        Stage("RangeFT", {"Column": "l_quantity", "Min": 1, "Max": 49}),
+        Stage("MergeTF", {"Format": "{0}|{1}", "Column": "l_returnflag",
+                          "MergeWith": "l_linestatus", "NewColumn": "flag_status"}),
+    ]
+    df = finalize(compile_stages(ctx, stages))
+    return (
+        df.groupBy("flag_status")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("flag_status")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from etlpy_spark import entry_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return entry_queries.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from etlpy_spark import entry_queries
+
+    return entry_queries.oracle_sql()

@@ -1,0 +1,112 @@
+"""RFC-3986 URL canonicalization (north_star: canonicalize → xxhash64 inside
+Arrow UDF batches).
+
+The reference's fetch layer only does IRI→URI percent-escaping
+(reference spider.py:100-157 ``GetHTML``) and ``[param]`` substitution
+(spider.py:109-113); its URL-seen set compares raw strings
+(reference etl.py:238-247 ``RepeatFT``). At 10^10-URL scale raw-string
+identity leaks duplicates (HOST case, default ports, dot-segments, percent
+normalization), so the crawl engine keys everything on this canonical form.
+
+Normalizations (RFC 3986 §6.2.2-6.2.3):
+  - scheme + host lowercased
+  - default ports stripped (http:80, https:443)
+  - dot-segments resolved (``a/../b`` → ``b``)
+  - percent-encoding: unreserved chars decoded, hex digits uppercased,
+    everything requiring encoding re-encoded canonically
+  - empty path → ``/``
+  - fragment dropped (never part of the fetch identity)
+  - trailing ``?`` with empty query dropped; query keys kept in original
+    order (order can be semantic)
+
+Plan-side, ``canonicalize_url_expr`` is a pandas UDF (Arrow-batched, zero
+per-row JVM↔Python chatter beyond the batch); ``url_host`` is a pure Column
+expression so host bucketing stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import quote, unquote, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+# RFC 3986 unreserved + sub-delims we keep literal in paths/queries.
+_SAFE_PATH = "/:@!$&'()*+,;=~-._"
+_SAFE_QUERY = "/:@!$&'()*+,;=~-._?"
+
+
+def _remove_dot_segments(path: str) -> str:
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+        elif seg != ".":
+            out.append(seg)
+    # preserve leading slash
+    s = "/".join(out)
+    if path.startswith("/") and not s.startswith("/"):
+        s = "/" + s
+    return s
+
+
+def _norm_pct(component: str, safe: str) -> str:
+    # decode-then-encode yields the canonical minimal encoding with upper hex
+    return quote(unquote(component), safe=safe)
+
+
+def canonicalize_url(url: str | None) -> str | None:
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = (parts.scheme or "http").lower()
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    path = _norm_pct(_remove_dot_segments(parts.path or "/"), _SAFE_PATH) or "/"
+    if not path.startswith("/"):
+        path = "/" + path
+    query = _norm_pct(parts.query, _SAFE_QUERY) if parts.query else ""
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def canonicalize_url_expr(col: Column | str) -> Column:
+    # UDF construction is deferred: pandas_udf parses its return type via the
+    # active session, which may not exist at import time.
+    @pandas_udf("string")
+    def _canonicalize_udf(urls: pd.Series) -> pd.Series:
+        return urls.map(canonicalize_url)
+
+    return _canonicalize_udf(F.col(col) if isinstance(col, str) else col)
+
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def url_host(col: Column | str) -> Column:
+    """Host of an (already canonical) URL — pure expression, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, _HOST_RE, 1)
+
+
+def url_hash(col: Column | str) -> Column:
+    """64-bit identity of a canonical URL (Spark builtin xxhash64, JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c)
