@@ -1,0 +1,416 @@
+"""Distributed URL-frontier + fetch scheduler — the Spark implementation of
+the crawl rule specified in crawl/oracle.py (north_rule).
+
+Shape of one round (all DataFrame ops; Python only inside Arrow batches):
+
+  frontier ──robots broadcast-join──▶ allowed/blocked
+     allowed ──per-host window (priority, seq) ≤ K──▶ selected / deferred
+     selected ──repartition(pmod(xxhash64(host), B))──▶ politeness buckets
+              ──mapInPandas fetch──▶ (links, image refs) + lineage part id
+     links ──canonicalize+priority UDF──▶ dedup-in-batch (keep first by
+           fetch order) ──Bloom prefilter──▶ bloom-negative = new;
+           bloom-positive ──anti-join seen──▶ survivors = new
+     new urls ──row_number over fetch order──▶ discovered_seq; → frontier
+     image refs ──dedup keep-first, anti-join image table──▶ fetch bytes /
+           decode / pHash (Arrow batches) ──▶ MERGE INTO images
+     commit: frontier overwrite, seen append (+bloom), images merge,
+           crawl-log append, metrics append — one snapshot per table per
+           round; resume = continue from the last committed round.
+
+Scale notes (the 1000-executor story):
+  - every join against `seen` is key-sharded (pmod(xxhash64(url), S));
+    Bloom-negative short-circuit keeps the anti-join input ~the true-new
+    fraction, not all extracted links;
+  - the per-host politeness cap K bounds per-host work per round, so the
+    salted bucket repartition sees ≤ K rows per host — a hot host cannot
+    skew a fetch partition by more than K (SURVEY.md §7 hard part #3);
+  - the two order-global row_numbers (fetch_seq, discovered_seq) are the
+    only single-partition points; they run over ≤ (hosts × K) selected rows
+    and ≤ new-links rows per round — at 10^10 scale both would become
+    range-partitioned rank (sort + per-partition offset), same total order;
+  - AQE handles residual skew in the anti-joins.
+
+Exact crawl-order parity vs the serial oracle holds because every ordering
+is a pure function of (priority, discovered_seq[, link pos]) — all unique —
+never of partitioning or scheduling (SURVEY.md §7 hard part #1).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etlpy_spark.crawl.seen import BloomFilter
+from etlpy_spark.sources.catalog import SnapshotTable
+from etlpy_spark.sources.synthetic_web import WebConfig
+
+FRONTIER_DDL = "url string, host string, priority int, discovered_seq long, round int, lineage_part int"
+SEEN_DDL = "shard int, url_hash long, url string, round int"
+IMAGES_DDL = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long, first_round int, lineage_part int"
+LOG_DDL = "fetch_seq long, url string, round int, lineage_part int"
+METRICS_DDL = "round int, scheduled long, robots_blocked long, fetched long, deferred long, new_urls long, new_images long"
+
+
+@dataclass
+class CrawlConfig:
+    web: WebConfig = field(default_factory=WebConfig)
+    n_shards: int = 8  # seen-set shards
+    n_buckets: int = 8  # politeness fetch buckets
+    use_bloom: bool = True
+    bloom_fpp: float = 0.01
+    bloom_capacity: int = 1 << 16  # per shard, sandbox-sized
+
+
+class SparkCrawler:
+    def __init__(self, spark: SparkSession, workdir: str, cfg: CrawlConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.workdir = workdir
+        self.frontier = SnapshotTable(spark, os.path.join(workdir, "frontier"))
+        self.seen = SnapshotTable(spark, os.path.join(workdir, "seen"))
+        self.images = SnapshotTable(spark, os.path.join(workdir, "images"))
+        self.log = SnapshotTable(spark, os.path.join(workdir, "crawl_log"))
+        self.metrics = SnapshotTable(spark, os.path.join(workdir, "metrics"))
+        self._blooms: dict[int, BloomFilter] | None = None
+
+    # -- vectorized url helpers -------------------------------------------
+
+    def _canon_udf(self):
+        """(raw urls) -> struct(url, host, priority): canonicalize (RFC-3986)
+        + deterministic priority in one Arrow batch."""
+        from pyspark.sql.functions import pandas_udf
+
+        web = self.cfg.web
+
+        @pandas_udf("url string, host string, priority int")
+        def _canon(raw: pd.Series) -> pd.DataFrame:
+            from etlpy_spark.functions.url import canonicalize_url
+            from etlpy_spark.sources.synthetic_web import h64, parse_url
+
+            urls, hosts, prios = [], [], []
+            for s in raw:
+                c = canonicalize_url(s)
+                if c is None:
+                    urls.append(None); hosts.append(None); prios.append(None)
+                    continue
+                p = parse_url(c)
+                urls.append(c)
+                hosts.append(f"host{p[0]}.example" if p else "")
+                prios.append(h64("prio|" + c, web.seed) % 100)
+            return pd.DataFrame({"url": urls, "host": hosts, "priority": prios})
+
+        return _canon
+
+    # -- state ------------------------------------------------------------
+
+    def initialized(self) -> bool:
+        return self.frontier.current_version() is not None
+
+    def state(self) -> dict:
+        return self.frontier.latest_meta() or {
+            "round": 0, "next_fetch_seq": 0, "next_discovered_seq": 0
+        }
+
+    def init_from_seeds(self, seeds: list[str]) -> None:
+        """Round-0 state: canonicalize seeds in dispatch order, keep-first
+        (the reference dispatches in seed order, distributed.py:60-66)."""
+        if self.initialized():
+            return
+        spark = self.spark
+        raw = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(seeds)], "seed_seq long, raw string"
+        ).repartition(self.cfg.n_buckets)
+        canon = self._canon_udf()
+        df = raw.select("seed_seq", canon(F.col("raw")).alias("c")).select(
+            "seed_seq", "c.url", "c.host", "c.priority"
+        ).filter(F.col("url").isNotNull())
+        w = Window.partitionBy("url").orderBy("seed_seq")
+        first = df.withColumn("__rk__", F.row_number().over(w)).filter(F.col("__rk__") == 1)
+        ordered = first.withColumn(
+            "discovered_seq", F.row_number().over(Window.orderBy("seed_seq")).cast("long") - 1
+        )
+        frontier = ordered.select(
+            "url", "host", "priority", "discovered_seq",
+            F.lit(0).alias("round"), F.lit(-1).alias("lineage_part"),
+        )
+        n = frontier.count()
+        self.frontier.overwrite(
+            frontier, meta={"round": 0, "next_fetch_seq": 0, "next_discovered_seq": n}
+        )
+        self._commit_seen(frontier.select("url", F.lit(0).alias("round")))
+
+    def _commit_seen(self, urls_round: DataFrame) -> None:
+        cfg = self.cfg
+        rows = urls_round.select(
+            F.pmod(F.xxhash64("url"), F.lit(cfg.n_shards)).cast("int").alias("shard"),
+            F.xxhash64("url").alias("url_hash"),
+            "url",
+            "round",
+        )
+        self.seen.append(rows)
+        if cfg.use_bloom:
+            blooms = self._load_blooms()
+            for shard, pdf in rows.toPandas().groupby("shard"):
+                blooms.setdefault(
+                    int(shard), BloomFilter.sized_for(cfg.bloom_capacity, cfg.bloom_fpp)
+                ).add_many(pdf["url"])
+            self._blooms = blooms
+
+    def _load_blooms(self) -> dict[int, BloomFilter]:
+        if self._blooms is not None:
+            return self._blooms
+        blooms: dict[int, BloomFilter] = {}
+        if self.seen.current_version() is not None:
+            cfg = self.cfg
+            pdf = self.seen.read().select("shard", "url").toPandas()
+            for shard, grp in pdf.groupby("shard"):
+                b = BloomFilter.sized_for(cfg.bloom_capacity, cfg.bloom_fpp)
+                b.add_many(grp["url"])
+                blooms[int(shard)] = b
+        self._blooms = blooms
+        return blooms
+
+    # -- robots -------------------------------------------------------------
+
+    def _robots_df(self) -> DataFrame:
+        from etlpy_spark.sources.synthetic_web import robots_disallow
+
+        web = self.cfg.web
+        rows = []
+        for k in range(web.n_hosts):
+            host = f"host{k}.example"
+            rows.append((host, robots_disallow(host, web)))
+        return self.spark.createDataFrame(rows, "host string, disallow array<string>")
+
+    # -- one round ----------------------------------------------------------
+
+    def run_round(self) -> dict:
+        cfg, spark = self.cfg, self.spark
+        st = self.state()
+        rnd = int(st["round"])
+        fetch_base = int(st["next_fetch_seq"])
+        seq_base = int(st["next_discovered_seq"])
+
+        frontier = self.frontier.read()
+        scheduled = frontier.count()
+        if scheduled == 0:
+            return {"round": rnd, "fetched": 0, "scheduled": 0}
+
+        # robots gate: broadcast join + any-prefix match (pure expressions)
+        robots = self._robots_df()
+        path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]+(/.*)$", 1)
+        joined = frontier.join(F.broadcast(robots), on="host", how="left")
+        blocked_pred = F.exists(
+            F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
+            lambda d: path.startswith(d),
+        )
+        allowed = joined.filter(~blocked_pred).drop("disallow")
+        robots_blocked = scheduled - allowed.count()
+
+        # politeness: first K per host by (priority, discovered_seq)
+        wh = Window.partitionBy("host").orderBy("priority", "discovered_seq")
+        ranked = allowed.withColumn("__hk__", F.row_number().over(wh))
+        selected = ranked.filter(F.col("__hk__") <= cfg.web.politeness_budget).drop("__hk__")
+        deferred = ranked.filter(F.col("__hk__") > cfg.web.politeness_budget).drop("__hk__")
+
+        # global fetch order (total: priority, discovered_seq unique)
+        wg = Window.orderBy("priority", "discovered_seq")
+        selected = selected.withColumn(
+            "fetch_seq", F.row_number().over(wg).cast("long") + F.lit(fetch_base) - 1
+        )
+
+        # fetch inside politeness buckets (salted by host hash)
+        buckets = selected.repartition(cfg.n_buckets, F.pmod(F.xxhash64("host"), F.lit(cfg.n_buckets)))
+        web = cfg.web
+
+        def fetch_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            from etlpy_spark.sources.synthetic_web import page
+
+            part = TaskContext.get().partitionId() if TaskContext.get() else -1
+            for pdf in batches:
+                out = {"fetch_seq": [], "kind": [], "pos": [], "value": [], "caption": [], "part": []}
+                for fs, u in zip(pdf["fetch_seq"], pdf["url"]):
+                    pg = page(u, web)
+                    for i, l in enumerate(pg["links"]):
+                        out["fetch_seq"].append(fs); out["kind"].append("link")
+                        out["pos"].append(i); out["value"].append(l)
+                        out["caption"].append(None); out["part"].append(part)
+                    for i, (im, cap) in enumerate(zip(pg["image_ids"], pg["captions"])):
+                        out["fetch_seq"].append(fs); out["kind"].append("img")
+                        out["pos"].append(i); out["value"].append(im)
+                        out["caption"].append(cap); out["part"].append(part)
+                    # sentinel row marks the fetch itself (for the log/lineage)
+                    out["fetch_seq"].append(fs); out["kind"].append("fetched")
+                    out["pos"].append(-1); out["value"].append(u)
+                    out["caption"].append(None); out["part"].append(part)
+                yield pd.DataFrame(out)
+
+        extracted = buckets.mapInPandas(
+            fetch_pages,
+            schema="fetch_seq long, kind string, pos int, value string, caption string, part int",
+        )
+        extracted = extracted.cache()
+
+        # crawl log (+ per-partition lineage)
+        log_rows = (
+            extracted.filter(F.col("kind") == "fetched")
+            .select("fetch_seq", F.col("value").alias("url"), F.lit(rnd).alias("round"),
+                    F.col("part").alias("lineage_part"))
+        )
+        fetched = log_rows.count()
+        self.log.append(log_rows, meta={"round": rnd})
+
+        # -- link path: canonicalize, dedup, bloom, anti-join, sequence
+        canon = self._canon_udf()
+        links = (
+            extracted.filter(F.col("kind") == "link")
+            .select("fetch_seq", "pos", "part", canon(F.col("value")).alias("c"))
+            .select("fetch_seq", "pos", "part", "c.url", "c.host", "c.priority")
+            .filter(F.col("url").isNotNull())
+        )
+        wdup = Window.partitionBy("url").orderBy("fetch_seq", "pos")
+        links = links.withColumn("__rk__", F.row_number().over(wdup)).filter(
+            F.col("__rk__") == 1
+        ).drop("__rk__")
+
+        if cfg.use_bloom and self.seen.current_version() is not None:
+            blooms = self._load_blooms()
+            payload = {
+                s: (b.to_bytes(), b.n_bits, b.n_hashes) for s, b in blooms.items()
+            }
+            bb = spark.sparkContext.broadcast(payload)
+            n_shards = cfg.n_shards
+
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("boolean")
+            def maybe_seen(urls: pd.Series) -> pd.Series:
+                import numpy as np
+
+                from etlpy_spark.crawl.seen import BloomFilter as BF
+
+                local = {
+                    s: BF.from_bytes(d, nb, nh) for s, (d, nb, nh) in bb.value.items()
+                }
+                out = []
+                for u in urls:
+                    sh = None
+                    # same shard fn as the exact table: xxhash64 — but that's
+                    # JVM-side; the bloom key is the url string itself, so
+                    # membership is checked against every shard's filter
+                    # only when shard is unknown. We avoid that by checking
+                    # the union: any-filter-positive → maybe seen.
+                    out.append(any(f.might_contain(u) for f in local.values()))
+                return pd.Series(out)
+
+            links = links.withColumn("__maybe__", maybe_seen(F.col("url")))
+            definitely_new = links.filter(~F.col("__maybe__")).drop("__maybe__")
+            to_check = links.filter(F.col("__maybe__")).drop("__maybe__")
+            seen_urls = self.seen.read().select("url")
+            checked_new = to_check.join(seen_urls, on="url", how="left_anti")
+            new_links = definitely_new.unionByName(checked_new)
+        else:
+            seen_urls = self.seen.read().select("url")
+            new_links = links.join(seen_urls, on="url", how="left_anti")
+
+        wseq = Window.orderBy("fetch_seq", "pos")
+        new_frontier = new_links.withColumn(
+            "discovered_seq", F.row_number().over(wseq).cast("long") + F.lit(seq_base) - 1
+        ).select(
+            "url", "host", "priority", "discovered_seq",
+            F.lit(rnd + 1).alias("round"), F.col("part").alias("lineage_part"),
+        )
+        new_frontier = new_frontier.cache()
+        n_new = new_frontier.count()
+
+        # -- image path: first reference wins, fetch+decode+phash, MERGE
+        refs = extracted.filter(F.col("kind") == "img").select(
+            F.col("value").alias("image_id"), "caption", "fetch_seq", "pos", "part"
+        )
+        wimg = Window.partitionBy("image_id").orderBy("fetch_seq", "pos")
+        refs = refs.withColumn("__rk__", F.row_number().over(wimg)).filter(
+            F.col("__rk__") == 1
+        ).drop("__rk__")
+        if self.images.current_version() is not None:
+            refs = refs.join(self.images.read().select("image_id"), on="image_id", how="left_anti")
+
+        def fetch_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from etlpy_spark.functions.imagecodec import decode, image_spec, phash64
+            from etlpy_spark.sources.synthetic_web import fetch_image
+
+            for pdf in batches:
+                rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "first_round", "lineage_part")}
+                for iid, cap, part in zip(pdf["image_id"], pdf["caption"], pdf["part"]):
+                    data = fetch_image(iid, web)
+                    px = decode(data)
+                    w_, h_, fmt = image_spec(iid, web.seed)
+                    rows["image_id"].append(iid); rows["bytes"].append(data)
+                    rows["w"].append(w_); rows["h"].append(h_); rows["fmt"].append(fmt)
+                    rows["caption"].append(cap); rows["phash"].append(phash64(px))
+                    rows["first_round"].append(rnd); rows["lineage_part"].append(part)
+                yield pd.DataFrame(rows)
+
+        img_rows = refs.repartition(cfg.n_buckets).mapInPandas(fetch_images, schema=IMAGES_DDL)
+        n_imgs_before = 0
+        if self.images.current_version() is not None:
+            n_imgs_before = self.images.read().count()
+        self.images.merge_upsert(img_rows, key="image_id", meta={"round": rnd})
+        n_new_images = self.images.read().count() - n_imgs_before
+
+        # -- commit state
+        self._commit_seen(new_frontier.select("url", F.lit(rnd + 1).alias("round")))
+        next_frontier = deferred.select(
+            "url", "host", "priority", "discovered_seq", "round", "lineage_part"
+        ).unionByName(new_frontier)
+        self.frontier.overwrite(
+            next_frontier,
+            meta={
+                "round": rnd + 1,
+                "next_fetch_seq": fetch_base + fetched,
+                "next_discovered_seq": seq_base + n_new,
+            },
+        )
+        m = {
+            "round": rnd,
+            "scheduled": scheduled,
+            "robots_blocked": robots_blocked,
+            "fetched": fetched,
+            "deferred": scheduled - robots_blocked - fetched,
+            "new_urls": n_new,
+            "new_images": int(n_new_images),
+        }
+        self.metrics.append(spark.createDataFrame([tuple(m.values())], METRICS_DDL))
+        extracted.unpersist()
+        new_frontier.unpersist()
+        return m
+
+    def run(self, seeds: list[str] | None, max_rounds: int) -> list[dict]:
+        """Run (or resume) the crawl. Resume = the tables' last committed
+        snapshots ARE the state; a crashed round re-runs from its start."""
+        if not self.initialized():
+            if seeds is None:
+                raise ValueError("fresh crawl needs seeds")
+            self.init_from_seeds(seeds)
+        out = []
+        while int(self.state()["round"]) < max_rounds:
+            m = self.run_round()
+            out.append(m)
+            if m.get("fetched", 0) == 0 and m.get("scheduled", 0) == 0:
+                break
+        return out
+
+    # -- results for parity checks ------------------------------------------
+
+    def crawl_log_list(self) -> list[tuple[int, str]]:
+        rows = self.log.read().orderBy("fetch_seq").select("fetch_seq", "url").collect()
+        return [(r.fetch_seq, r.url) for r in rows]
+
+    def seen_urls_list(self) -> set[str]:
+        return {r.url for r in self.seen.read().select("url").collect()}

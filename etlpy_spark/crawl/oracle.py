@@ -1,0 +1,138 @@
+"""Single-threaded reference-semantics crawler — the parity oracle.
+
+This is the executable specification of the crawl rule (north_rule: "matching
+the reference's crawl ordering and URL-seen set under the same seed list +
+politeness budget"). It implements exactly the semantics the reference
+engine sketches:
+
+  - seeds are dispatched in list order (reference distributed.py:60-66);
+  - the URL-seen set is keep-first over the discovery stream (reference
+    RepeatFT, etl.py:238-247; CrawlerTF's fetch memo, etl.py:454-464);
+  - BFS frontier expansion (reference BfsGE intent, etl.py:658-659);
+  - politeness budget per host per round (the reference's inert
+    DelayTime=200ms, project.xml:9; etl.py:679-680) — URLs over budget are
+    *deferred*, not dropped;
+  - robots gating (absent in the reference; required by the north_rule).
+
+THE CRAWL RULE (shared by this oracle and crawl/frontier.py):
+  round r:
+    1. candidates = frontier
+    2. robots-blocked candidates are removed (counted, never fetched)
+    3. per host, order by (priority, discovered_seq); first K fetch this
+       round, the rest defer to round r+1
+    4. global fetch order = selected sorted by (priority, discovered_seq);
+       fetch_seq continues across rounds
+    5. pages are processed in fetch order; out-links in page order; a
+       canonicalized link not in seen gets the next discovered_seq and
+       enters the next frontier with priority = h64('prio|'+url) % 100
+    6. image refs in (fetch order, page order); first reference wins;
+       bytes fetched, decoded, pHashed, merged into the image table
+    7. next frontier = deferred ∪ newly discovered
+  stop after max_rounds or when the frontier empties.
+
+All order is a pure function of (priority, discovered_seq); both are unique
+per URL, so the order is total and the distributed engine can reproduce it
+exactly (SURVEY.md §7 hard part #1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from etlpy_spark.functions.imagecodec import decode, image_spec, phash64
+from etlpy_spark.functions.url import canonicalize_url
+from etlpy_spark.sources.synthetic_web import (
+    WebConfig,
+    fetch_image,
+    page,
+    parse_url,
+    robots_allowed,
+)
+
+
+def url_host_of(url: str) -> str:
+    p = parse_url(url)
+    return f"host{p[0]}.example" if p else ""
+
+
+@dataclass
+class OracleResult:
+    crawl_log: list[tuple[int, str]] = field(default_factory=list)  # (fetch_seq, url)
+    seen: dict[str, int] = field(default_factory=dict)  # url -> discovered_seq
+    images: dict[str, dict] = field(default_factory=dict)  # image_id -> row
+    metrics: list[dict] = field(default_factory=list)  # per round
+    rounds_run: int = 0
+
+
+def crawl_oracle(seeds: list[str], cfg: WebConfig, max_rounds: int = 3) -> OracleResult:
+    res = OracleResult()
+    # ingest seeds: canonicalize in order, keep-first
+    frontier: list[tuple[str, int, int]] = []  # (url, priority, discovered_seq)
+    seq = 0
+    for s in seeds:
+        canon = canonicalize_url(s)
+        if canon is None or canon in res.seen:
+            continue
+        res.seen[canon] = seq
+        frontier.append((canon, cfg.priority(canon), seq))
+        seq += 1
+    fetch_seq = 0
+
+    for r in range(max_rounds):
+        if not frontier:
+            break
+        res.rounds_run = r + 1
+        allowed = [f for f in frontier if robots_allowed(f[0], cfg)]
+        blocked = len(frontier) - len(allowed)
+        # politeness: first K per host by (priority, discovered_seq)
+        by_host: dict[str, list] = {}
+        for f in sorted(allowed, key=lambda f: (f[1], f[2])):
+            by_host.setdefault(url_host_of(f[0]), []).append(f)
+        selected, deferred = [], []
+        for host, items in by_host.items():
+            selected.extend(items[: cfg.politeness_budget])
+            deferred.extend(items[cfg.politeness_budget :])
+        selected.sort(key=lambda f: (f[1], f[2]))
+
+        new_frontier: list[tuple[str, int, int]] = []
+        new_images = 0
+        for url, prio, dseq in selected:
+            res.crawl_log.append((fetch_seq, url))
+            fetch_seq += 1
+            pg = page(url, cfg)
+            for link in pg["links"]:
+                canon = canonicalize_url(link)
+                if canon is None or canon in res.seen:
+                    continue
+                res.seen[canon] = seq
+                new_frontier.append((canon, cfg.priority(canon), seq))
+                seq += 1
+            for image_id, caption in zip(pg["image_ids"], pg["captions"]):
+                if image_id in res.images:
+                    continue
+                data = fetch_image(image_id, cfg)
+                px = decode(data)
+                w, h, fmt = image_spec(image_id, cfg.seed)
+                res.images[image_id] = {
+                    "image_id": image_id,
+                    "bytes": data,
+                    "w": w,
+                    "h": h,
+                    "fmt": fmt,
+                    "caption": caption,
+                    "phash": phash64(px),
+                }
+                new_images += 1
+        res.metrics.append(
+            {
+                "round": r,
+                "scheduled": len(frontier),
+                "robots_blocked": blocked,
+                "fetched": len(selected),
+                "deferred": len(deferred),
+                "new_urls": len(new_frontier),
+                "new_images": new_images,
+            }
+        )
+        frontier = deferred + new_frontier
+    return res

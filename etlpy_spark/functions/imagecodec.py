@@ -1,0 +1,226 @@
+"""Image codec + perceptual hashing, numpy-only (no PIL in the environment).
+
+The reference downloads image files and classifies jpg/png/gif by magic
+bytes (reference spider.py:73-78 GetImage, spider.py:303-314
+GetImageFormat). Our image table stores decoded-verifiable bytes in three
+formats (FIXTURES.md F1): ``raw`` (private header + RGB), ``ppm`` (P6), and
+``png`` (real zlib PNG, 8-bit RGB, filter 0). All lossless here, so the
+per-row invariant vs the oracle is exact pixel equality (PSNR=inf ≥ 40 dB).
+
+Everything operates on numpy arrays and is called from Arrow-batched pandas
+UDFs — zero per-row Python at the plan level; per-image numpy is the decode
+kernel itself (the same shape a real pipeline has around libjpeg).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+
+FORMATS = ("raw", "ppm", "png")
+
+
+# ---------------------------------------------------------------------------
+# deterministic procedural image (FIXTURES.md F1)
+
+
+def _h64(s: str, seed: int) -> int:
+    return int.from_bytes(hashlib.md5(f"{seed}|{s}".encode()).digest()[:8], "big")
+
+
+def image_spec(image_id: str, seed: int = 42) -> tuple[int, int, str]:
+    """(w, h, fmt) for an image id — pure function of (id, seed)."""
+    h = _h64("spec|" + image_id, seed)
+    sizes = (32, 64, 128)
+    w = sizes[h % 3]
+    hh = sizes[(h >> 8) % 3]
+    fmt = FORMATS[(h >> 16) % 3]
+    return w, hh, fmt
+
+
+def render_pixels(image_id: str, seed: int = 42) -> np.ndarray:
+    """Deterministic gradient + per-id sine pattern, uint8 HxWx3."""
+    w, h, _ = image_spec(image_id, seed)
+    ph = _h64("px|" + image_id, seed)
+    y, x = np.mgrid[0:h, 0:w]
+    base = (x * 3 + y * 5 + (ph % 251)) % 256
+    wave = (127 * (1 + np.sin((x + (ph >> 8) % 97) / 7.0) * np.cos((y + (ph >> 16) % 89) / 5.0)))
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = base.astype(np.uint8)
+    px[:, :, 1] = wave.astype(np.uint8)
+    px[:, :, 2] = ((base + wave) / 2).astype(np.uint8)
+    return px
+
+
+def caption_for(image_id: str, seed: int = 42) -> str:
+    adjectives = ["quiet", "bright", "rusty", "amber", "jade", "silver", "crimson", "pale"]
+    nouns = ["harbor", "lantern", "valley", "rooftop", "market", "garden", "bridge", "archway"]
+    places = ["dawn", "dusk", "noon", "midnight", "springtime", "harvest", "first-snow", "monsoon"]
+    h = _h64("cap|" + image_id, seed)
+    seq = int(image_id.split("-")[-1])
+    return f"{adjectives[h % 8]} {nouns[(h >> 3) % 8]} at {places[(h >> 6) % 8]} #{seq}"
+
+
+# ---------------------------------------------------------------------------
+# encoders / decoders
+
+
+def encode_raw(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    return b"RAW0" + struct.pack(">II", w, h) + px.tobytes()
+
+
+def decode_raw(data: bytes) -> np.ndarray:
+    assert data[:4] == b"RAW0"
+    w, h = struct.unpack(">II", data[4:12])
+    return np.frombuffer(data[12:], dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    assert data[:2] == b"P6"
+    parts = data.split(b"\n", 3)
+    w, h = (int(v) for v in parts[1].split())
+    return np.frombuffer(parts[3], dtype=np.uint8).reshape(h, w, 3)
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Minimal real PNG: 8-bit RGB, no interlace, filter 0 per scanline."""
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, w, h, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bitdepth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert bitdepth == 8 and ctype == 2, "decoder supports 8-bit RGB only"
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        ftype, body = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
+        if ftype == 0:
+            line = body
+        elif ftype == 2:  # Up
+            line = (body + prev).astype(np.uint8)
+        else:  # only filters we emit/accept
+            raise ValueError(f"unsupported PNG filter {ftype}")
+        px[y] = line.reshape(w, 3)
+        prev = line
+    return px
+
+
+_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png}
+
+
+def encode(px: np.ndarray, fmt: str) -> bytes:
+    return _ENC[fmt](px)
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Sniff by magic (mirrors reference spider.py:303-314 GetImageFormat)."""
+    if data[:4] == b"RAW0":
+        return decode_raw(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(data)
+    raise ValueError("unknown image format")
+
+
+def sniff_format(data: bytes) -> str:
+    if data[:4] == b"RAW0":
+        return "raw"
+    if data[:2] == b"P6":
+        return "ppm"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    return "unknown"
+
+
+def image_bytes(image_id: str, seed: int = 42) -> bytes:
+    _, _, fmt = image_spec(image_id, seed)
+    return encode(render_pixels(image_id, seed), fmt)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (64-bit DCT pHash) + PSNR
+
+
+def _resize_gray(px: np.ndarray, size: int = 32) -> np.ndarray:
+    gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    yi = (np.arange(size) * h // size).clip(0, h - 1)
+    xi = (np.arange(size) * w // size).clip(0, w - 1)
+    return gray[np.ix_(yi, xi)]
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)
+        _DCT32 = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)) * np.sqrt(2 / n)
+        _DCT32[0] /= np.sqrt(2)
+    return _DCT32
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit DCT perceptual hash as a signed int64 (Spark LongType)."""
+    small = _resize_gray(px, 32)
+    d = _dct_matrix(32)
+    coef = d @ small @ d.T
+    low = coef[:8, :8].flatten()
+    med = np.median(low[1:])  # exclude DC term from the median
+    bits = 0
+    for i, v in enumerate(low):
+        if i == 0:
+            continue
+        if v > med:
+            bits |= 1 << (63 - i)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)

@@ -19,6 +19,13 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Workers are separate Python processes: they need this package on their
+    # path (in production this is spark-submit --py-files; locally PYTHONPATH).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     master = master or os.environ.get("ETLPY_SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:

@@ -1,0 +1,150 @@
+"""Snapshot table catalog — Iceberg table semantics on plain Parquet.
+
+The north_rule calls for Iceberg tables (frontier, seen shards, image +
+caption) with snapshot checkpoints and resume. No Iceberg runtime jar ships
+in this sandbox (no network for artifacts), so this module provides the
+same contract on a parquet+manifest layout, and the crawl engine only ever
+talks to this API — pointing it at a real Iceberg catalog later is a
+drop-in (`append` → ``df.writeTo(t).append()``, `merge_upsert` →
+``MERGE INTO``, `version` → Iceberg snapshot-id time travel).
+
+Layout (one directory per table):
+    data/v{N:06d}/part-*.parquet   -- one data dir per committed snapshot
+    snapshots/v{N:06d}.json        -- manifest: mode, data dirs, meta
+    _current                       -- name of latest snapshot (atomic rename)
+
+Commit protocol: write data first, write the manifest, then atomically
+swap ``_current`` (os.replace) — a crashed writer leaves the table at the
+previous snapshot, which is exactly the resume point (generalizes the
+reference master's ``skip=`` job resume, distributed.py:42,62-63).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Snapshot:
+    version: int
+    mode: str  # 'append' | 'overwrite'
+    data_dirs: list[str]
+    meta: dict
+
+    @property
+    def name(self) -> str:
+        return f"v{self.version:06d}"
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # -- snapshot bookkeeping
+
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self.path, "snapshots", f"v{version:06d}.json")
+
+    def current_version(self) -> int | None:
+        cur = os.path.join(self.path, "_current")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int) -> Snapshot:
+        with open(self._snap_path(version)) as f:
+            d = json.load(f)
+        return Snapshot(version=d["version"], mode=d["mode"], data_dirs=d["data_dirs"], meta=d["meta"])
+
+    def history(self) -> list[Snapshot]:
+        out = []
+        v = self.current_version()
+        if v is None:
+            return out
+        for i in range(1, v + 1):
+            if os.path.exists(self._snap_path(i)):
+                out.append(self.snapshot(i))
+        return out
+
+    # -- commits
+
+    def _commit(self, df: DataFrame, mode: str, meta: dict | None) -> int:
+        v = (self.current_version() or 0) + 1
+        data_dir = os.path.join(self.path, "data", f"v{v:06d}")
+        df.write.mode("overwrite").parquet(data_dir)
+        if mode == "append" and (prev := self.current_version()):
+            dirs = self.snapshot(prev).data_dirs + [data_dir]
+        else:
+            dirs = [data_dir]
+        snap = {"version": v, "mode": mode, "data_dirs": dirs, "meta": meta or {}}
+        tmp = self._snap_path(v) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, self._snap_path(v))
+        cur_tmp = os.path.join(self.path, "_current.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(v))
+        os.replace(cur_tmp, os.path.join(self.path, "_current"))
+        return v
+
+    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+        return self._commit(df, "append", meta)
+
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
+        return self._commit(df, "overwrite", meta)
+
+    def merge_upsert(self, df: DataFrame, key: str, prefer_new: bool = False,
+                     meta: dict | None = None) -> int:
+        """MERGE INTO semantics: insert rows whose key is absent; existing
+        rows win unless prefer_new. The anti-join is the only shuffle; at
+        Iceberg this is a real MERGE with file-level pruning."""
+        if self.current_version() is None:
+            return self._commit(df.dropDuplicates([key]), "overwrite", meta)
+        cur = self.read()
+        if prefer_new:
+            merged = df.dropDuplicates([key]).unionByName(
+                cur.join(df.select(key).distinct(), on=key, how="left_anti")
+            )
+            return self._commit(merged, "overwrite", meta)
+        new_rows = df.dropDuplicates([key]).join(
+            cur.select(key).distinct(), on=key, how="left_anti"
+        )
+        # append-only commit: existing files untouched, one new data dir
+        return self._commit(new_rows, "append", meta)
+
+    # -- reads
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table {self.path} has no snapshots")
+        dirs = [d for d in self.snapshot(v).data_dirs if os.path.exists(d)]
+        return self.spark.read.parquet(*dirs)
+
+    def read_or_empty(self, schema_ddl: str, version: int | None = None) -> DataFrame:
+        try:
+            return self.read(version)
+        except FileNotFoundError:
+            return self.spark.createDataFrame([], schema=schema_ddl)
+
+    def rollback_to(self, version: int) -> None:
+        """Point _current at an older snapshot (time travel / resume)."""
+        if not os.path.exists(self._snap_path(version)):
+            raise FileNotFoundError(f"no snapshot v{version}")
+        cur_tmp = os.path.join(self.path, "_current.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(cur_tmp, os.path.join(self.path, "_current"))
+
+    def latest_meta(self) -> dict:
+        v = self.current_version()
+        return {} if v is None else self.snapshot(v).meta

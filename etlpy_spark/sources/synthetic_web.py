@@ -1,0 +1,197 @@
+"""Deterministic synthetic web (FIXTURES.md F2/F3): pages, links, robots,
+images and captions are pure functions of (canonical_url, seed).
+
+This replaces the reference's live HTTP layer (reference spider.py:100-157
+GetHTML, spider.py:73-78 GetImage) in-sandbox: the Spark fetch UDFs and the
+single-threaded parity oracle (crawl/oracle.py) call the *same* functions,
+so crawl-order / seen-set / image parity is meaningful.
+
+The page space: ``http://host{k}.example/cat{c}/p{n}`` with k<H, c<C, n≥1.
+Out-links stay mostly on-host (real crawl locality) with a cross-host edge
+every 5th page; host0 can be given a seed-skew factor to exercise hot-domain
+politeness handling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+
+from etlpy_spark.functions.imagecodec import caption_for, image_bytes
+
+
+def h64(s: str, seed: int) -> int:
+    """Shared 64-bit deterministic hash (md5-based so the pure-Python oracle
+    and the Spark-side pandas UDFs agree bit-for-bit; the engine's internal
+    shard keys use Spark's builtin xxhash64 where parity isn't required)."""
+    return int.from_bytes(hashlib.md5(f"{seed}|{s}".encode()).digest()[:8], "big")
+
+
+@dataclass
+class WebConfig:
+    seed: int = 42
+    n_hosts: int = 8
+    n_cats: int = 4
+    pages_per_cat: int = 50  # page-number space wraps at this
+    max_links: int = 3
+    max_images: int = 2
+    image_universe: int = 10_000
+    skew_host0: int = 1  # seed multiplicity for host0 (hot-domain knob)
+    politeness_budget: int = 4  # max fetches per host per round
+
+    def priority(self, url: str) -> int:
+        return h64("prio|" + url, self.seed) % 100
+
+
+_URL_RE = re.compile(r"^http://host(\d+)\.example/cat(\d+)/p(\d+)$")
+
+
+def parse_url(url: str) -> tuple[int, int, int] | None:
+    m = _URL_RE.match(url)
+    if not m:
+        return None
+    return int(m.group(1)), int(m.group(2)), int(m.group(3))
+
+
+def make_url(k: int, c: int, n: int) -> str:
+    return f"http://host{k}.example/cat{c}/p{n}"
+
+
+def robots_disallow(host: str, cfg: WebConfig) -> list[str]:
+    """host k disallows /cat{k % n_cats}/ when k % 7 == 0 (FIXTURES.md F3)."""
+    m = re.match(r"^host(\d+)\.example$", host)
+    if not m:
+        return []
+    k = int(m.group(1))
+    if k % 7 == 0:
+        return [f"/cat{k % cfg.n_cats}/"]
+    return []
+
+
+def robots_allowed(url: str, cfg: WebConfig) -> bool:
+    p = parse_url(url)
+    if p is None:
+        return False
+    k, c, n = p
+    path = f"/cat{c}/p{n}"
+    return not any(path.startswith(d) for d in robots_disallow(f"host{k}.example", cfg))
+
+
+def page(url: str, cfg: WebConfig) -> dict:
+    """Fetch simulation: {html, links, image_ids, captions} for a canonical
+    URL. Unknown URLs 404 (empty page)."""
+    p = parse_url(url)
+    if p is None:
+        return {"html": "", "links": [], "image_ids": [], "captions": []}
+    k, c, n = p
+    h = h64("page|" + url, cfg.seed)
+    n_links = h % (cfg.max_links + 1)
+    links = []
+    for i in range(n_links):
+        nn = (n * 7 + i * 13 + (h >> (8 + 4 * i)) % 11) % cfg.pages_per_cat + 1
+        links.append(make_url(k, c, nn))
+    if h % 5 == 0:
+        kk = (k + 1 + (h >> 24) % max(1, cfg.n_hosts - 1)) % cfg.n_hosts
+        cc = (c + (h >> 28) % cfg.n_cats) % cfg.n_cats
+        links.append(make_url(kk, cc, (h >> 32) % cfg.pages_per_cat + 1))
+    n_img = (h >> 16) % (cfg.max_images + 1)
+    image_ids = [
+        f"img-{(h64(f'imgref|{url}|{i}', cfg.seed)) % cfg.image_universe:012d}"
+        for i in range(n_img)
+    ]
+    captions = [caption_for(i, cfg.seed) for i in image_ids]
+    body = "".join(
+        [f'<a href="{l}">l</a>' for l in links]
+        + [
+            f'<img src="{i}" alt="{cap}" />'
+            for i, cap in zip(image_ids, captions)
+        ]
+    )
+    html = f"<html><body><h1>{url}</h1>{body}</body></html>"
+    return {"html": html, "links": links, "image_ids": image_ids, "captions": captions}
+
+
+def fetch_image(image_id: str, cfg: WebConfig) -> bytes:
+    return image_bytes(image_id, cfg.seed)
+
+
+# ---------------------------------------------------------------------------
+# seed list (FIXTURES.md F2) — includes dirty variants to exercise RFC-3986
+
+
+_DIRTY = [
+    lambda u: u,
+    lambda u: u.replace("http://", "HTTP://").replace("host", "HoSt"),
+    lambda u: u.replace(".example/", ".example:80/"),
+    lambda u: u.replace("/cat", "/x/../cat"),
+    lambda u: u + "?",
+    lambda u: u.replace("/p", "/%70"),  # %70 = 'p', decodes to unreserved
+]
+
+
+def seed_urls(cfg: WebConfig, n_per_host: int = 2) -> list[str]:
+    """Deterministic seed list in dispatch order (the reference dispatches
+    jobs in seed order, distributed.py:60-66). host0 is repeated by
+    ``skew_host0`` to create a hot domain."""
+    seeds: list[str] = []
+    i = 0
+    for k in range(cfg.n_hosts):
+        reps = cfg.skew_host0 if k == 0 else 1
+        for r in range(reps):
+            for j in range(n_per_host):
+                c = (k + j + r) % cfg.n_cats
+                n = (h64(f"seed|{k}|{r}|{j}", cfg.seed) % cfg.pages_per_cat) + 1
+                url = make_url(k, c, n)
+                seeds.append(_DIRTY[i % len(_DIRTY)](url))
+                i += 1
+    return seeds
+
+
+# ---------------------------------------------------------------------------
+# fetcher factory for the plan compiler's CrawlerTF (SmartCrawler semantics:
+# reference spider.py:211-261 CrawData/GetDataFromCrawItems)
+
+
+def crawler_fetcher(cfg: WebConfig):
+    """Returns ctx.fetcher: CrawlerSpec -> (list[url] -> list[list[dict]]).
+
+    Extraction runs the crawler's CrawItems XPaths against the synthetic
+    page HTML via the same XPath-lite evaluator the XPathTF stage uses."""
+    import xml.etree.ElementTree as ET
+
+    from etlpy_spark.functions.expr import xpath_lite_text
+
+    def for_crawler(crawler):
+        def fetch(urls: list[str]) -> list[list[dict]]:
+            out = []
+            for u in urls:
+                pg = page(u, cfg)
+                try:
+                    root = ET.fromstring(pg["html"]) if pg["html"] else None
+                except ET.ParseError:
+                    root = None
+                if root is None:
+                    out.append([])
+                    continue
+                if crawler.is_multi_data == "List":
+                    per_item = {
+                        ci.name: xpath_lite_text(root, ci.xpath) for ci in crawler.crawl_items
+                    }
+                    n = max((len(v) for v in per_item.values()), default=0)
+                    recs = [
+                        {k: (v[i] if i < len(v) else None) for k, v in per_item.items()}
+                        for i in range(n)
+                    ]
+                    out.append(recs)
+                else:
+                    rec = {}
+                    for ci in crawler.crawl_items:
+                        vals = xpath_lite_text(root, ci.xpath)
+                        rec[ci.name] = vals[0] if vals else None
+                    out.append([rec])
+            return out
+
+        return fetch
+
+    return for_crawler

@@ -1,0 +1,101 @@
+"""North-rule gate: the distributed crawler must reproduce the serial
+reference-semantics oracle exactly — crawl order, URL-seen set, and
+image rows (decoded pixels + caption) — under the same seed list and
+politeness budget; and resume from snapshots must converge to the same
+final state (BASELINE.json north_rule; FIXTURES.md F9)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+from etlpy_spark.crawl.frontier import CrawlConfig, SparkCrawler
+from etlpy_spark.crawl.oracle import crawl_oracle
+from etlpy_spark.functions.imagecodec import decode, psnr
+from etlpy_spark.sources.synthetic_web import WebConfig, seed_urls
+
+WEB = WebConfig(n_hosts=6, n_cats=3, pages_per_cat=12, politeness_budget=2, skew_host0=3)
+ROUNDS = 3
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return crawl_oracle(seed_urls(WEB, n_per_host=2), WEB, max_rounds=ROUNDS)
+
+
+@pytest.fixture(scope="module")
+def crawler(spark, oracle):
+    wd = tempfile.mkdtemp(prefix="crawl_parity_")
+    cr = SparkCrawler(spark, wd, CrawlConfig(web=WEB))
+    cr.run(seed_urls(WEB, n_per_host=2), max_rounds=ROUNDS)
+    yield cr
+    shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_crawl_order_parity(crawler, oracle):
+    assert crawler.crawl_log_list() == oracle.crawl_log
+
+
+def test_seen_set_parity(crawler, oracle):
+    assert crawler.seen_urls_list() == set(oracle.seen)
+
+
+def test_image_rows_parity(crawler, oracle):
+    rows = {r.image_id: r for r in crawler.images.read().collect()}
+    assert set(rows) == set(oracle.images)
+    for iid, exp in oracle.images.items():
+        got = rows[iid]
+        assert got.caption == exp["caption"]
+        assert (got.w, got.h, got.fmt) == (exp["w"], exp["h"], exp["fmt"])
+        assert got.phash == exp["phash"]
+        a, b = decode(bytes(got.bytes)), decode(exp["bytes"])
+        # all formats here are lossless → exact; ≥40 dB is the lossy gate
+        assert np.array_equal(a, b) and psnr(a, b) == float("inf")
+
+
+def test_metrics_parity(crawler, oracle):
+    got = [
+        r.asDict() for r in crawler.metrics.read().orderBy("round").collect()
+    ]
+    assert got == oracle.metrics
+
+
+def test_resume_from_checkpoint(spark, oracle):
+    """Kill after round 2, resume with a fresh crawler instance (fresh
+    process semantics: snapshot state only), final state identical."""
+    wd = tempfile.mkdtemp(prefix="crawl_resume_")
+    try:
+        cr1 = SparkCrawler(spark, wd, CrawlConfig(web=WEB))
+        cr1.run(seed_urls(WEB, n_per_host=2), max_rounds=2)
+        assert int(cr1.state()["round"]) == 2
+        del cr1  # "crash"
+        cr2 = SparkCrawler(spark, wd, CrawlConfig(web=WEB))
+        assert cr2.initialized()
+        cr2.run(None, max_rounds=ROUNDS)
+        assert cr2.crawl_log_list() == oracle.crawl_log
+        assert cr2.seen_urls_list() == set(oracle.seen)
+        imgs = {r.image_id for r in cr2.images.read().collect()}
+        assert imgs == set(oracle.images)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_rollback_time_travel(spark):
+    """Snapshot tables support time travel: after 3 rounds, the round-1
+    frontier is still readable (per-round lineage, north_rule)."""
+    wd = tempfile.mkdtemp(prefix="crawl_tt_")
+    try:
+        cr = SparkCrawler(spark, wd, CrawlConfig(web=WEB))
+        cr.run(seed_urls(WEB, n_per_host=2), max_rounds=ROUNDS)
+        hist = cr.frontier.history()
+        assert len(hist) == ROUNDS + 1  # init + one per round
+        v1 = hist[1].version
+        old = cr.frontier.read(version=v1)
+        assert cr.frontier.snapshot(v1).meta["round"] == 1
+        assert old.count() > 0
+        assert {"url", "host", "priority", "discovered_seq"} <= set(old.columns)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)

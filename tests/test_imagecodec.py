@@ -1,0 +1,45 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etlpy_spark.functions import imagecodec as ic
+
+
+@pytest.mark.parametrize("fmt", ic.FORMATS)
+def test_roundtrip_lossless(fmt):
+    px = ic.render_pixels("img-000000000042")
+    data = ic.encode(px, fmt)
+    assert ic.sniff_format(data) == fmt
+    out = ic.decode(data)
+    assert np.array_equal(px, out)
+    assert ic.psnr(px, out) == float("inf")
+
+
+def test_deterministic():
+    a = ic.image_bytes("img-000000000007")
+    b = ic.image_bytes("img-000000000007")
+    assert a == b
+    assert ic.image_bytes("img-000000000008") != a
+
+
+def test_phash_properties():
+    px = ic.render_pixels("img-000000000042")
+    h1 = ic.phash64(px)
+    assert isinstance(h1, int) and -(1 << 63) <= h1 < (1 << 63)
+    # invariant to mild noise (perceptual), sensitive to different content
+    noisy = np.clip(px.astype(np.int16) + np.random.default_rng(0).integers(-4, 5, px.shape), 0, 255).astype(np.uint8)
+    other = ic.render_pixels("img-000000000999")
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h1, ic.phash64(noisy)) <= 10
+    assert ham(h1, ic.phash64(other)) > 10
+
+
+def test_spec_and_caption_stable():
+    w, h, fmt = ic.image_spec("img-000000000001")
+    assert w in (32, 64, 128) and h in (32, 64, 128) and fmt in ic.FORMATS
+    cap = ic.caption_for("img-000000000001")
+    assert cap.endswith("#1") and len(cap.split()) == 5  # "adj noun at place #seq"

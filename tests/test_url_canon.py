@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import pytest
+
+from etlpy_spark.functions.url import canonicalize_url
+
+
+@pytest.mark.parametrize(
+    "dirty,canon",
+    [
+        ("HTTP://HoSt0.Example/cat1/p9", "http://host0.example/cat1/p9"),
+        ("http://host0.example:80/cat1/p12", "http://host0.example/cat1/p12"),
+        ("https://host0.example:443/a", "https://host0.example/a"),
+        ("https://host0.example:8443/a", "https://host0.example:8443/a"),
+        ("http://h.example/x/../cat2/p3", "http://h.example/cat2/p3"),
+        ("http://h.example/a/./b", "http://h.example/a/b"),
+        ("http://h.example/cat0/p7?", "http://h.example/cat0/p7"),
+        ("http://h.example", "http://h.example/"),
+        ("http://h.example/%70age", "http://h.example/page"),  # unreserved decoded
+        ("http://h.example/a%2Fb", "http://h.example/a/b"),
+        ("http://h.example/sp ace", "http://h.example/sp%20ace"),
+        ("http://h.example/p#frag", "http://h.example/p"),
+        ("http://h.example/p?a=1&b=2", "http://h.example/p?a=1&b=2"),
+    ],
+)
+def test_canonicalize(dirty, canon):
+    assert canonicalize_url(dirty) == canon
+
+
+def test_garbage():
+    assert canonicalize_url(None) is None
+    assert canonicalize_url("") is None
+    assert canonicalize_url("not a url") is None
+    assert canonicalize_url("http://") is None
+
+
+def test_idempotent():
+    u = canonicalize_url("HTTP://HoSt0.Example:80/x/../cat1/p9?")
+    assert canonicalize_url(u) == u
+
+
+def test_spark_expr_matches_pure(spark):
+    from pyspark.sql import functions as F
+
+    from etlpy_spark.functions.url import canonicalize_url_expr, url_host
+
+    dirty = ["HTTP://HoSt3.Example:80/x/../cat1/p9?", "http://host1.example/%70a b", None]
+    df = spark.createDataFrame([(d,) for d in dirty], "raw string")
+    rows = df.select(
+        canonicalize_url_expr("raw").alias("c"),
+    ).withColumn("h", url_host(F.col("c"))).collect()
+    assert [r.c for r in rows] == [canonicalize_url(d) for d in dirty]
+    assert rows[0].h == "host3.example"
+    assert rows[1].h == "host1.example"
