@@ -47,12 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from etlpy_spark import entry_queries
+    from etlpy_spark import entry_queries, entry_queries_ml
 
-    return entry_queries.queries()
+    return {**entry_queries.queries(), **entry_queries_ml.queries()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from etlpy_spark import entry_queries
+    from etlpy_spark import entry_queries, entry_queries_ml
 
-    return entry_queries.oracle_sql()
+    return {**entry_queries.oracle_sql(), **entry_queries_ml.oracle_sql()}

@@ -1,0 +1,138 @@
+"""Benchmark harness (driver contract): runs the headline workloads at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "frontier_urls_per_sec": ..., "images_merged_per_sec": ...}
+
+The headline is the crawl benchmark (BASELINE.json metric: frontier
+throughput + images merged/sec on the synthetic seed-list benchmark); the
+rest cover the engine's operator families at sf scale. Scaling evidence
+(local[8] vs local[32]) is produced by tools/bench_scaling.py into
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# crawl benchmark size (fixed across sf for comparability; scaled by env)
+CRAWL_SCALE = float(os.environ.get("ETLPY_BENCH_CRAWL_SCALE", "1.0"))
+
+
+def bench_crawl(spark) -> dict:
+    from etlpy_spark.crawl.frontier import CrawlConfig, SparkCrawler
+    from etlpy_spark.sources.synthetic_web import WebConfig, seed_urls
+
+    web = WebConfig(
+        n_hosts=int(48 * CRAWL_SCALE) or 4,
+        n_cats=6,
+        pages_per_cat=400,
+        politeness_budget=16,
+        max_links=4,
+        max_images=2,
+        skew_host0=8,
+        image_universe=200_000,
+    )
+    seeds = seed_urls(web, n_per_host=6)
+    wd = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        t0 = time.time()
+        cr = SparkCrawler(spark, wd, CrawlConfig(web=web, n_shards=16, n_buckets=CPUS))
+        ms = cr.run(seeds, max_rounds=3)
+        dt = time.time() - t0
+        fetched = sum(m.get("fetched", 0) for m in ms)
+        new_images = sum(m.get("new_images", 0) for m in ms)
+        return {
+            "sec": dt,
+            "fetched": fetched,
+            "images": new_images,
+            "urls_per_sec": round(fetched / dt, 2),
+            "images_per_sec": round(new_images / dt, 2),
+        }
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from etlpy_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="etlpy_spark-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    times: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 3)
+        return out
+
+    # headline: crawl
+    crawl = timed("crawl_3rounds", lambda: bench_crawl(spark))
+    times["crawl_3rounds"] = round(crawl["sec"], 3)
+    extras["frontier_urls_per_sec"] = crawl["urls_per_sec"]
+    extras["images_merged_per_sec"] = crawl["images_per_sec"]
+    extras["crawl_fetched"] = crawl["fetched"]
+    extras["crawl_images"] = crawl["images"]
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in (
+        "pricing_summary",
+        "topk_window",
+        "repeat_ft_dedup",
+        "merge_tf_url",
+        "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
+        "simhash",
+        "ann_bruteforce",
+        "lang_id",
+        "fingerprint",
+        "zip_merge_golden",
+    ):
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    # image pipeline at bench scale: generate + decode + phash 4000 images
+    def image_bench():
+        from etlpy_spark.operators.multimodal import decode_image_features, synthetic_images_df
+
+        imgs = synthetic_images_df(spark, n=4000, parallelism=CPUS)
+        return decode_image_features(imgs).agg(F.count("*"), F.expr("bit_xor(phash)")).collect()
+
+    timed("image_decode_phash_4k", image_bench)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns: brute-force cosine top-k (the
+exactness baseline) and an IVF-style bucketed ANN (the scale path).
+
+Brute force is a single scan + one global top-k (sort of n rows is the
+unavoidable cost of exact k-NN); at 100 TB the IVF variant routes the query
+to a handful of coarse cells so the scan touches ~n/cells rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etlpy_spark.operators.dedup import cosine
+
+
+def _vec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. The dot product is
+    a JVM-side aggregate over zip_with — no UDF, stays in codegen."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col).alias("vec_id"),
+        cosine(_vec(vec_col), q).alias("cos"),
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantize by nearest of C centroids, search the
+# query's nprobe nearest cells only.
+
+
+def _kmeans_lite(vectors, n_cells: int, iters: int = 5):
+    """Tiny deterministic k-means (numpy, driver-side over a sample) — the
+    coarse quantizer. Seeded by evenly-spaced sample points, not RNG."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    idx = np.linspace(0, len(X) - 1, n_cells).astype(int)
+    C = X[idx].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(n_cells):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(0)
+    return C
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample: int = 512,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: (1) train a coarse quantizer on a bounded driver-side sample,
+    (2) assign every row to its nearest centroid (pure expressions over a
+    literal centroid array — a map-only stage, no shuffle), (3) scan only
+    the nprobe cells nearest the query. Recall < 1 by design; the recall
+    gate lives in tests (vs brute force)."""
+    import numpy as np
+
+    rows = df.select(_vec(vec_col).alias("v")).limit(sample).collect()
+    C = _kmeans_lite([r.v for r in rows], n_cells)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probe_cells = np.argsort(((C - q) ** 2).sum(1))[:nprobe].tolist()
+
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in C])
+    v = _vec(vec_col)
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(F.zip_with(v, c, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda s, x: s + x),
+    )
+    cell = F.array_position(dists, F.array_min(dists)) - 1
+    assigned = df.select(F.col(id_col).alias("vec_id"), v.alias("v"), cell.alias("cell"))
+    probed = assigned.filter(F.col("cell").isin(probe_cells))
+
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = probed.select("vec_id", cosine(F.col("v"), qlit).alias("cos"))
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,110 @@
+"""Training-data operator gates not expressible as SQL oracles:
+ANN recall vs brute force, LSH recall vs exact Jaccard, image feature
+correctness vs the codec, and multimodal stub behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlpy_spark.operators import dedup as dd
+from etlpy_spark.operators import multimodal as mm
+from etlpy_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_lsh_matches_exact(spark, docs):
+    near = docs.unionByName(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"),
+                    F.concat("text", F.lit(" zzz")).alias("text"))
+    )
+    exact = {(r.id_a, r.id_b) for r in dd.ngram_jaccard_pairs(near, threshold=0.6).collect()}
+    lsh = {(r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(near, threshold=0.6).collect()}
+    assert lsh == exact  # verification removes FPs; banding recall ≈ 1 here
+    assert len(exact) >= docs.count()  # every (doc, doc+zzz) pair found
+
+
+def test_ann_ivf_recall(spark, embeddings):
+    qv = list(embeddings.filter(F.col("vec_id") == 0).head()["embedding"])
+    exact = [r.vec_id for r in sim.brute_force_topk(embeddings, qv, k=10).orderBy("rank").collect()]
+    approx = [r.vec_id for r in sim.ivf_topk(embeddings, qv, k=10, n_cells=8, nprobe=4).orderBy("rank").collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert exact[0] == 0  # the query vector itself is its own 1-NN
+    assert recall >= 0.7  # nprobe=4/8 cells: generous bound, deterministic
+
+def test_simhash_hamming_locality(spark, docs):
+    near = docs.unionByName(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"),
+                    F.concat("text", F.lit(" zzz")).alias("text"))
+    )
+    sh = {r.id: r.simhash for r in dd.simhash_bits(near).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(i for i in sh if i < 10_000)[:50]
+    near_d = [ham(sh[i], sh[i + 10_000]) for i in ids]
+    far_d = [ham(sh[ids[i]], sh[ids[i + 1]]) for i in range(len(ids) - 1)]
+    assert sum(near_d) / len(near_d) < 6
+    assert sum(far_d) / len(far_d) > 12
+
+
+def test_image_features_match_codec(spark):
+    from etlpy_spark.functions.imagecodec import image_spec, phash64, render_pixels
+
+    imgs = mm.synthetic_images_df(spark, n=24, parallelism=4)
+    rows = {r.image_id: r for r in mm.decode_image_features(imgs).collect()}
+    assert len(rows) == 24
+    for iid, r in rows.items():
+        w, h, fmt = image_spec(iid)
+        assert (r.w, r.h, r.fmt) == (w, h, fmt)
+        assert r.phash == phash64(render_pixels(iid))
+
+
+def test_image_resize_shape_and_content(spark):
+    from etlpy_spark.functions.imagecodec import decode
+
+    imgs = mm.synthetic_images_df(spark, n=8, parallelism=2)
+    thumbs = mm.resize_images(imgs, size=16).collect()
+    assert len(thumbs) == 8
+    for t in thumbs:
+        px = decode(bytes(t.bytes))
+        assert px.shape == (16, 16, 3)
+
+
+def test_audio_stub_raises_without_fake(spark):
+    df = spark.createDataFrame([("c0", b"\x01\x02\x03\x04")], "clip_id string, bytes binary")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mm.decode_audio_features(df).collect()
+    rows = mm.decode_audio_features(df, _fake=True).collect()
+    assert rows[0].n_samples == 2 and rows[0].sample_rate == 16000
+
+
+def test_video_stub_fake_sampling(spark):
+    from etlpy_spark.functions.imagecodec import encode_raw, render_pixels
+
+    frames = [encode_raw(render_pixels(f"img-{j:012d}")) for j in range(12)]
+    df = spark.createDataFrame([("v0", b"".join(frames))], "video_id string, bytes binary")
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        mm.sample_video_frames(df).collect()
+    rows = mm.sample_video_frames(df, every_n=5, _fake=True).collect()
+    assert sorted(r.frame_idx for r in rows) == [0, 5, 10]
+
+
+def test_exact_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa")], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in dd.exact_dedup(df).collect())
+    assert kept == [1, 2]
