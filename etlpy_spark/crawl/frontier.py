@@ -49,6 +49,18 @@ from etlpy_spark.crawl.seen import BloomFilter
 from etlpy_spark.sources.catalog import SnapshotTable
 from etlpy_spark.sources.synthetic_web import WebConfig
 
+_TIMING = os.environ.get("ETLPY_CRAWL_TIMING", "") == "1"
+
+
+def _tlog(label: str, t0: float) -> float:
+    import time
+
+    t = time.time()
+    if _TIMING:
+        print(f"    [crawl-timing] {label}: {t - t0:.2f}s", flush=True)
+    return t
+
+
 FRONTIER_DDL = "url string, host string, priority int, discovered_seq long, round int, lineage_part int"
 SEEN_DDL = "shard int, url_hash long, url string, round int"
 IMAGES_DDL = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long, first_round int, lineage_part int"
@@ -64,6 +76,62 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_fpp: float = 0.01
     bloom_capacity: int = 1 << 16  # per shard, sandbox-sized
+    # below this row count a single-partition window rank is cheaper than
+    # the two-phase ranged rank (extra shuffle + counts job)
+    rank_threshold: int = 20_000
+    # metrics land in the frontier snapshot meta either way; the separate
+    # metrics table commit can be skipped for benchmark runs
+    write_metrics: bool = True
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[str], out_col: str, base: int,
+    npart: int, small: bool, caches: list | None = None,
+) -> tuple[DataFrame, int]:
+    """Total-order 0-based sequence ``base + rank`` over ``order_cols``
+    (assumed a unique key) WITHOUT a single-partition sort at scale:
+    range-partition by the key, rank within each partition in parallel,
+    then offset by the cumulative partition sizes (a driver-side cumsum
+    over npart integers). Range partitions are ordered, so per-partition
+    rank + offset == the global rank — the 10^10-row form of row_number.
+
+    Returns (ranked df cached, total rows). ``small=True`` keeps the plain
+    global window (cheaper below ~20k rows)."""
+    if small:
+        w = Window.orderBy(*order_cols)
+        out = df.withColumn(
+            out_col, F.row_number().over(w).cast("long") + F.lit(base) - 1
+        ).cache()
+        if caches is not None:
+            caches.append(out)
+        return out, out.count()
+    d = (
+        df.repartitionByRange(npart, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid__", F.spark_partition_id())
+        .cache()
+    )
+    if caches is not None:
+        caches.append(d)
+    counts = {
+        r["__pid__"]: r["n"]
+        for r in d.groupBy("__pid__").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, base
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not counts:
+        return d.withColumn(out_col, F.lit(None).cast("long")), 0
+    m = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    wp = Window.partitionBy("__pid__").orderBy(*order_cols)
+    out = d.withColumn(
+        out_col,
+        (F.row_number().over(wp).cast("long") - 1 + F.element_at(m, F.col("__pid__"))).cast("long"),
+    ).drop("__pid__")
+    return out, acc - base
 
 
 class SparkCrawler:
@@ -197,11 +265,10 @@ class SparkCrawler:
         seq_base = int(st["next_discovered_seq"])
 
         frontier = self.frontier.read()
-        scheduled = frontier.count()
-        if scheduled == 0:
-            return {"round": rnd, "fetched": 0, "scheduled": 0}
 
-        # robots gate: broadcast join + any-prefix match (pure expressions)
+        # robots gate: broadcast join + any-prefix match (pure expressions);
+        # scheduled + blocked counted in ONE pass (each driver action is a
+        # full Spark job — round fixed cost is what caps URLs/sec).
         robots = self._robots_df()
         path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]+(/.*)$", 1)
         joined = frontier.join(F.broadcast(robots), on="host", how="left")
@@ -209,8 +276,18 @@ class SparkCrawler:
             F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
             lambda d: path.startswith(d),
         )
+        import time as _time
+
+        _t = _time.time()
+        stats = joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(blocked_pred.cast("long")), F.lit(0)).alias("blk"),
+        ).first()
+        scheduled, robots_blocked = int(stats["n"]), int(stats["blk"])
+        _t = _tlog("robots_stats", _t)
+        if scheduled == 0:
+            return {"round": rnd, "fetched": 0, "scheduled": 0}
         allowed = joined.filter(~blocked_pred).drop("disallow")
-        robots_blocked = scheduled - allowed.count()
 
         # politeness: first K per host by (priority, discovered_seq)
         wh = Window.partitionBy("host").orderBy("priority", "discovered_seq")
@@ -219,10 +296,13 @@ class SparkCrawler:
         deferred = ranked.filter(F.col("__hk__") > cfg.web.politeness_budget).drop("__hk__")
 
         # global fetch order (total: priority, discovered_seq unique)
-        wg = Window.orderBy("priority", "discovered_seq")
-        selected = selected.withColumn(
-            "fetch_seq", F.row_number().over(wg).cast("long") + F.lit(fetch_base) - 1
+        round_caches: list = []
+        selected, n_selected = global_rank(
+            selected, ["priority", "discovered_seq"], "fetch_seq", fetch_base,
+            cfg.n_buckets, small=scheduled <= cfg.rank_threshold,
+            caches=round_caches,
         )
+        _t = _tlog("politeness+fetch_rank", _t)
 
         # fetch inside politeness buckets (salted by host hash)
         buckets = selected.repartition(cfg.n_buckets, F.pmod(F.xxhash64("host"), F.lit(cfg.n_buckets)))
@@ -258,14 +338,17 @@ class SparkCrawler:
         )
         extracted = extracted.cache()
 
-        # crawl log (+ per-partition lineage)
+        # crawl log (+ per-partition lineage); every selected row is fetched
+        # exactly once (one sentinel per url), so fetched == n_selected —
+        # no extra count job.
         log_rows = (
             extracted.filter(F.col("kind") == "fetched")
             .select("fetch_seq", F.col("value").alias("url"), F.lit(rnd).alias("round"),
                     F.col("part").alias("lineage_part"))
         )
-        fetched = log_rows.count()
+        fetched = n_selected
         self.log.append(log_rows, meta={"round": rnd})
+        _t = _tlog("fetch+log_commit", _t)
 
         # -- link path: canonicalize, dedup, bloom, anti-join, sequence
         canon = self._canon_udf()
@@ -291,7 +374,7 @@ class SparkCrawler:
             from pyspark.sql.functions import pandas_udf
 
             @pandas_udf("boolean")
-            def maybe_seen(urls: pd.Series) -> pd.Series:
+            def maybe_seen(urls: pd.Series, shards: pd.Series) -> pd.Series:
                 import numpy as np
 
                 from etlpy_spark.crawl.seen import BloomFilter as BF
@@ -299,20 +382,26 @@ class SparkCrawler:
                 local = {
                     s: BF.from_bytes(d, nb, nh) for s, (d, nb, nh) in bb.value.items()
                 }
-                out = []
-                for u in urls:
-                    sh = None
-                    # same shard fn as the exact table: xxhash64 — but that's
-                    # JVM-side; the bloom key is the url string itself, so
-                    # membership is checked against every shard's filter
-                    # only when shard is unknown. We avoid that by checking
-                    # the union: any-filter-positive → maybe seen.
-                    out.append(any(f.might_contain(u) for f in local.values()))
+                sh = shards.to_numpy()
+                uarr = urls.to_numpy()
+                out = np.zeros(len(uarr), dtype=bool)
+                # the shard id is computed JVM-side with the same
+                # pmod(xxhash64(url), S) that keys the exact table, so each
+                # url is checked against exactly its own shard's filter —
+                # one vectorized membership pass per shard present in batch
+                for s in np.unique(sh):
+                    f = local.get(int(s))
+                    if f is None:
+                        continue  # shard has no seen urls yet → all new
+                    mask = sh == s
+                    out[mask] = f.might_contain_many(uarr[mask])
                 return pd.Series(out)
 
-            links = links.withColumn("__maybe__", maybe_seen(F.col("url")))
-            definitely_new = links.filter(~F.col("__maybe__")).drop("__maybe__")
-            to_check = links.filter(F.col("__maybe__")).drop("__maybe__")
+            links = links.withColumn(
+                "__shard__", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int")
+            ).withColumn("__maybe__", maybe_seen(F.col("url"), F.col("__shard__")))
+            definitely_new = links.filter(~F.col("__maybe__")).drop("__maybe__", "__shard__")
+            to_check = links.filter(F.col("__maybe__")).drop("__maybe__", "__shard__")
             seen_urls = self.seen.read().select("url")
             checked_new = to_check.join(seen_urls, on="url", how="left_anti")
             new_links = definitely_new.unionByName(checked_new)
@@ -320,15 +409,16 @@ class SparkCrawler:
             seen_urls = self.seen.read().select("url")
             new_links = links.join(seen_urls, on="url", how="left_anti")
 
-        wseq = Window.orderBy("fetch_seq", "pos")
-        new_frontier = new_links.withColumn(
-            "discovered_seq", F.row_number().over(wseq).cast("long") + F.lit(seq_base) - 1
-        ).select(
+        ranked_links, n_new = global_rank(
+            new_links, ["fetch_seq", "pos"], "discovered_seq", seq_base,
+            cfg.n_buckets, small=scheduled <= cfg.rank_threshold,
+            caches=round_caches,
+        )
+        new_frontier = ranked_links.select(
             "url", "host", "priority", "discovered_seq",
             F.lit(rnd + 1).alias("round"), F.col("part").alias("lineage_part"),
-        )
-        new_frontier = new_frontier.cache()
-        n_new = new_frontier.count()
+        ).cache()
+        _t = _tlog("links_canon_dedup_rank", _t)
 
         # -- image path: first reference wins, fetch+decode+phash, MERGE
         refs = extracted.filter(F.col("kind") == "img").select(
@@ -350,33 +440,29 @@ class SparkCrawler:
                 for iid, cap, part in zip(pdf["image_id"], pdf["caption"], pdf["part"]):
                     data = fetch_image(iid, web)
                     px = decode(data)
-                    w_, h_, fmt = image_spec(iid, web.seed)
+                    w_, h_, fmt = image_spec(iid, web.seed, web.dim_scale)
                     rows["image_id"].append(iid); rows["bytes"].append(data)
                     rows["w"].append(w_); rows["h"].append(h_); rows["fmt"].append(fmt)
                     rows["caption"].append(cap); rows["phash"].append(phash64(px))
                     rows["first_round"].append(rnd); rows["lineage_part"].append(part)
                 yield pd.DataFrame(rows)
 
-        img_rows = refs.repartition(cfg.n_buckets).mapInPandas(fetch_images, schema=IMAGES_DDL)
-        n_imgs_before = 0
-        if self.images.current_version() is not None:
-            n_imgs_before = self.images.read().count()
-        self.images.merge_upsert(img_rows, key="image_id", meta={"round": rnd})
-        n_new_images = self.images.read().count() - n_imgs_before
+        # refs are already deduped keep-first AND anti-joined against the
+        # current image table, so every img_row is a brand-new image_id:
+        # a plain append IS the MERGE INTO here — and it skips re-reading
+        # the full (growing) image table twice per round. Row count comes
+        # from the written parquet footers, so the bytes are never cached.
+        img_rows = refs.repartition(cfg.n_buckets).mapInPandas(
+            fetch_images, schema=IMAGES_DDL
+        )
+        _, n_new_images = self.images.append_counted(img_rows, meta={"round": rnd})
+        _t = _tlog("image_fetch_decode_commit", _t)
 
         # -- commit state
         self._commit_seen(new_frontier.select("url", F.lit(rnd + 1).alias("round")))
         next_frontier = deferred.select(
             "url", "host", "priority", "discovered_seq", "round", "lineage_part"
         ).unionByName(new_frontier)
-        self.frontier.overwrite(
-            next_frontier,
-            meta={
-                "round": rnd + 1,
-                "next_fetch_seq": fetch_base + fetched,
-                "next_discovered_seq": seq_base + n_new,
-            },
-        )
         m = {
             "round": rnd,
             "scheduled": scheduled,
@@ -386,9 +472,22 @@ class SparkCrawler:
             "new_urls": n_new,
             "new_images": int(n_new_images),
         }
-        self.metrics.append(spark.createDataFrame([tuple(m.values())], METRICS_DDL))
+        self.frontier.overwrite(
+            next_frontier,
+            meta={
+                "round": rnd + 1,
+                "next_fetch_seq": fetch_base + fetched,
+                "next_discovered_seq": seq_base + n_new,
+                "metrics": m,
+            },
+        )
+        if cfg.write_metrics:
+            self.metrics.append(spark.createDataFrame([tuple(m.values())], METRICS_DDL))
+        _t = _tlog("seen+frontier+metrics_commit", _t)
         extracted.unpersist()
         new_frontier.unpersist()
+        for c in round_caches:
+            c.unpersist()
         return m
 
     def run(self, seeds: list[str] | None, max_rounds: int) -> list[dict]:

@@ -13,6 +13,11 @@ reference etl.py:238-247) and CrawlerTF's 100-URL memo (etl.py:454-464) to
     state) pay the exact check. No false negatives → the final seen set is
     exact (north_rule demands exact parity; SURVEY.md §7 hard part #2).
 
+All add/membership paths are numpy-vectorized (two siphash64 passes via
+``pd.util.hash_array`` + double hashing) — per-URL Python here was the
+serial Amdahl term that capped scaling efficiency: the driver applies
+``add_many`` over every newly-seen URL each round.
+
 At cluster scale the bitsets live one-per-shard (e.g. 1024 shards × 256 MB
 ≈ bits for 10^10 keys at ~1% fpp) and are broadcast per round; here the
 same structure at toy size.
@@ -20,17 +25,22 @@ same structure at toy size.
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import numpy as np
+import pandas as pd
+
+# hash_key must be exactly 16 bytes; two fixed keys → two independent
+# 64-bit hash families, combined by double hashing (h1 + i*h2 mod m).
+_K1 = "etlpy_bloom_h1_0"
+_K2 = "etlpy_bloom_h2_1"
 
 
-def _bloom_hashes(url: str, n_hashes: int, n_bits: int) -> list[int]:
-    d = hashlib.md5(url.encode()).digest()
-    h1 = int.from_bytes(d[:8], "big")
-    h2 = int.from_bytes(d[8:16], "big") | 1
-    return [((h1 + i * h2) % n_bits) for i in range(n_hashes)]
+def _hash2(urls) -> tuple[np.ndarray, np.ndarray]:
+    arr = np.asarray(urls, dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key=_K1, categorize=False)
+    h2 = pd.util.hash_array(arr, hash_key=_K2, categorize=False) | np.uint64(1)
+    return h1, h2
 
 
 class BloomFilter:
@@ -47,15 +57,33 @@ class BloomFilter:
         return cls(n_bits, n_hashes)
 
     def add_many(self, urls) -> None:
-        for u in urls:
-            for b in _bloom_hashes(u, self.n_hashes, self.n_bits):
-                self.bits[b >> 3] |= 1 << (b & 7)
+        if len(urls) == 0:
+            return
+        h1, h2 = _hash2(urls)
+        m = np.uint64(self.n_bits)
+        for i in range(self.n_hashes):
+            pos = (h1 + np.uint64(i) * h2) % m  # uint64 add wraps mod 2^64 — fine, deterministic
+            byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+            bit = np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
+            np.bitwise_or.at(self.bits, byte_idx, bit)
+
+    def might_contain_many(self, urls) -> np.ndarray:
+        n = len(urls)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        h1, h2 = _hash2(urls)
+        m = np.uint64(self.n_bits)
+        out = np.ones(n, dtype=bool)
+        for i in range(self.n_hashes):
+            pos = (h1 + np.uint64(i) * h2) % m
+            byte = self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+            out &= (np.right_shift(byte, (pos & np.uint64(7)).astype(np.uint8)) & 1).astype(bool)
+            if not out.any():
+                break
+        return out
 
     def might_contain(self, url: str) -> bool:
-        return all(
-            self.bits[b >> 3] & (1 << (b & 7))
-            for b in _bloom_hashes(url, self.n_hashes, self.n_bits)
-        )
+        return bool(self.might_contain_many([url])[0])
 
     def to_bytes(self) -> bytes:
         return self.bits.tobytes()

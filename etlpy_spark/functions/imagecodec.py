@@ -31,19 +31,23 @@ def _h64(s: str, seed: int) -> int:
     return int.from_bytes(hashlib.md5(f"{seed}|{s}".encode()).digest()[:8], "big")
 
 
-def image_spec(image_id: str, seed: int = 42) -> tuple[int, int, str]:
-    """(w, h, fmt) for an image id — pure function of (id, seed)."""
+def image_spec(image_id: str, seed: int = 42, dim_scale: int = 1) -> tuple[int, int, str]:
+    """(w, h, fmt) for an image id — pure function of (id, seed, dim_scale).
+
+    ``dim_scale`` multiplies both dimensions (1 → ≤128px sandbox fixtures;
+    4 → ≤512px, the realistic web-image size the scaling benchmark uses so
+    decode+phash carry real CPU weight)."""
     h = _h64("spec|" + image_id, seed)
     sizes = (32, 64, 128)
-    w = sizes[h % 3]
-    hh = sizes[(h >> 8) % 3]
+    w = sizes[h % 3] * dim_scale
+    hh = sizes[(h >> 8) % 3] * dim_scale
     fmt = FORMATS[(h >> 16) % 3]
     return w, hh, fmt
 
 
-def render_pixels(image_id: str, seed: int = 42) -> np.ndarray:
+def render_pixels(image_id: str, seed: int = 42, dim_scale: int = 1) -> np.ndarray:
     """Deterministic gradient + per-id sine pattern, uint8 HxWx3."""
-    w, h, _ = image_spec(image_id, seed)
+    w, h, _ = image_spec(image_id, seed, dim_scale)
     ph = _h64("px|" + image_id, seed)
     y, x = np.mgrid[0:h, 0:w]
     base = (x * 3 + y * 5 + (ph % 251)) % 256
@@ -174,9 +178,9 @@ def sniff_format(data: bytes) -> str:
     return "unknown"
 
 
-def image_bytes(image_id: str, seed: int = 42) -> bytes:
-    _, _, fmt = image_spec(image_id, seed)
-    return encode(render_pixels(image_id, seed), fmt)
+def image_bytes(image_id: str, seed: int = 42, dim_scale: int = 1) -> bytes:
+    _, _, fmt = image_spec(image_id, seed, dim_scale)
+    return encode(render_pixels(image_id, seed, dim_scale), fmt)
 
 
 # ---------------------------------------------------------------------------

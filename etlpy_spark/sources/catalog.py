@@ -99,6 +99,21 @@ class SnapshotTable:
     def append(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(df, "append", meta)
 
+    def append_counted(self, df: DataFrame, meta: dict | None = None) -> tuple[int, int]:
+        """Append and return (version, rows written). The count comes from
+        the freshly written parquet footers (metadata-only scan) — cheaper
+        than caching the input just to count it (matters when rows carry
+        image bytes)."""
+        v = self._commit(df, "append", meta)
+        data_dir = self.snapshot(v).data_dirs[-1]
+        import pyarrow.parquet as pq
+
+        n = 0
+        for f in os.listdir(data_dir):
+            if f.endswith(".parquet"):
+                n += pq.read_metadata(os.path.join(data_dir, f)).num_rows
+        return v, n
+
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(df, "overwrite", meta)
 

@@ -83,6 +83,23 @@ def test_resume_from_checkpoint(spark, oracle):
         shutil.rmtree(wd, ignore_errors=True)
 
 
+def test_ranged_rank_path_parity(spark, oracle):
+    """rank_threshold=0 forces the scalable two-phase range-partitioned rank
+    (the 10^10-row form of the global sequence) for fetch_seq AND
+    discovered_seq — the crawl order must still match the serial oracle
+    bit-for-bit (frontier.global_rank)."""
+    wd = tempfile.mkdtemp(prefix="crawl_ranked_")
+    try:
+        cr = SparkCrawler(
+            spark, wd, CrawlConfig(web=WEB, rank_threshold=0)
+        )
+        cr.run(seed_urls(WEB, n_per_host=2), max_rounds=ROUNDS)
+        assert cr.crawl_log_list() == oracle.crawl_log
+        assert cr.seen_urls_list() == set(oracle.seen)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 def test_rollback_time_travel(spark):
     """Snapshot tables support time travel: after 3 rounds, the round-1
     frontier is still readable (per-round lineage, north_rule)."""
