@@ -47,12 +47,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from etlpy_spark import entry_queries, entry_queries_ml
+    from etlpy_spark import entry_queries, entry_queries_ext, entry_queries_ml
 
-    return {**entry_queries.queries(), **entry_queries_ml.queries()}
+    return {
+        **entry_queries.queries(),
+        **entry_queries_ml.queries(),
+        **entry_queries_ext.queries(),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    from etlpy_spark import entry_queries, entry_queries_ml
+    from etlpy_spark import entry_queries, entry_queries_ext, entry_queries_ml
 
-    return {**entry_queries.oracle_sql(), **entry_queries_ml.oracle_sql()}
+    return {
+        **entry_queries.oracle_sql(),
+        **entry_queries_ml.oracle_sql(),
+        **entry_queries_ext.oracle_sql(),
+    }

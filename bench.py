@@ -35,14 +35,14 @@ def bench_crawl(spark) -> dict:
     from etlpy_spark.sources.synthetic_web import WebConfig, seed_urls
 
     web = WebConfig(
-        n_hosts=int(48 * CRAWL_SCALE) or 4,
+        n_hosts=int(300 * CRAWL_SCALE) or 4,
         n_cats=6,
         pages_per_cat=400,
-        politeness_budget=16,
+        politeness_budget=24,
         max_links=4,
         max_images=2,
         skew_host0=8,
-        image_universe=200_000,
+        image_universe=500_000,
     )
     seeds = seed_urls(web, n_per_host=6)
     wd = tempfile.mkdtemp(prefix="bench_crawl_")

@@ -141,7 +141,9 @@ class SparkCrawler:
         self.workdir = workdir
         self.frontier = SnapshotTable(spark, os.path.join(workdir, "frontier"))
         self.seen = SnapshotTable(spark, os.path.join(workdir, "seen"))
-        self.images = SnapshotTable(spark, os.path.join(workdir, "images"))
+        self.images = SnapshotTable(
+            spark, os.path.join(workdir, "images"), compression="uncompressed"
+        )
         self.log = SnapshotTable(spark, os.path.join(workdir, "crawl_log"))
         self.metrics = SnapshotTable(spark, os.path.join(workdir, "metrics"))
         self._blooms: dict[int, BloomFilter] | None = None
@@ -190,23 +192,29 @@ class SparkCrawler:
         if self.initialized():
             return
         spark = self.spark
-        raw = spark.createDataFrame(
-            [(i, s) for i, s in enumerate(seeds)], "seed_seq long, raw string"
-        ).repartition(self.cfg.n_buckets)
+        seed_pdf = pd.DataFrame(
+            {"seed_seq": pd.array(range(len(seeds)), dtype="int64"), "raw": seeds}
+        )
+        # Arrow path: a million-seed list lands in executors in ~a second;
+        # the row-by-row createDataFrame pickle path is 10x slower
+        raw = spark.createDataFrame(seed_pdf).repartition(self.cfg.n_buckets)
         canon = self._canon_udf()
         df = raw.select("seed_seq", canon(F.col("raw")).alias("c")).select(
             "seed_seq", "c.url", "c.host", "c.priority"
         ).filter(F.col("url").isNotNull())
-        w = Window.partitionBy("url").orderBy("seed_seq")
-        first = df.withColumn("__rk__", F.row_number().over(w)).filter(F.col("__rk__") == 1)
-        ordered = first.withColumn(
-            "discovered_seq", F.row_number().over(Window.orderBy("seed_seq")).cast("long") - 1
+        # keep-first per url (min seed_seq) via map-side-combinable agg;
+        # dispatch order = seed order (reference distributed.py:60-66)
+        first = df.groupBy("url").agg(
+            F.min(F.struct("seed_seq", "host", "priority")).alias("__f__")
+        ).select("url", "__f__.*")
+        ranked, n = global_rank(
+            first, ["seed_seq"], "discovered_seq", 0, self.cfg.n_buckets,
+            small=len(seeds) <= self.cfg.rank_threshold,
         )
-        frontier = ordered.select(
+        frontier = ranked.select(
             "url", "host", "priority", "discovered_seq",
             F.lit(0).alias("round"), F.lit(-1).alias("lineage_part"),
         )
-        n = frontier.count()
         self.frontier.overwrite(
             frontier, meta={"round": 0, "next_fetch_seq": 0, "next_discovered_seq": n}
         )
@@ -358,10 +366,14 @@ class SparkCrawler:
             .select("fetch_seq", "pos", "part", "c.url", "c.host", "c.priority")
             .filter(F.col("url").isNotNull())
         )
-        wdup = Window.partitionBy("url").orderBy("fetch_seq", "pos")
-        links = links.withColumn("__rk__", F.row_number().over(wdup)).filter(
-            F.col("__rk__") == 1
-        ).drop("__rk__")
+        # keep-first by (fetch_seq, pos): min over a struct ordered by those
+        # fields — a map-side-combinable aggregation, NOT a window sort
+        # (shuffle carries one row per unique url, not every occurrence)
+        links = (
+            links.groupBy("url")
+            .agg(F.min(F.struct("fetch_seq", "pos", "part", "host", "priority")).alias("__f__"))
+            .select("url", "__f__.*")
+        )
 
         if cfg.use_bloom and self.seen.current_version() is not None:
             blooms = self._load_blooms()
@@ -421,13 +433,17 @@ class SparkCrawler:
         _t = _tlog("links_canon_dedup_rank", _t)
 
         # -- image path: first reference wins, fetch+decode+phash, MERGE
-        refs = extracted.filter(F.col("kind") == "img").select(
-            F.col("value").alias("image_id"), "caption", "fetch_seq", "pos", "part"
+        # (keep-first via min_by — map-side combine, no window sort)
+        refs = (
+            extracted.filter(F.col("kind") == "img")
+            .groupBy(F.col("value").alias("image_id"))
+            .agg(
+                F.min_by(
+                    F.struct("caption", "part"), F.struct("fetch_seq", "pos")
+                ).alias("__f__")
+            )
+            .select("image_id", "__f__.caption", "__f__.part")
         )
-        wimg = Window.partitionBy("image_id").orderBy("fetch_seq", "pos")
-        refs = refs.withColumn("__rk__", F.row_number().over(wimg)).filter(
-            F.col("__rk__") == 1
-        ).drop("__rk__")
         if self.images.current_version() is not None:
             refs = refs.join(self.images.read().select("image_id"), on="image_id", how="left_anti")
 
@@ -435,17 +451,23 @@ class SparkCrawler:
             from etlpy_spark.functions.imagecodec import decode, image_spec, phash64
             from etlpy_spark.sources.synthetic_web import fetch_image
 
+            CHUNK = 256  # bounds per-task memory: image BYTES never
+            # accumulate beyond ~CHUNK rows per yielded frame (a whole
+            # input batch of 280 KB images in one frame OOMs at high
+            # task concurrency — memory must not scale with parallelism)
             for pdf in batches:
-                rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "first_round", "lineage_part")}
-                for iid, cap, part in zip(pdf["image_id"], pdf["caption"], pdf["part"]):
-                    data = fetch_image(iid, web)
-                    px = decode(data)
-                    w_, h_, fmt = image_spec(iid, web.seed, web.dim_scale)
-                    rows["image_id"].append(iid); rows["bytes"].append(data)
-                    rows["w"].append(w_); rows["h"].append(h_); rows["fmt"].append(fmt)
-                    rows["caption"].append(cap); rows["phash"].append(phash64(px))
-                    rows["first_round"].append(rnd); rows["lineage_part"].append(part)
-                yield pd.DataFrame(rows)
+                for lo in range(0, len(pdf), CHUNK):
+                    sub = pdf.iloc[lo : lo + CHUNK]
+                    rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "first_round", "lineage_part")}
+                    for iid, cap, part in zip(sub["image_id"], sub["caption"], sub["part"]):
+                        data = fetch_image(iid, web)
+                        px = decode(data)
+                        w_, h_, fmt = image_spec(iid, web.seed, web.dim_scale, web.force_fmt)
+                        rows["image_id"].append(iid); rows["bytes"].append(data)
+                        rows["w"].append(w_); rows["h"].append(h_); rows["fmt"].append(fmt)
+                        rows["caption"].append(cap); rows["phash"].append(phash64(px))
+                        rows["first_round"].append(rnd); rows["lineage_part"].append(part)
+                    yield pd.DataFrame(rows)
 
         # refs are already deduped keep-first AND anti-joined against the
         # current image table, so every img_row is a brand-new image_id:

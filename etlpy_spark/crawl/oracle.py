@@ -112,7 +112,7 @@ def crawl_oracle(seeds: list[str], cfg: WebConfig, max_rounds: int = 3) -> Oracl
                     continue
                 data = fetch_image(image_id, cfg)
                 px = decode(data)
-                w, h, fmt = image_spec(image_id, cfg.seed, cfg.dim_scale)
+                w, h, fmt = image_spec(image_id, cfg.seed, cfg.dim_scale, cfg.force_fmt)
                 res.images[image_id] = {
                     "image_id": image_id,
                     "bytes": data,

@@ -1,0 +1,493 @@
+"""Driver-contract coverage extension: sources, sinks, sub-pipelines,
+fetch join, spider-layer helpers, and the crawl engine itself.
+
+Every oracle here is either plain SQL over the driver's parquet tables or
+a VALUES list computed at oracle-build time from the same deterministic
+pure-Python functions the Spark side uses (synthetic web / serial crawl
+oracle) — so the driver's hash compare is a real differential test.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etlpy_spark.plans.compiler import CompileContext, compile_stages, finalize
+from etlpy_spark.plans.spec import CrawlerSpec, CrawlItem, EtlModule, ProjectSpec, Stage
+
+# --------------------------------------------------------------------------
+# shared fixtures (deterministic; used by BOTH queries and oracle strings)
+
+_CRAWLER_WEB = dict(n_hosts=6, n_cats=3, pages_per_cat=12, politeness_budget=2, skew_host0=3)
+_CRAWL_ROUNDS = 3
+
+_PARA_ROWS = [("h1", "Accept: text/html\nHost: example.com"), ("h2", "a: 1\nb: 2")]
+
+_PRASE_BASE = "http://site.example/list?cat=shoes&page=7"
+_PRASE_TPL = "http://site.example/view/[cat]/p[page]"
+
+
+def _prase_url(base: str, template: str) -> str:
+    """Reference spider.py:109-113 PraseURL: substitute [param] from the
+    base URL's query string into the template."""
+    query = base.split("?", 1)[1] if "?" in base else ""
+    params = dict(kv.split("=", 1) for kv in query.split("&") if "=" in kv)
+    out = template
+    for k, v in params.items():
+        out = out.replace(f"[{k}]", v)
+    return out
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ctx(spark: SparkSession, sf_dir: str) -> CompileContext:
+    return CompileContext(spark=spark, parallelism=8, files_root=sf_dir)
+
+
+def _pipe(spark, sf_dir, stages, ordered=False, ctx=None) -> DataFrame:
+    ctx = ctx or _ctx(spark, sf_dir)
+    return finalize(compile_stages(ctx, stages), ordered=ordered)
+
+
+def _orded(df: DataFrame, col: str) -> DataFrame:
+    from etlpy_spark.plans.compiler import ORD
+
+    return df.withColumn(ORD, F.array(F.col(col).cast("long")))
+
+
+def _run_sinks(ctx: CompileContext, df: DataFrame) -> None:
+    for _, sink in ctx.sinks:
+        sink(df)
+    ctx.sinks.clear()
+
+
+# --------------------------------------------------------------------------
+# simple column ops / markers
+
+
+def q_add_new_tf(spark, sf_dir):
+    df = _orded(_t(spark, sf_dir, "region"), "r_regionkey")
+    out = compile_stages(_ctx(spark, sf_dir), [Stage("AddNewTF", {"NewValue": "const", "NewColumn": "tag"})], df)
+    return finalize(out).select("r_regionkey", "tag")
+
+
+def q_num_range_ft(spark, sf_dir):
+    df = _orded(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+    st = Stage("NumRangeFT", {"Column": "l_quantity", "Min": 5, "Max": 15})
+    return finalize(compile_stages(_ctx(spark, sf_dir), [st], df)).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def q_repeat_tf(spark, sf_dir):
+    df = _orded(_t(spark, sf_dir, "nation"), "n_nationkey")
+    st = Stage("RepeatTF", {"RepeatCount": 3})
+    return finalize(compile_stages(_ctx(spark, sf_dir), [st], df)).select("n_nationkey")
+
+
+def q_markers_identity(spark, sf_dir):
+    """ToListTF (map/reduce boundary = repartition), DelayTF (politeness
+    marker), TransTF/NlpTF (reference stubs) are row-preserving."""
+    df = _orded(_t(spark, sf_dir, "orders"), "o_orderkey")
+    stages = [Stage("ToListTF", {}), Stage("DelayTF", {}), Stage("TransTF", {}), Stage("NlpTF", {})]
+    return finalize(compile_stages(_ctx(spark, sf_dir), stages, df)).select("o_orderkey")
+
+
+def q_file_exist_ft(spark, sf_dir):
+    df = spark.createDataFrame(
+        [(1, f"{sf_dir}/region.parquet"), (2, f"{sf_dir}/no_such_table.parquet")],
+        "id long, path string",
+    )
+    df = _orded(df, "id")
+    st = Stage("FileExistFT", {"Column": "path", "NewColumn": "does_exist"})
+    return finalize(compile_stages(_ctx(spark, sf_dir), [st], df)).select("id", "does_exist")
+
+
+# --------------------------------------------------------------------------
+# sources / sinks
+
+
+def q_table_ex_ge_roundtrip(spark, sf_dir):
+    """TableEX (sink to named in-memory table) then TableGE (read it back)."""
+    ctx = _ctx(spark, sf_dir)
+    ctx.execute = True
+    df = _orded(_t(spark, sf_dir, "region"), "r_regionkey")
+    compile_stages(ctx, [Stage("TableEX", {"Table": "side_region"})], df)
+    out = compile_stages(ctx, [Stage("TableGE", {"Table": "side_region", "MergeType": "Append"})], None)
+    return finalize(out).select("r_regionkey", "r_name")
+
+
+def q_dbge_csv(spark, sf_dir):
+    wd = tempfile.mkdtemp(prefix="dbge_csv_")
+    with open(os.path.join(wd, "items.csv"), "w") as f:
+        f.write("sku,qty\nA1,3\nB2,5\nC3,7\n")
+    ctx = CompileContext(spark=spark, parallelism=4, files_root=wd)
+    out = compile_stages(ctx, [Stage("DBGE", {"TableName": "items.csv", "MergeType": "Append"})], None)
+    return finalize(out).select("sku", "qty")
+
+
+def q_db_ex_roundtrip(spark, sf_dir):
+    """DbEX json sink, then read the written file back."""
+    wd = tempfile.mkdtemp(prefix="dbex_json_")
+    ctx = CompileContext(spark=spark, parallelism=4, files_root=wd)
+    ctx.execute = True
+    df = _orded(_t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5), "n_nationkey")
+    out = compile_stages(ctx, [Stage("DbEX", {"TableName": "nat.json"})], df)
+    _run_sinks(ctx, finalize(out))
+    return spark.read.json(os.path.join(wd, "nat.json")).select("n_nationkey", "n_name")
+
+
+def q_folder_ge(spark, sf_dir):
+    st = Stage("FolderGE", {"Folder": sf_dir, "Column": "path", "MergeType": "Append"})
+    out = finalize(compile_stages(_ctx(spark, sf_dir), [st], None))
+    return out.select(F.regexp_extract("path", r"([^/]+)$", 1).alias("fname"))
+
+
+def q_write_read_file_text(spark, sf_dir):
+    """WriteFileTextTF sink writes lines; read them back; ReadFileTextTF
+    reads a driver-side file per path row."""
+    wd = tempfile.mkdtemp(prefix="wtext_")
+    ctx = CompileContext(spark=spark, parallelism=1, files_root=wd)
+    ctx.execute = True
+    stages = [
+        Stage("TextGE", {"Content": "hello\nworld\netl", "Column": "line", "MergeType": "Append"}),
+        Stage("WriteFileTextTF", {"Column": "line", "TableName": "out_text"}),
+    ]
+    out = compile_stages(ctx, stages, None)
+    _run_sinks(ctx, out)
+    written = spark.read.text(os.path.join(wd, "out_text")).select(F.col("value").alias("line"))
+
+    side = os.path.join(wd, "side.txt")
+    with open(side, "w") as f:
+        f.write("file-content")
+    paths = _orded(spark.createDataFrame([(1, side), (2, side + ".missing")], "id long, path string"), "id")
+    rd = Stage("ReadFileTextTF", {"Column": "path", "NewColumn": "content"})
+    # written lines plus one row per successfully-read driver-side file
+    reads = finalize(compile_stages(ctx, [rd], paths)).select(
+        F.col("content").alias("line")
+    ).where(F.col("content").isNotNull())
+    return written.unionByName(reads)
+
+
+def q_save_file_ex(spark, sf_dir):
+    """SaveFileEX: batch byte-fetch per URL + [col]-templated save path,
+    appended to a parquet dir (scale form of reference etl.py:697-708)."""
+    wd = tempfile.mkdtemp(prefix="savefile_")
+    ctx = CompileContext(spark=spark, parallelism=2, files_root=wd)
+    ctx.execute = True
+    ctx.byte_fetcher = lambda urls: [f"data|{u}".encode() for u in urls]
+    df = spark.createDataFrame(
+        [(1, "http://h.example/a.jpg", "a"), (2, "http://h.example/b.jpg", "b")],
+        "id long, img_url string, name string",
+    )
+    df = _orded(df, "id")
+    st = Stage("SaveFileEX", {"Column": "img_url", "SavePath": "imgs/[name].jpg"})
+    out = compile_stages(ctx, [st], df)
+    _run_sinks(ctx, finalize(out))
+    saved = spark.read.parquet(os.path.join(wd, "saved_files"))
+    return saved.select("url", "save_path", F.length("bytes").alias("byte_len"))
+
+
+# --------------------------------------------------------------------------
+# sub-pipelines / fetch join
+
+
+def q_etl_tf_sub(spark, sf_dir):
+    proj = ProjectSpec()
+    proj.modules["doubler"] = EtlModule(
+        name="doubler",
+        stages=[Stage("PythonTF", {"Column": "n", "Script": "n+n", "NewColumn": "d"})],
+    )
+    proj.modules["main"] = EtlModule(
+        name="main",
+        stages=[
+            Stage("RangeGE", {"MinValue": 1, "MaxValue": 6, "Interval": 1, "Column": "n", "MergeType": "Append"}),
+            Stage("EtlTF", {"ETLSelector": "doubler", "NewColumn": "n"}),
+        ],
+    )
+    ctx = CompileContext(spark=spark, project=proj, parallelism=4, files_root=sf_dir)
+    from etlpy_spark.plans.compiler import compile_module
+
+    return finalize(compile_module(ctx, "main"))
+
+
+def q_etl_ex_count(spark, sf_dir):
+    proj = ProjectSpec()
+    proj.modules["evens"] = EtlModule(
+        name="evens",
+        stages=[Stage("PythonTF", {"Column": "n", "Script": "n*2", "NewColumn": "even"})],
+    )
+    proj.modules["main"] = EtlModule(
+        name="main",
+        stages=[
+            Stage("RangeGE", {"MinValue": 1, "MaxValue": 5, "Interval": 1, "Column": "n", "MergeType": "Append"}),
+            Stage("EtlEX", {"ETLSelector": "evens"}),
+        ],
+    )
+    ctx = CompileContext(spark=spark, project=proj, parallelism=4, files_root=sf_dir)
+    ctx.execute = True
+    from etlpy_spark.plans.compiler import compile_module
+
+    out = finalize(compile_module(ctx, "main"))
+    _run_sinks(ctx, out)
+    counts = getattr(ctx, "metrics", [])
+    marker = spark.createDataFrame([(s, int(n)) for s, n in counts], "sub string, n_rows long")
+    return marker
+
+
+def _crawler_project() -> tuple[ProjectSpec, list[str]]:
+    proj = ProjectSpec()
+    proj.modules["linkcrawler"] = CrawlerSpec(
+        name="linkcrawler",
+        is_multi_data="List",
+        crawl_items=[CrawlItem(name="href", xpath="//a/@href")],
+    )
+    urls = ["http://host1.example/cat1/p3", "http://host2.example/cat2/p5"]
+    return proj, urls
+
+
+def q_crawler_tf_list(spark, sf_dir):
+    """CrawlerTF fetch join in List mode over the deterministic synthetic
+    web: per URL, fetch page HTML and extract every link href."""
+    from etlpy_spark.sources.synthetic_web import WebConfig, crawler_fetcher
+
+    proj, urls = _crawler_project()
+    ctx = CompileContext(spark=spark, project=proj, parallelism=2, files_root=sf_dir)
+    ctx.fetcher = crawler_fetcher(WebConfig())
+    content = "\n".join(urls)
+    stages = [
+        Stage("TextGE", {"Content": content, "Column": "page_url", "MergeType": "Append"}),
+        Stage("CrawlerTF", {"Column": "page_url", "CrawlerSelector": "linkcrawler",
+                            "NewColumn": "page_url", "IsMultiYield": True}),
+    ]
+    return _pipe(spark, sf_dir, stages, ctx=ctx).select("page_url", "href")
+
+
+# --------------------------------------------------------------------------
+# spider-layer helpers
+
+
+def q_para2dict(spark, sf_dir):
+    """Para2Dict (reference spider.py:263-273): 'k: v' lines → map; Spark
+    str_to_map + explode."""
+    df = spark.createDataFrame(_PARA_ROWS, "id string, headers string")
+    m = F.str_to_map(F.col("headers"), F.lit("\n"), F.lit(": "))
+    return df.select("id", F.explode(m).alias("k", "v"))
+
+
+def q_prase_url(spark, sf_dir):
+    """HTTPItem.PraseURL (reference spider.py:109-113): substitute [param]
+    placeholders from the base URL's query string — pure Column exprs."""
+    df = spark.createDataFrame([(1, _PRASE_BASE)], "id long, base string")
+    params = F.str_to_map(F.substring_index(F.col("base"), "?", -1), F.lit("&"), F.lit("="))
+    out = F.lit(_PRASE_TPL)
+    for key in ("cat", "page"):
+        out = F.replace(out, F.lit(f"[{key}]"), F.element_at(params, key))
+    return df.select("id", out.alias("url"))
+
+
+# --------------------------------------------------------------------------
+# crawl engine (driver-visible parity vs the serial oracle)
+
+_CRAWL_MEMO: dict[str, str] = {}
+
+
+def _crawl_workdir(spark) -> str:
+    key = "crawl_small"
+    wd = _CRAWL_MEMO.get(key)
+    if wd and os.path.exists(os.path.join(wd, "crawl_log", "_current")):
+        return wd
+    from etlpy_spark.crawl.frontier import CrawlConfig, SparkCrawler
+    from etlpy_spark.sources.synthetic_web import WebConfig, seed_urls
+
+    web = WebConfig(**_CRAWLER_WEB)
+    wd = tempfile.mkdtemp(prefix="entry_crawl_")
+    cr = SparkCrawler(spark, wd, CrawlConfig(web=web))
+    cr.run(seed_urls(web, n_per_host=2), max_rounds=_CRAWL_ROUNDS)
+    _CRAWL_MEMO[key] = wd
+    return wd
+
+
+def q_crawl_log(spark, sf_dir):
+    """The distributed crawl's fetch order — compared against a VALUES list
+    computed by the serial reference-semantics oracle (north_rule parity,
+    visible to the driver's hash compare)."""
+    from etlpy_spark.sources.catalog import SnapshotTable
+
+    wd = _crawl_workdir(spark)
+    log = SnapshotTable(spark, os.path.join(wd, "crawl_log")).read()
+    return log.select("fetch_seq", "url")
+
+
+def q_crawl_seen(spark, sf_dir):
+    from etlpy_spark.sources.catalog import SnapshotTable
+
+    wd = _crawl_workdir(spark)
+    seen = SnapshotTable(spark, os.path.join(wd, "seen")).read()
+    return seen.select("url")
+
+
+def q_crawl_images_meta(spark, sf_dir):
+    """Image rows (id, dims, fmt, caption, phash) from the crawl vs the
+    serial oracle's — pixel bytes themselves are checked in pytest
+    (PSNR/equality), metadata+phash here."""
+    from etlpy_spark.sources.catalog import SnapshotTable
+
+    wd = _crawl_workdir(spark)
+    imgs = SnapshotTable(spark, os.path.join(wd, "images")).read()
+    return imgs.select("image_id", "w", "h", "fmt", "caption", "phash")
+
+
+def q_bfs_ge(spark, sf_dir):
+    """BfsGE surfaces a completed crawl's frontier table to pipelines."""
+    from etlpy_spark.sources.catalog import SnapshotTable
+
+    wd = _crawl_workdir(spark)
+    ctx = _ctx(spark, sf_dir)
+    ctx.tables["frontier"] = SnapshotTable(spark, os.path.join(wd, "crawl_log")).read()
+    st = Stage("BfsGE", {"Table": "frontier", "MergeType": "Append"})
+    out = finalize(compile_stages(ctx, [st], None))
+    return out.groupBy("round").agg(F.count(F.lit(1)).alias("fetched"))
+
+
+# --------------------------------------------------------------------------
+# oracle builders (VALUES computed from the same deterministic functions)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _values(rows: list[tuple], cols: str) -> str:
+    body = ",".join(
+        "(" + ",".join(
+            "NULL" if v is None else (_sql_quote(v) if isinstance(v, str) else str(v))
+            for v in r
+        ) + ")"
+        for r in rows
+    )
+    return f"SELECT * FROM (VALUES {body}) AS t({cols})"
+
+
+def _crawler_tf_oracle() -> str:
+    from etlpy_spark.sources.synthetic_web import WebConfig, page
+
+    _, urls = _crawler_project()
+    web = WebConfig()
+    rows = [(u, link) for u in urls for link in page(u, web)["links"]]
+    return _values(rows, "page_url, href")
+
+
+def _oracle_crawl():
+    from etlpy_spark.crawl.oracle import crawl_oracle
+    from etlpy_spark.sources.synthetic_web import WebConfig, seed_urls
+
+    web = WebConfig(**_CRAWLER_WEB)
+    return crawl_oracle(seed_urls(web, n_per_host=2), web, max_rounds=_CRAWL_ROUNDS)
+
+
+def _crawl_log_oracle() -> str:
+    res = _oracle_crawl()
+    return _values([(int(seq), url) for seq, url in res.crawl_log], "fetch_seq, url")
+
+
+def _crawl_seen_oracle() -> str:
+    res = _oracle_crawl()
+    return _values([(u,) for u in res.seen], "url")
+
+
+def _crawl_images_oracle() -> str:
+    res = _oracle_crawl()
+    rows = [
+        (i["image_id"], i["w"], i["h"], i["fmt"], i["caption"], i["phash"])
+        for i in res.images.values()
+    ]
+    return _values(rows, "image_id, w, h, fmt, caption, phash")
+
+
+def _para2dict_oracle() -> str:
+    rows = []
+    for rid, text in _PARA_ROWS:
+        for kv in text.split("\n"):
+            k, v = kv.split(": ", 1)
+            rows.append((rid, k, v))
+    return _values(rows, "id, k, v")
+
+
+# --------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "add_new_tf": q_add_new_tf,
+        "num_range_ft": q_num_range_ft,
+        "repeat_tf": q_repeat_tf,
+        "markers_identity": q_markers_identity,
+        "file_exist_ft": q_file_exist_ft,
+        "table_ex_ge_roundtrip": q_table_ex_ge_roundtrip,
+        "dbge_csv": q_dbge_csv,
+        "db_ex_roundtrip": q_db_ex_roundtrip,
+        "folder_ge": q_folder_ge,
+        "write_read_file_text": q_write_read_file_text,
+        "save_file_ex": q_save_file_ex,
+        "etl_tf_sub": q_etl_tf_sub,
+        "etl_ex_count": q_etl_ex_count,
+        "crawler_tf_list": q_crawler_tf_list,
+        "para2dict": q_para2dict,
+        "prase_url": q_prase_url,
+        "crawl_log": q_crawl_log,
+        "crawl_seen": q_crawl_seen,
+        "crawl_images_meta": q_crawl_images_meta,
+        "bfs_ge": q_bfs_ge,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    tbl = _values  # brevity
+    return {
+        "add_new_tf": "SELECT r_regionkey, 'const' AS tag FROM region",
+        "num_range_ft": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity BETWEEN 5 AND 15
+        """,
+        "repeat_tf": """
+            SELECT n_nationkey FROM nation, generate_series(1, 3)
+        """,
+        "markers_identity": "SELECT o_orderkey FROM orders",
+        "file_exist_ft": tbl([(1, "True"), (2, "False")], "id, does_exist"),
+        "table_ex_ge_roundtrip": "SELECT r_regionkey, r_name FROM region",
+        "dbge_csv": tbl([("A1", "3"), ("B2", "5"), ("C3", "7")], "sku, qty"),
+        "db_ex_roundtrip": "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5",
+        "folder_ge": tbl(
+            [(f"{n}.parquet",) for n in sorted(
+                "region nation customer supplier part orders lineitem events documents embeddings".split()
+            )],
+            "fname",
+        ),
+        "write_read_file_text": tbl(
+            [("hello",), ("world",), ("etl",), ("file-content",)], "line"
+        ),
+        "save_file_ex": tbl(
+            [
+                ("http://h.example/a.jpg", "imgs/a.jpg", len(b"data|http://h.example/a.jpg")),
+                ("http://h.example/b.jpg", "imgs/b.jpg", len(b"data|http://h.example/b.jpg")),
+            ],
+            "url, save_path, byte_len",
+        ),
+        "etl_tf_sub": "SELECT i AS n, i + i AS d FROM generate_series(1, 5) s(i)",
+        "etl_ex_count": tbl([("evens", 4)], "sub, n_rows"),
+        "crawler_tf_list": _crawler_tf_oracle(),
+        "para2dict": _para2dict_oracle(),
+        "prase_url": tbl([(1, _prase_url(_PRASE_BASE, _PRASE_TPL))], "id, url"),
+        "crawl_log": _crawl_log_oracle(),
+        "crawl_seen": _crawl_seen_oracle(),
+        "crawl_images_meta": _crawl_images_oracle(),
+        # bfs_ge: rows-only (depends on crawl rounds; covered by crawl_log)
+    }

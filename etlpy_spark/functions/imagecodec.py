@@ -31,27 +31,41 @@ def _h64(s: str, seed: int) -> int:
     return int.from_bytes(hashlib.md5(f"{seed}|{s}".encode()).digest()[:8], "big")
 
 
-def image_spec(image_id: str, seed: int = 42, dim_scale: int = 1) -> tuple[int, int, str]:
+def image_spec(
+    image_id: str, seed: int = 42, dim_scale: int = 1, force_fmt: str = ""
+) -> tuple[int, int, str]:
     """(w, h, fmt) for an image id — pure function of (id, seed, dim_scale).
 
     ``dim_scale`` multiplies both dimensions (1 → ≤128px sandbox fixtures;
     4 → ≤512px, the realistic web-image size the scaling benchmark uses so
-    decode+phash carry real CPU weight)."""
+    decode+phash carry real CPU weight). ``force_fmt`` pins the container
+    format (the scaling benchmark uses 'png' so codec work — deflate /
+    inflate / unfilter — dominates, the compute-bound shape of a real
+    image crawl)."""
     h = _h64("spec|" + image_id, seed)
     sizes = (32, 64, 128)
     w = sizes[h % 3] * dim_scale
     hh = sizes[(h >> 8) % 3] * dim_scale
-    fmt = FORMATS[(h >> 16) % 3]
+    fmt = force_fmt or FORMATS[(h >> 16) % 3]
     return w, hh, fmt
 
 
 def render_pixels(image_id: str, seed: int = 42, dim_scale: int = 1) -> np.ndarray:
-    """Deterministic gradient + per-id sine pattern, uint8 HxWx3."""
+    """Deterministic gradient + per-id sine pattern, uint8 HxWx3.
+
+    The sine field is separable (sin(f(x))·cos(g(y))), so it is built from
+    two 1-D vectors + one outer product — bit-identical values to the naive
+    2-D formula with a fraction of the memory traffic (this runs inside the
+    fetch UDF for every crawled image; DRAM bandwidth, not FLOPs, is the
+    multi-core ceiling)."""
     w, h, _ = image_spec(image_id, seed, dim_scale)
     ph = _h64("px|" + image_id, seed)
-    y, x = np.mgrid[0:h, 0:w]
-    base = (x * 3 + y * 5 + (ph % 251)) % 256
-    wave = (127 * (1 + np.sin((x + (ph >> 8) % 97) / 7.0) * np.cos((y + (ph >> 16) % 89) / 5.0)))
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    base = (np.add.outer(ys * 5, xs * 3) + (ph % 251)) % 256
+    sin_x = np.sin((xs + (ph >> 8) % 97) / 7.0)
+    cos_y = np.cos((ys + (ph >> 16) % 89) / 5.0)
+    wave = 127 * (1 + np.outer(cos_y, sin_x))
     px = np.empty((h, w, 3), dtype=np.uint8)
     px[:, :, 0] = base.astype(np.uint8)
     px[:, :, 1] = wave.astype(np.uint8)
@@ -178,8 +192,8 @@ def sniff_format(data: bytes) -> str:
     return "unknown"
 
 
-def image_bytes(image_id: str, seed: int = 42, dim_scale: int = 1) -> bytes:
-    _, _, fmt = image_spec(image_id, seed, dim_scale)
+def image_bytes(image_id: str, seed: int = 42, dim_scale: int = 1, force_fmt: str = "") -> bytes:
+    _, _, fmt = image_spec(image_id, seed, dim_scale, force_fmt)
     return encode(render_pixels(image_id, seed, dim_scale), fmt)
 
 
@@ -188,11 +202,14 @@ def image_bytes(image_id: str, seed: int = 42, dim_scale: int = 1) -> bytes:
 
 
 def _resize_gray(px: np.ndarray, size: int = 32) -> np.ndarray:
-    gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    h, w = gray.shape
+    # subsample FIRST, then grayscale the 32x32 sample — bit-identical to
+    # gray-then-subsample (same pixels, same dot product) at ~1/(h*w/size²)
+    # of the work; the full-image float64 gray pass dominated phash cost
+    h, w, _ = px.shape
     yi = (np.arange(size) * h // size).clip(0, h - 1)
     xi = (np.arange(size) * w // size).clip(0, w - 1)
-    return gray[np.ix_(yi, xi)]
+    sub = px[np.ix_(yi, xi)].astype(np.float64)
+    return sub @ np.array([0.299, 0.587, 0.114])
 
 
 _DCT32 = None

@@ -69,19 +69,33 @@ def ngram_jaccard_pairs(
     sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")).filter(
         F.size("sh") >= 1
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    # carry |sh| through the join so size-incompatible pairs (J >= t needs
+    # t <= n_a/n_b <= 1/t) are pruned BEFORE the pair aggregation, and
+    # shuffle 8-byte shingle hashes, not the shingle strings (exactness is
+    # preserved up to xxhash64 collisions, ~2^-32 at these cardinalities;
+    # the jaccard itself is computed from true counts)
+    inv = sh.select(
+        "id", F.size("sh").alias("n_sh"), F.explode(shingle_hashes(F.col("sh"))).alias("shingle_h")
+    )
     pairs = (
         inv.alias("a")
-        .join(inv.alias("b"), on="shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
+        .join(inv.alias("b"), on="shingle_h")
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh"))
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
     )
     out = (
-        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn("jaccard", F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+        pairs.withColumn(
+            "jaccard", F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -92,17 +106,28 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 
 
-def _seeded_min(sh: Column, seed: int) -> Column:
-    # NB: a two-parameter lambda in F.transform means (element, index) —
-    # bind the seed via this factory, never via a default argument.
-    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+def _perm_min(hs: Column, seed: int) -> Column:
+    # NB: the lambda must stay single-parameter (a two-parameter lambda in
+    # F.transform means (element, index)) — seed is bound by closure.
+    # xxhash64 over the 8-byte long (NOT the shingle string) is the seeded
+    # permutation: overflow-free under ANSI mode, and ~constant cost.
+    return F.array_min(F.transform(hs, lambda h: F.xxhash64(h, F.lit(seed))))
+
+
+def shingle_hashes(sh: Column) -> Column:
+    """Hash each shingle string ONCE (xxhash64); the k permutations then
+    re-hash these fixed-width longs. Re-hashing the full strings per seed
+    (k string-hash passes over every shingle) was the dominant cost of
+    signature construction; Catalyst's subexpression elimination computes
+    this array a single time for all k mins."""
+    return F.transform(sh, lambda s: F.xxhash64(s))
 
 
 def minhash_signature(col: Column | str, k: int = 64, n: int = 3) -> Column:
-    """k-permutation MinHash over word n-gram shingles — k array_min ×
-    xxhash64(shingle, seed) expressions, all JVM-side."""
+    """k-permutation MinHash over word n-gram shingles — one xxhash64 pass
+    over the shingles + k seeded long-rehash permutations, all JVM-side."""
     sh = word_shingles(col, n)
-    return F.array(*[_seeded_min(sh, seed) for seed in range(k)])
+    return minhash_signature_from_shingles(sh, k)
 
 
 def minhash_lsh_pairs(
@@ -160,7 +185,8 @@ def minhash_lsh_pairs(
 
 
 def minhash_signature_from_shingles(sh: Column, k: int = 64) -> Column:
-    return F.array(*[_seeded_min(sh, seed) for seed in range(k)])
+    hs = shingle_hashes(sh)
+    return F.array(*[_perm_min(hs, seed) for seed in range(k)])
 
 
 # ---------------------------------------------------------------------------

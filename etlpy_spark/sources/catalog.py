@@ -42,9 +42,13 @@ class Snapshot:
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, compression: str | None = None):
         self.spark = spark
         self.path = path
+        # binary-payload tables (already-compressed image bytes) should set
+        # compression='uncompressed': re-deflating PNG payloads in the
+        # parquet writer burns a full extra CPU+copy pass per row for ~0 gain
+        self.compression = compression
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
@@ -80,7 +84,10 @@ class SnapshotTable:
     def _commit(self, df: DataFrame, mode: str, meta: dict | None) -> int:
         v = (self.current_version() or 0) + 1
         data_dir = os.path.join(self.path, "data", f"v{v:06d}")
-        df.write.mode("overwrite").parquet(data_dir)
+        w = df.write.mode("overwrite")
+        if self.compression:
+            w = w.option("compression", self.compression)
+        w.parquet(data_dir)
         if mode == "append" and (prev := self.current_version()):
             dirs = self.snapshot(prev).data_dirs + [data_dir]
         else:

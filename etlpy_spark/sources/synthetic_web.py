@@ -40,6 +40,7 @@ class WebConfig:
     skew_host0: int = 1  # seed multiplicity for host0 (hot-domain knob)
     politeness_budget: int = 4  # max fetches per host per round
     dim_scale: int = 1  # image dimension multiplier (4 ≈ real web images)
+    force_fmt: str = ""  # pin image container format ('' = per-id mix)
 
     def priority(self, url: str) -> int:
         return h64("prio|" + url, self.seed) % 100
@@ -114,7 +115,7 @@ def page(url: str, cfg: WebConfig) -> dict:
 
 
 def fetch_image(image_id: str, cfg: WebConfig) -> bytes:
-    return image_bytes(image_id, cfg.seed, cfg.dim_scale)
+    return image_bytes(image_id, cfg.seed, cfg.dim_scale, cfg.force_fmt)
 
 
 # ---------------------------------------------------------------------------
