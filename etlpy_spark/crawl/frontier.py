@@ -220,6 +220,41 @@ class SparkCrawler:
         )
         self._commit_seen(frontier.select("url", F.lit(0).alias("round")))
 
+    def _build_shard_blooms(self, rows: DataFrame) -> list:
+        """Distributed Bloom construction: hash every URL into a per-shard
+        bitset IN EXECUTORS (one applyInPandas group per shard), ship only
+        the ~(n_bits/8)-byte bitsets to the driver. The previous driver-side
+        toPandas + add_many was O(all urls) SERIAL per round — the single
+        largest Amdahl term at millions of URLs/round."""
+        cfg = self.cfg
+        proto = BloomFilter.sized_for(cfg.bloom_capacity, cfg.bloom_fpp)
+        nb, nh = proto.n_bits, proto.n_hashes
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            bf = BloomFilter(nb, nh)
+            bf.add_many(pdf["url"].to_numpy())
+            return pd.DataFrame(
+                {"shard": [int(pdf["shard"].iloc[0])], "bits": [bf.to_bytes()]}
+            )
+
+        return (
+            rows.select("shard", "url")
+            .groupBy("shard")
+            .applyInPandas(build, schema="shard int, bits binary")
+            .collect()
+        )
+
+    def _merge_shard_blooms(self, parts: list) -> None:
+        import numpy as np
+
+        cfg = self.cfg
+        proto = BloomFilter.sized_for(cfg.bloom_capacity, cfg.bloom_fpp)
+        blooms = self._blooms if self._blooms is not None else {}
+        for r in parts:
+            tgt = blooms.setdefault(int(r["shard"]), BloomFilter(proto.n_bits, proto.n_hashes))
+            tgt.bits = np.bitwise_or(tgt.bits, np.frombuffer(bytes(r["bits"]), dtype=np.uint8))
+        self._blooms = blooms
+
     def _commit_seen(self, urls_round: DataFrame) -> None:
         cfg = self.cfg
         rows = urls_round.select(
@@ -230,26 +265,16 @@ class SparkCrawler:
         )
         self.seen.append(rows)
         if cfg.use_bloom:
-            blooms = self._load_blooms()
-            for shard, pdf in rows.toPandas().groupby("shard"):
-                blooms.setdefault(
-                    int(shard), BloomFilter.sized_for(cfg.bloom_capacity, cfg.bloom_fpp)
-                ).add_many(pdf["url"])
-            self._blooms = blooms
+            self._load_blooms()
+            self._merge_shard_blooms(self._build_shard_blooms(rows))
 
     def _load_blooms(self) -> dict[int, BloomFilter]:
         if self._blooms is not None:
             return self._blooms
-        blooms: dict[int, BloomFilter] = {}
+        self._blooms = {}
         if self.seen.current_version() is not None:
-            cfg = self.cfg
-            pdf = self.seen.read().select("shard", "url").toPandas()
-            for shard, grp in pdf.groupby("shard"):
-                b = BloomFilter.sized_for(cfg.bloom_capacity, cfg.bloom_fpp)
-                b.add_many(grp["url"])
-                blooms[int(shard)] = b
-        self._blooms = blooms
-        return blooms
+            self._merge_shard_blooms(self._build_shard_blooms(self.seen.read()))
+        return self._blooms
 
     # -- robots -------------------------------------------------------------
 

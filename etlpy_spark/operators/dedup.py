@@ -150,10 +150,14 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("sh"),
     ).filter(F.size("sh") >= 1)
+    sh = sh.cache()
     sig = sh.withColumn("sig", minhash_signature_from_shingles(F.col("sh"), k))
+    # band rows carry ONLY (id, band, bucket) — exploding the shingle
+    # arrays x bands through the bucket shuffle multiplies shuffle bytes
+    # by the banding factor; shingles are joined back onto the distinct
+    # candidate id-pairs instead
     banded = sig.select(
         "id",
-        "sh",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -163,18 +167,16 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    cand = (
+    pair_ids = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
+    cand = pair_ids.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

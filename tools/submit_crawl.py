@@ -1,0 +1,71 @@
+"""Production crawl entrypoint for spark-submit (north_rule: "submitted
+via spark-submit --py-files to multi-executor clusters at N and 4N
+executors").
+
+Package the library and submit; the session comes from spark-submit's
+master/executor settings (no master override here):
+
+    cd /root/repo && zip -r /tmp/etlpy_spark.zip etlpy_spark
+    spark-submit \
+      --py-files /tmp/etlpy_spark.zip \
+      --num-executors 250 --executor-cores 4 --executor-memory 16g \
+      --conf spark.sql.adaptive.enabled=true \
+      --conf spark.sql.shuffle.partitions=2000 \
+      tools/submit_crawl.py \
+        --workdir hdfs:///crawl/run1 --seeds-file seeds.txt \
+        --rounds 10 --shards 1024 --buckets 2000
+
+Resume: rerun the same command — the snapshot tables ARE the state
+(a crashed round re-runs from its last committed snapshot; generalizes
+the reference master's ``skip=`` resume, distributed.py:42,62-63).
+
+In-sandbox the same file runs under plain ``python`` on local[N]; the
+synthetic web stands in for HTTP fetch either way.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--seeds-file", default=None, help="one URL per line; omit to resume")
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--shards", type=int, default=16, help="seen-set shards")
+    ap.add_argument("--buckets", type=int, default=0, help="politeness fetch buckets (0 = shuffle partitions)")
+    ap.add_argument("--hosts", type=int, default=48, help="synthetic web size")
+    ap.add_argument("--budget", type=int, default=16, help="politeness budget per host per round")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from etlpy_spark.crawl.frontier import CrawlConfig, SparkCrawler
+    from etlpy_spark.sources.synthetic_web import WebConfig
+
+    # under spark-submit the session already carries the cluster config;
+    # standalone python gets sane local defaults from getOrCreate()
+    spark = SparkSession.builder.appName("etlpy-spark-crawl").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buckets = args.buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    web = WebConfig(n_hosts=args.hosts, politeness_budget=args.budget)
+    cfg = CrawlConfig(web=web, n_shards=args.shards, n_buckets=buckets)
+    cr = SparkCrawler(spark, args.workdir, cfg)
+
+    seeds = None
+    if args.seeds_file:
+        with open(args.seeds_file) as f:
+            seeds = [line.strip() for line in f if line.strip()]
+    metrics = cr.run(seeds, max_rounds=args.rounds)
+    for m in metrics:
+        print(json.dumps(m))
+
+
+if __name__ == "__main__":
+    main()
