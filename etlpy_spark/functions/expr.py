@@ -214,6 +214,50 @@ def xpath_lite(root: ET.Element, path: str) -> list[Any]:
     return nodes
 
 
+_BOX = re.compile(r"\[\d{1,3}\]")
+
+
+def get_max_compare_xpath(xpaths: list[str]) -> str | None:
+    """Infer the repeating-container root from a set of item XPaths
+    (reference spider.py:38-49 ``GetMaxCompareXPath``): walk the paths
+    segment-by-segment; at the first differing segment, return that path's
+    prefix through the differing segment with its trailing ``[N]`` index
+    stripped (reference ``RemoveFinalNum``, spider.py:29-35). Returns None
+    when no segment differs (e.g. a single item) — callers fall back to
+    flat positional extraction."""
+    parts = [p.split("/") for p in xpaths]
+    if not parts:
+        return None
+    minlen = min(len(p) for p in parts)
+    c = None
+    for i in range(minlen):
+        for idx, path in enumerate(parts):
+            if idx == 0:
+                c = path[i]
+            elif c != path[i]:
+                first = list(path[: i + 1])
+                m = _BOX.search(first[-1])
+                if m:
+                    first[-1] = first[-1].replace(m.group(0), "", 1)
+                return "/".join(first)
+    return None
+
+
+def xpath_lite_doc(root: ET.Element, path: str) -> list[Any]:
+    """Document-absolute evaluation: in ``/html/body/div`` the first step
+    names the document element itself (lxml ``tree.xpath`` semantics, which
+    the reference's RootXPath values use — project.xml:48), remaining steps
+    descend from it. ``//`` and relative paths delegate to xpath_lite."""
+    p = path.strip()
+    if p.startswith("/") and not p.startswith("//"):
+        seg = p[1:].split("/", 1)
+        m = _STEP.match(seg[0])
+        if m and m.group("tag") in (root.tag, "*") and not m.group("pred"):
+            rest = seg[1] if len(seg) > 1 else ""
+            return xpath_lite(root, rest) if rest else [root]
+    return xpath_lite(root, path)
+
+
 def xpath_lite_text(root: ET.Element, path: str) -> list[str]:
     out = []
     for r in xpath_lite(root, path):

@@ -192,14 +192,19 @@ def etl_tf(ctx: CompileContext, df: DataFrame, st: Stage) -> DataFrame:
     i.e. the sub-pipeline's stages simply continue the parent stream — so we
     fold the sub-stages onto the current plan."""
     sub = ctx.project.module(str(st.get("ETLSelector")))
-    out = compile_stages(ctx, sub.stages, df)
     keep = [c for c in _merge_query_cols(st.new_column) if c in df.columns]
-    missing = [c for c in keep if c not in out.columns]
-    if missing:
-        raise NotImplementedError(
-            "EtlTF with parent columns dropped by the sub-pipeline needs a "
-            f"lateral join; missing: {missing}"
-        )
+    # MergeQuery copies the PARENT row's NewColumn values into each child
+    # dict (reference extends.py:30-36) — i.e. kept columns come from the
+    # parent even when the sub-pipeline drops/overwrites them. Snapshot them
+    # under hidden names that ride through the sub-plan, then restore:
+    # no lateral join needed, the lineage IS the correlation.
+    hidden = {c: f"__etltf_keep_{i}__" for i, c in enumerate(keep)}
+    src = df
+    for c, h in hidden.items():
+        src = src.withColumn(h, F.col(c))
+    out = compile_stages(ctx, sub.stages, src)
+    for c, h in hidden.items():
+        out = out.withColumn(c, F.col(h)).drop(h)
     return out
 
 
@@ -322,12 +327,25 @@ def dbge(ctx: CompileContext, df: DataFrame | None, st: Stage) -> DataFrame:
 @register("DbEX")
 def dbex(ctx: CompileContext, df: DataFrame, st: Stage) -> DataFrame:
     """File/DB sink (reference etl.py:149-181). Executor semantics: collected
-    as a sink, skipped in dry-run. InsertOrUpdate maps to the catalog's
-    MERGE; plain files get overwrite-append."""
+    as a sink, skipped in dry-run. ``ExecuteType=InsertOrUpdate`` (the
+    reference's MongoDB ``table.save`` upsert, etl.py:158-161) routes to the
+    snapshot catalog's MERGE (``SnapshotTable.merge_upsert``) keyed on the
+    ``Key`` attr (default: first column); plain files get overwrite."""
     if not ctx.execute:
         return df
     path = _connector_path(ctx, st)
     ext = path.rsplit(".", 1)[-1].lower()
+
+    if str(st.get("ExecuteType", "")) == "InsertOrUpdate":
+        from etlpy_spark.sources.catalog import SnapshotTable
+
+        def sink(out: DataFrame) -> None:
+            data = out.drop(ORD) if ORD in out.columns else out
+            key = str(st.get("Key", "")) or data.columns[0]
+            SnapshotTable(ctx.spark, path).merge_upsert(data, key=key, prefer_new=True)
+
+        ctx.sinks.append(("DbEX", sink))
+        return df
 
     def sink(out: DataFrame) -> None:
         data = out.drop(ORD) if ORD in out.columns else out
@@ -416,7 +434,7 @@ def save_file_ex(ctx: CompileContext, df: DataFrame, st: Stage) -> DataFrame:
     Filesystem-per-image does not survive 10^10 scale: our sink fetches
     bytes in Arrow batches and appends (url, save_path, bytes) to a parquet
     dir; the real image pipeline (decode/phash/MERGE into the image table)
-    lives in crawl/images.py."""
+    lives in crawl/frontier.py (SparkCrawler.run_round, image path)."""
     if not ctx.execute:
         return df
     save_tpl = str(st.get("SavePath", ""))

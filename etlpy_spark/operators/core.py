@@ -485,6 +485,15 @@ def python_tf(ctx, df, st):
                 raise TypeError
             return pd.Series(res).astype("string")
         except Exception:  # row-at-a-time last resort
+            import warnings
+
+            warnings.warn(
+                f"PythonTF script {script!r} is not vectorizable; falling back "
+                "to row-at-a-time eval — this will not scale, rewrite the "
+                "script in the compilable subset (functions/expr.py)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             out = []
             for _, row in struct.iterrows():
                 e = dict(row)
@@ -577,7 +586,8 @@ def delay_tf(ctx, df, st):
     """Politeness delay marker (reference etl.py:679-680 stub; DelayTime on
     every module project.xml:9). A per-row sleep is wrong on a cluster —
     politeness is enforced per host-bucket by the crawl scheduler
-    (crawl/politeness.py); in a pure ETL plan this is a no-op."""
+    (crawl/frontier.py, per-host budget + salted fetch buckets); in a pure
+    ETL plan this is a no-op."""
     return df
 
 

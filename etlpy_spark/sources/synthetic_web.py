@@ -155,6 +155,49 @@ def seed_urls(cfg: WebConfig, n_per_host: int = 2) -> list[str]:
 # reference spider.py:211-261 CrawData/GetDataFromCrawItems)
 
 
+def extract_list_records(root, crawler) -> list[dict]:
+    """List-mode extraction (reference spider.py:228-261
+    ``GetDataFromCrawItems``): resolve the repeating-container root — the
+    explicit ``RootXPath`` if set, else inferred via ``GetMaxCompareXPath``
+    — then emit ONE record per root node with each CrawItem evaluated
+    root-relatively. This keeps an item's fields aligned even when a
+    container instance is missing an optional field (the failure mode of
+    flat positional zipping). When no root can be inferred (single item /
+    identical paths) each flat match is its own record."""
+    from etlpy_spark.functions.expr import (
+        get_max_compare_xpath,
+        xpath_lite_doc,
+        xpath_lite_text,
+    )
+
+    explicit = bool(crawler.root_xpath)
+    root_xpath = crawler.root_xpath or get_max_compare_xpath(
+        [ci.xpath for ci in crawler.crawl_items]
+    )
+    if root_xpath:
+        n_root_seg = len(root_xpath.split("/"))
+        recs = []
+        for node in xpath_lite_doc(root, root_xpath):
+            rec = {}
+            for ci in crawler.crawl_items:
+                # explicit root: item paths are node-relative (reference
+                # appends them to tree.getpath(node)); inferred root: strip
+                # the shared prefix segments (spider.py:250-252)
+                rel = ci.xpath if explicit else "/".join(ci.xpath.split("/")[n_root_seg:])
+                vals = xpath_lite_text(node, rel)
+                rec[ci.name] = vals[0] if vals else None
+            if all(v is None for v in rec.values()):
+                continue  # reference skips empty documents (spider.py:257)
+            recs.append(rec)
+        return recs
+    per_item = {ci.name: xpath_lite_text(root, ci.xpath) for ci in crawler.crawl_items}
+    n = max((len(v) for v in per_item.values()), default=0)
+    return [
+        {k: (v[i] if i < len(v) else None) for k, v in per_item.items()}
+        for i in range(n)
+    ]
+
+
 def crawler_fetcher(cfg: WebConfig):
     """Returns ctx.fetcher: CrawlerSpec -> (list[url] -> list[list[dict]]).
 
@@ -177,15 +220,7 @@ def crawler_fetcher(cfg: WebConfig):
                     out.append([])
                     continue
                 if crawler.is_multi_data == "List":
-                    per_item = {
-                        ci.name: xpath_lite_text(root, ci.xpath) for ci in crawler.crawl_items
-                    }
-                    n = max((len(v) for v in per_item.values()), default=0)
-                    recs = [
-                        {k: (v[i] if i < len(v) else None) for k, v in per_item.items()}
-                        for i in range(n)
-                    ]
-                    out.append(recs)
+                    out.append(extract_list_records(root, crawler))
                 else:
                     rec = {}
                     for ci in crawler.crawl_items:
