@@ -99,13 +99,12 @@ def main() -> None:
         "pricing_summary",
         "topk_window",
         "repeat_ft_dedup",
-        "merge_tf_url",
+        "python_merge_tf",  # r1 name: merge_tf_url (now also PythonTF page)
         "minhash_lsh_pairs",
         "ngram_jaccard_pairs",
         "simhash",
         "ann_bruteforce",
-        "lang_id",
-        "fingerprint",
+        "text_suite",  # r1 names: lang_id + fingerprint (+quality/tokens)
         "zip_merge_golden",
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())

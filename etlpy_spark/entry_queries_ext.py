@@ -1,5 +1,9 @@
-"""Driver-contract coverage extension: sources, sinks, sub-pipelines,
-fetch join, spider-layer helpers, and the crawl engine itself.
+"""Driver-contract coverage: crawl engine parity, sources, sinks,
+sub-pipelines, fetch join, spider-layer helpers, map/reduce split.
+
+These entries come FIRST in ``__spark_entry__.queries()`` — the driver
+hash-checks the first 50 entries, and the crawl-parity rows are the
+north-rule evidence.
 
 Every oracle here is either plain SQL over the driver's parquet tables or
 a VALUES list computed at oracle-build time from the same deterministic
@@ -10,7 +14,6 @@ oracle) — so the driver's hash compare is a real differential test.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -69,232 +72,7 @@ def _run_sinks(ctx: CompileContext, df: DataFrame) -> None:
 
 
 # --------------------------------------------------------------------------
-# simple column ops / markers
-
-
-def q_add_new_tf(spark, sf_dir):
-    df = _orded(_t(spark, sf_dir, "region"), "r_regionkey")
-    out = compile_stages(_ctx(spark, sf_dir), [Stage("AddNewTF", {"NewValue": "const", "NewColumn": "tag"})], df)
-    return finalize(out).select("r_regionkey", "tag")
-
-
-def q_num_range_ft(spark, sf_dir):
-    df = _orded(_t(spark, sf_dir, "lineitem"), "l_orderkey")
-    st = Stage("NumRangeFT", {"Column": "l_quantity", "Min": 5, "Max": 15})
-    return finalize(compile_stages(_ctx(spark, sf_dir), [st], df)).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
-    )
-
-
-def q_repeat_tf(spark, sf_dir):
-    df = _orded(_t(spark, sf_dir, "nation"), "n_nationkey")
-    st = Stage("RepeatTF", {"RepeatCount": 3})
-    return finalize(compile_stages(_ctx(spark, sf_dir), [st], df)).select("n_nationkey")
-
-
-def q_markers_identity(spark, sf_dir):
-    """ToListTF (map/reduce boundary = repartition), DelayTF (politeness
-    marker), TransTF/NlpTF (reference stubs) are row-preserving."""
-    df = _orded(_t(spark, sf_dir, "orders"), "o_orderkey")
-    stages = [Stage("ToListTF", {}), Stage("DelayTF", {}), Stage("TransTF", {}), Stage("NlpTF", {})]
-    return finalize(compile_stages(_ctx(spark, sf_dir), stages, df)).select("o_orderkey")
-
-
-def q_file_exist_ft(spark, sf_dir):
-    df = spark.createDataFrame(
-        [(1, f"{sf_dir}/region.parquet"), (2, f"{sf_dir}/no_such_table.parquet")],
-        "id long, path string",
-    )
-    df = _orded(df, "id")
-    st = Stage("FileExistFT", {"Column": "path", "NewColumn": "does_exist"})
-    return finalize(compile_stages(_ctx(spark, sf_dir), [st], df)).select("id", "does_exist")
-
-
-# --------------------------------------------------------------------------
-# sources / sinks
-
-
-def q_table_ex_ge_roundtrip(spark, sf_dir):
-    """TableEX (sink to named in-memory table) then TableGE (read it back)."""
-    ctx = _ctx(spark, sf_dir)
-    ctx.execute = True
-    df = _orded(_t(spark, sf_dir, "region"), "r_regionkey")
-    compile_stages(ctx, [Stage("TableEX", {"Table": "side_region"})], df)
-    out = compile_stages(ctx, [Stage("TableGE", {"Table": "side_region", "MergeType": "Append"})], None)
-    return finalize(out).select("r_regionkey", "r_name")
-
-
-def q_dbge_csv(spark, sf_dir):
-    wd = tempfile.mkdtemp(prefix="dbge_csv_")
-    with open(os.path.join(wd, "items.csv"), "w") as f:
-        f.write("sku,qty\nA1,3\nB2,5\nC3,7\n")
-    ctx = CompileContext(spark=spark, parallelism=4, files_root=wd)
-    out = compile_stages(ctx, [Stage("DBGE", {"TableName": "items.csv", "MergeType": "Append"})], None)
-    return finalize(out).select("sku", "qty")
-
-
-def q_db_ex_roundtrip(spark, sf_dir):
-    """DbEX json sink, then read the written file back."""
-    wd = tempfile.mkdtemp(prefix="dbex_json_")
-    ctx = CompileContext(spark=spark, parallelism=4, files_root=wd)
-    ctx.execute = True
-    df = _orded(_t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5), "n_nationkey")
-    out = compile_stages(ctx, [Stage("DbEX", {"TableName": "nat.json"})], df)
-    _run_sinks(ctx, finalize(out))
-    return spark.read.json(os.path.join(wd, "nat.json")).select("n_nationkey", "n_name")
-
-
-def q_folder_ge(spark, sf_dir):
-    st = Stage("FolderGE", {"Folder": sf_dir, "Column": "path", "MergeType": "Append"})
-    out = finalize(compile_stages(_ctx(spark, sf_dir), [st], None))
-    return out.select(F.regexp_extract("path", r"([^/]+)$", 1).alias("fname"))
-
-
-def q_write_read_file_text(spark, sf_dir):
-    """WriteFileTextTF sink writes lines; read them back; ReadFileTextTF
-    reads a driver-side file per path row."""
-    wd = tempfile.mkdtemp(prefix="wtext_")
-    ctx = CompileContext(spark=spark, parallelism=1, files_root=wd)
-    ctx.execute = True
-    stages = [
-        Stage("TextGE", {"Content": "hello\nworld\netl", "Column": "line", "MergeType": "Append"}),
-        Stage("WriteFileTextTF", {"Column": "line", "TableName": "out_text"}),
-    ]
-    out = compile_stages(ctx, stages, None)
-    _run_sinks(ctx, out)
-    written = spark.read.text(os.path.join(wd, "out_text")).select(F.col("value").alias("line"))
-
-    side = os.path.join(wd, "side.txt")
-    with open(side, "w") as f:
-        f.write("file-content")
-    paths = _orded(spark.createDataFrame([(1, side), (2, side + ".missing")], "id long, path string"), "id")
-    rd = Stage("ReadFileTextTF", {"Column": "path", "NewColumn": "content"})
-    # written lines plus one row per successfully-read driver-side file
-    reads = finalize(compile_stages(ctx, [rd], paths)).select(
-        F.col("content").alias("line")
-    ).where(F.col("content").isNotNull())
-    return written.unionByName(reads)
-
-
-def q_save_file_ex(spark, sf_dir):
-    """SaveFileEX: batch byte-fetch per URL + [col]-templated save path,
-    appended to a parquet dir (scale form of reference etl.py:697-708)."""
-    wd = tempfile.mkdtemp(prefix="savefile_")
-    ctx = CompileContext(spark=spark, parallelism=2, files_root=wd)
-    ctx.execute = True
-    ctx.byte_fetcher = lambda urls: [f"data|{u}".encode() for u in urls]
-    df = spark.createDataFrame(
-        [(1, "http://h.example/a.jpg", "a"), (2, "http://h.example/b.jpg", "b")],
-        "id long, img_url string, name string",
-    )
-    df = _orded(df, "id")
-    st = Stage("SaveFileEX", {"Column": "img_url", "SavePath": "imgs/[name].jpg"})
-    out = compile_stages(ctx, [st], df)
-    _run_sinks(ctx, finalize(out))
-    saved = spark.read.parquet(os.path.join(wd, "saved_files"))
-    return saved.select("url", "save_path", F.length("bytes").alias("byte_len"))
-
-
-# --------------------------------------------------------------------------
-# sub-pipelines / fetch join
-
-
-def q_etl_tf_sub(spark, sf_dir):
-    proj = ProjectSpec()
-    proj.modules["doubler"] = EtlModule(
-        name="doubler",
-        stages=[Stage("PythonTF", {"Column": "n", "Script": "n+n", "NewColumn": "d"})],
-    )
-    proj.modules["main"] = EtlModule(
-        name="main",
-        stages=[
-            Stage("RangeGE", {"MinValue": 1, "MaxValue": 6, "Interval": 1, "Column": "n", "MergeType": "Append"}),
-            Stage("EtlTF", {"ETLSelector": "doubler", "NewColumn": "n"}),
-        ],
-    )
-    ctx = CompileContext(spark=spark, project=proj, parallelism=4, files_root=sf_dir)
-    from etlpy_spark.plans.compiler import compile_module
-
-    return finalize(compile_module(ctx, "main"))
-
-
-def q_etl_ex_count(spark, sf_dir):
-    proj = ProjectSpec()
-    proj.modules["evens"] = EtlModule(
-        name="evens",
-        stages=[Stage("PythonTF", {"Column": "n", "Script": "n*2", "NewColumn": "even"})],
-    )
-    proj.modules["main"] = EtlModule(
-        name="main",
-        stages=[
-            Stage("RangeGE", {"MinValue": 1, "MaxValue": 5, "Interval": 1, "Column": "n", "MergeType": "Append"}),
-            Stage("EtlEX", {"ETLSelector": "evens"}),
-        ],
-    )
-    ctx = CompileContext(spark=spark, project=proj, parallelism=4, files_root=sf_dir)
-    ctx.execute = True
-    from etlpy_spark.plans.compiler import compile_module
-
-    out = finalize(compile_module(ctx, "main"))
-    _run_sinks(ctx, out)
-    counts = getattr(ctx, "metrics", [])
-    marker = spark.createDataFrame([(s, int(n)) for s, n in counts], "sub string, n_rows long")
-    return marker
-
-
-def _crawler_project() -> tuple[ProjectSpec, list[str]]:
-    proj = ProjectSpec()
-    proj.modules["linkcrawler"] = CrawlerSpec(
-        name="linkcrawler",
-        is_multi_data="List",
-        crawl_items=[CrawlItem(name="href", xpath="//a/@href")],
-    )
-    urls = ["http://host1.example/cat1/p3", "http://host2.example/cat2/p5"]
-    return proj, urls
-
-
-def q_crawler_tf_list(spark, sf_dir):
-    """CrawlerTF fetch join in List mode over the deterministic synthetic
-    web: per URL, fetch page HTML and extract every link href."""
-    from etlpy_spark.sources.synthetic_web import WebConfig, crawler_fetcher
-
-    proj, urls = _crawler_project()
-    ctx = CompileContext(spark=spark, project=proj, parallelism=2, files_root=sf_dir)
-    ctx.fetcher = crawler_fetcher(WebConfig())
-    content = "\n".join(urls)
-    stages = [
-        Stage("TextGE", {"Content": content, "Column": "page_url", "MergeType": "Append"}),
-        Stage("CrawlerTF", {"Column": "page_url", "CrawlerSelector": "linkcrawler",
-                            "NewColumn": "page_url", "IsMultiYield": True}),
-    ]
-    return _pipe(spark, sf_dir, stages, ctx=ctx).select("page_url", "href")
-
-
-# --------------------------------------------------------------------------
-# spider-layer helpers
-
-
-def q_para2dict(spark, sf_dir):
-    """Para2Dict (reference spider.py:263-273): 'k: v' lines → map; Spark
-    str_to_map + explode."""
-    df = spark.createDataFrame(_PARA_ROWS, "id string, headers string")
-    m = F.str_to_map(F.col("headers"), F.lit("\n"), F.lit(": "))
-    return df.select("id", F.explode(m).alias("k", "v"))
-
-
-def q_prase_url(spark, sf_dir):
-    """HTTPItem.PraseURL (reference spider.py:109-113): substitute [param]
-    placeholders from the base URL's query string — pure Column exprs."""
-    df = spark.createDataFrame([(1, _PRASE_BASE)], "id long, base string")
-    params = F.str_to_map(F.substring_index(F.col("base"), "?", -1), F.lit("&"), F.lit("="))
-    out = F.lit(_PRASE_TPL)
-    for key in ("cat", "page"):
-        out = F.replace(out, F.lit(f"[{key}]"), F.element_at(params, key))
-    return df.select("id", out.alias("url"))
-
-
-# --------------------------------------------------------------------------
-# crawl engine (driver-visible parity vs the serial oracle)
+# crawl engine (driver-visible parity vs the serial oracle — north rule)
 
 _CRAWL_MEMO: dict[str, str] = {}
 
@@ -346,7 +124,8 @@ def q_crawl_images_meta(spark, sf_dir):
 
 
 def q_bfs_ge(spark, sf_dir):
-    """BfsGE surfaces a completed crawl's frontier table to pipelines."""
+    """BfsGE surfaces a completed crawl's frontier table to pipelines;
+    per-round fetch counts are checked against the serial oracle's metrics."""
     from etlpy_spark.sources.catalog import SnapshotTable
 
     wd = _crawl_workdir(spark)
@@ -355,6 +134,309 @@ def q_bfs_ge(spark, sf_dir):
     st = Stage("BfsGE", {"Table": "frontier", "MergeType": "Append"})
     out = finalize(compile_stages(ctx, [st], None))
     return out.groupBy("round").agg(F.count(F.lit(1)).alias("fetched"))
+
+
+# --------------------------------------------------------------------------
+# fetch join (CrawlerTF) — flat and repeating-root List modes
+
+
+def _crawler_project() -> tuple[ProjectSpec, list[str]]:
+    proj = ProjectSpec()
+    proj.modules["linkcrawler"] = CrawlerSpec(
+        name="linkcrawler",
+        is_multi_data="List",
+        crawl_items=[CrawlItem(name="href", xpath="//a/@href")],
+    )
+    urls = ["http://host1.example/cat1/p3", "http://host2.example/cat2/p5"]
+    return proj, urls
+
+
+def q_crawler_tf_list(spark, sf_dir):
+    """CrawlerTF fetch join in List mode over the deterministic synthetic
+    web: per URL, fetch page HTML and extract every link href."""
+    from etlpy_spark.sources.synthetic_web import WebConfig, crawler_fetcher
+
+    proj, urls = _crawler_project()
+    ctx = CompileContext(spark=spark, project=proj, parallelism=2, files_root=sf_dir)
+    ctx.fetcher = crawler_fetcher(WebConfig())
+    content = "\n".join(urls)
+    stages = [
+        Stage("TextGE", {"Content": content, "Column": "page_url", "MergeType": "Append"}),
+        Stage("CrawlerTF", {"Column": "page_url", "CrawlerSelector": "linkcrawler",
+                            "NewColumn": "page_url", "IsMultiYield": True}),
+    ]
+    return _pipe(spark, sf_dir, stages, ctx=ctx).select("page_url", "href")
+
+
+def _root_crawler_project() -> tuple[ProjectSpec, list[str]]:
+    """Two absolute item XPaths that differ at the <a> segment —
+    GetMaxCompareXPath infers root '/html/body/a', and extraction emits
+    ONE record per link node (reference spider.py:38-49,228-261)."""
+    proj = ProjectSpec()
+    proj.modules["rootcrawler"] = CrawlerSpec(
+        name="rootcrawler",
+        is_multi_data="List",
+        crawl_items=[
+            CrawlItem(name="anchor_text", xpath="/html/body/a[1]"),
+            CrawlItem(name="href", xpath="/html/body/a[2]/@href"),
+        ],
+    )
+    urls = ["http://host1.example/cat1/p3", "http://host2.example/cat2/p5"]
+    return proj, urls
+
+
+def q_crawler_list_root(spark, sf_dir):
+    """CrawlerTF List mode with an INFERRED repeating root
+    (GetMaxCompareXPath): per root node, item XPaths evaluate
+    root-relatively, keeping fields aligned per container instance."""
+    from etlpy_spark.sources.synthetic_web import WebConfig, crawler_fetcher
+
+    proj, urls = _root_crawler_project()
+    ctx = CompileContext(spark=spark, project=proj, parallelism=2, files_root=sf_dir)
+    ctx.fetcher = crawler_fetcher(WebConfig())
+    stages = [
+        Stage("TextGE", {"Content": "\n".join(urls), "Column": "page_url", "MergeType": "Append"}),
+        Stage("CrawlerTF", {"Column": "page_url", "CrawlerSelector": "rootcrawler",
+                            "NewColumn": "page_url", "IsMultiYield": True}),
+    ]
+    return _pipe(spark, sf_dir, stages, ctx=ctx).select("page_url", "anchor_text", "href")
+
+
+# --------------------------------------------------------------------------
+# sources / sinks
+
+
+def q_dbge_csv(spark, sf_dir):
+    wd = tempfile.mkdtemp(prefix="dbge_csv_")
+    with open(os.path.join(wd, "items.csv"), "w") as f:
+        f.write("sku,qty\nA1,3\nB2,5\nC3,7\n")
+    ctx = CompileContext(spark=spark, parallelism=4, files_root=wd)
+    out = compile_stages(ctx, [Stage("DBGE", {"TableName": "items.csv", "MergeType": "Append"})], None)
+    return finalize(out).select("sku", "qty")
+
+
+def q_table_ex_ge_roundtrip(spark, sf_dir):
+    """TableEX (sink to named in-memory table) then TableGE (read it back)."""
+    ctx = _ctx(spark, sf_dir)
+    ctx.execute = True
+    df = _orded(_t(spark, sf_dir, "region"), "r_regionkey")
+    compile_stages(ctx, [Stage("TableEX", {"Table": "side_region"})], df)
+    out = compile_stages(ctx, [Stage("TableGE", {"Table": "side_region", "MergeType": "Append"})], None)
+    return finalize(out).select("r_regionkey", "r_name")
+
+
+def q_db_ex_roundtrip(spark, sf_dir):
+    """DbEX json sink, then read the written file back."""
+    wd = tempfile.mkdtemp(prefix="dbex_json_")
+    ctx = CompileContext(spark=spark, parallelism=4, files_root=wd)
+    ctx.execute = True
+    df = _orded(_t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5), "n_nationkey")
+    out = compile_stages(ctx, [Stage("DbEX", {"TableName": "nat.json"})], df)
+    _run_sinks(ctx, finalize(out))
+    return spark.read.json(os.path.join(wd, "nat.json")).select("n_nationkey", "n_name")
+
+
+def q_db_ex_upsert(spark, sf_dir):
+    """DbEX ExecuteType=InsertOrUpdate → SnapshotTable.merge_upsert
+    (reference etl.py:158-161 MongoDB ``table.save`` upsert): second batch
+    updates key 3 and inserts key 98."""
+    from etlpy_spark.sources.catalog import SnapshotTable
+
+    wd = tempfile.mkdtemp(prefix="dbex_upsert_")
+    path = os.path.join(wd, "nat_tbl")
+    ctx = CompileContext(spark=spark, parallelism=2, files_root=wd)
+    ctx.execute = True
+
+    def write(df):
+        st = Stage("DbEX", {"TableName": path, "ExecuteType": "InsertOrUpdate", "Key": "n_nationkey"})
+        out = compile_stages(ctx, [st], df)
+        _run_sinks(ctx, finalize(out))
+
+    base = _orded(_t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5), "n_nationkey").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"), "n_name", "__ord__"
+    )
+    write(base)
+    upd = spark.createDataFrame([(3, "UPDATED"), (98, "NEWROW")], "n_nationkey int, n_name string")
+    write(_orded(upd, "n_nationkey"))
+    return SnapshotTable(spark, path).read().select("n_nationkey", "n_name")
+
+
+def q_folder_ge(spark, sf_dir):
+    st = Stage("FolderGE", {"Folder": sf_dir, "Column": "path", "MergeType": "Append"})
+    out = finalize(compile_stages(_ctx(spark, sf_dir), [st], None))
+    return out.select(F.regexp_extract("path", r"([^/]+)$", 1).alias("fname"))
+
+
+def q_write_read_file_text(spark, sf_dir):
+    """WriteFileTextTF sink writes lines; read them back; ReadFileTextTF
+    reads a driver-side file per path row."""
+    wd = tempfile.mkdtemp(prefix="wtext_")
+    ctx = CompileContext(spark=spark, parallelism=1, files_root=wd)
+    ctx.execute = True
+    stages = [
+        Stage("TextGE", {"Content": "hello\nworld\netl", "Column": "line", "MergeType": "Append"}),
+        Stage("WriteFileTextTF", {"Column": "line", "TableName": "out_text"}),
+    ]
+    out = compile_stages(ctx, stages, None)
+    _run_sinks(ctx, out)
+    written = spark.read.text(os.path.join(wd, "out_text")).select(F.col("value").alias("line"))
+
+    side = os.path.join(wd, "side.txt")
+    with open(side, "w") as f:
+        f.write("file-content")
+    paths = _orded(spark.createDataFrame([(1, side), (2, side + ".missing")], "id long, path string"), "id")
+    rd = Stage("ReadFileTextTF", {"Column": "path", "NewColumn": "content"})
+    # written lines plus one row per successfully-read driver-side file
+    reads = finalize(compile_stages(ctx, [rd], paths)).select(
+        F.col("content").alias("line")
+    ).where(F.col("content").isNotNull())
+    return written.unionByName(reads)
+
+
+def q_file_exist_ft(spark, sf_dir):
+    df = spark.createDataFrame(
+        [(1, f"{sf_dir}/region.parquet"), (2, f"{sf_dir}/no_such_table.parquet")],
+        "id long, path string",
+    )
+    df = _orded(df, "id")
+    st = Stage("FileExistFT", {"Column": "path", "NewColumn": "does_exist"})
+    return finalize(compile_stages(_ctx(spark, sf_dir), [st], df)).select("id", "does_exist")
+
+
+def q_save_file_ex(spark, sf_dir):
+    """SaveFileEX: batch byte-fetch per URL + [col]-templated save path,
+    appended to a parquet dir (scale form of reference etl.py:697-708)."""
+    wd = tempfile.mkdtemp(prefix="savefile_")
+    ctx = CompileContext(spark=spark, parallelism=2, files_root=wd)
+    ctx.execute = True
+    ctx.byte_fetcher = lambda urls: [f"data|{u}".encode() for u in urls]
+    df = spark.createDataFrame(
+        [(1, "http://h.example/a.jpg", "a"), (2, "http://h.example/b.jpg", "b")],
+        "id long, img_url string, name string",
+    )
+    df = _orded(df, "id")
+    st = Stage("SaveFileEX", {"Column": "img_url", "SavePath": "imgs/[name].jpg"})
+    out = compile_stages(ctx, [st], df)
+    _run_sinks(ctx, finalize(out))
+    saved = spark.read.parquet(os.path.join(wd, "saved_files"))
+    return saved.select("url", "save_path", F.length("bytes").alias("byte_len"))
+
+
+# --------------------------------------------------------------------------
+# sub-pipelines / map-reduce split
+
+
+def q_etl_tf_sub(spark, sf_dir):
+    """EtlTF where the sub-pipeline DROPS the kept parent column (RenameTF
+    n→m): the parent's n is restored from the parent row (MergeQuery
+    semantics, reference extends.py:30-36)."""
+    proj = ProjectSpec()
+    proj.modules["doubler"] = EtlModule(
+        name="doubler",
+        stages=[
+            Stage("RenameTF", {"Column": "n", "NewColumn": "m"}),
+            Stage("PythonTF", {"Column": "m", "Script": "m+m", "NewColumn": "d"}),
+        ],
+    )
+    proj.modules["main"] = EtlModule(
+        name="main",
+        stages=[
+            Stage("RangeGE", {"MinValue": 1, "MaxValue": 6, "Interval": 1, "Column": "n", "MergeType": "Append"}),
+            Stage("EtlTF", {"ETLSelector": "doubler", "NewColumn": "n"}),
+        ],
+    )
+    ctx = CompileContext(spark=spark, project=proj, parallelism=4, files_root=sf_dir)
+    from etlpy_spark.plans.compiler import compile_module
+
+    return finalize(compile_module(ctx, "main"))
+
+
+def q_etl_ex_count(spark, sf_dir):
+    proj = ProjectSpec()
+    proj.modules["evens"] = EtlModule(
+        name="evens",
+        stages=[Stage("PythonTF", {"Column": "n", "Script": "n*2", "NewColumn": "even"})],
+    )
+    proj.modules["main"] = EtlModule(
+        name="main",
+        stages=[
+            Stage("RangeGE", {"MinValue": 1, "MaxValue": 5, "Interval": 1, "Column": "n", "MergeType": "Append"}),
+            Stage("EtlEX", {"ETLSelector": "evens"}),
+        ],
+    )
+    ctx = CompileContext(spark=spark, project=proj, parallelism=4, files_root=sf_dir)
+    ctx.execute = True
+    from etlpy_spark.plans.compiler import compile_module
+
+    out = finalize(compile_module(ctx, "main"))
+    _run_sinks(ctx, out)
+    counts = getattr(ctx, "metrics", [])
+    marker = spark.createDataFrame([(s, int(n)) for s, n in counts], "sub string, n_rows long")
+    return marker
+
+
+def q_parallel_map_reduce(spark, sf_dir):
+    """Explicit map/reduce split at the ToListTF boundary (reference
+    etl.py:919-935): prefix enumerates seeds once, suffix fans out over
+    the repartitioned seed DataFrame."""
+    from etlpy_spark.plans.parallel import parallel_execute
+
+    stages = [
+        Stage("RangeGE", {"MinValue": 1, "MaxValue": 9, "Interval": 1, "Column": "seed", "MergeType": "Append"}),
+        Stage("ToListTF", {}),
+        Stage("PythonTF", {"Column": "seed", "Script": "seed*seed", "NewColumn": "sq"}),
+    ]
+    ctx = _ctx(spark, sf_dir)
+    return finalize(parallel_execute(ctx, stages, partitions=4))
+
+
+# --------------------------------------------------------------------------
+# markers / stream ops
+
+
+def q_markers_range_tf(spark, sf_dir):
+    """ToListTF/DelayTF/TransTF/NlpTF markers (row-preserving) chained with
+    RangeTF offset/limit over the ordered stream."""
+    df = _orded(_t(spark, sf_dir, "orders"), "o_orderkey")
+    stages = [
+        Stage("ToListTF", {}),
+        Stage("DelayTF", {}),
+        Stage("TransTF", {}),
+        Stage("NlpTF", {}),
+        Stage("RangeTF", {"Skip": 10, "Take": 5}),
+    ]
+    return finalize(compile_stages(_ctx(spark, sf_dir), stages, df)).select("o_orderkey")
+
+
+def q_repeat_merge_repeat_tf(spark, sf_dir):
+    """RepeatTF (×3 fan-out) then MergeRepeatTF (dedup by key + count)."""
+    df = _orded(_t(spark, sf_dir, "nation"), "n_nationkey")
+    stages = [
+        Stage("RepeatTF", {"RepeatCount": 3}),
+        Stage("MergeRepeatTF", {"Column": "n_nationkey", "NewColumn": "cnt"}),
+    ]
+    out = finalize(compile_stages(_ctx(spark, sf_dir), stages, df))
+    return out.select("n_nationkey", "cnt")
+
+
+# --------------------------------------------------------------------------
+# spider-layer helpers
+
+
+def q_spider_helpers(spark, sf_dir):
+    """Para2Dict (reference spider.py:263-273) + HTTPItem.PraseURL
+    (spider.py:109-113) in one (id, k, v) stream — pure Column exprs."""
+    df = spark.createDataFrame(_PARA_ROWS, "id string, headers string")
+    m = F.str_to_map(F.col("headers"), F.lit("\n"), F.lit(": "))
+    para = df.select("id", F.explode(m).alias("k", "v"))
+
+    base = spark.createDataFrame([("u1", _PRASE_BASE)], "id string, base string")
+    params = F.str_to_map(F.substring_index(F.col("base"), "?", -1), F.lit("&"), F.lit("="))
+    out = F.lit(_PRASE_TPL)
+    for key in ("cat", "page"):
+        out = F.replace(out, F.lit(f"[{key}]"), F.element_at(params, key))
+    prase = base.select("id", F.lit("url").alias("k"), out.alias("v"))
+    return para.unionByName(prase)
 
 
 # --------------------------------------------------------------------------
@@ -385,6 +467,21 @@ def _crawler_tf_oracle() -> str:
     return _values(rows, "page_url, href")
 
 
+def _crawler_list_root_oracle() -> str:
+    """One record per <a> node: text is the synthetic anchor text 'l',
+    href the link — computed through the same extract_list_records path a
+    serial reference run would take (root inference + relative eval)."""
+    from etlpy_spark.sources.synthetic_web import WebConfig, page
+
+    _, urls = _root_crawler_project()
+    web = WebConfig()
+    rows = []
+    for u in urls:
+        for link in page(u, web)["links"]:
+            rows.append((u, "l", link))
+    return _values(rows, "page_url, anchor_text, href")
+
+
 def _oracle_crawl():
     from etlpy_spark.crawl.oracle import crawl_oracle
     from etlpy_spark.sources.synthetic_web import WebConfig, seed_urls
@@ -412,13 +509,30 @@ def _crawl_images_oracle() -> str:
     return _values(rows, "image_id, w, h, fmt, caption, phash")
 
 
-def _para2dict_oracle() -> str:
+def _bfs_ge_oracle() -> str:
+    """Per-round fetched counts from the serial oracle's metrics."""
+    res = _oracle_crawl()
+    rows = [(int(m["round"]), int(m["fetched"])) for m in res.metrics if m["fetched"]]
+    return _values(rows, "round, fetched")
+
+
+def _spider_helpers_oracle() -> str:
     rows = []
     for rid, text in _PARA_ROWS:
         for kv in text.split("\n"):
             k, v = kv.split(": ", 1)
             rows.append((rid, k, v))
+    rows.append(("u1", "url", _prase_url(_PRASE_BASE, _PRASE_TPL)))
     return _values(rows, "id, k, v")
+
+
+def _db_ex_upsert_oracle() -> str:
+    return """
+        SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+               CASE WHEN n_nationkey = 3 THEN 'UPDATED' ELSE n_name END AS n_name
+        FROM nation WHERE n_nationkey < 5
+        UNION ALL SELECT 98, 'NEWROW'
+    """
 
 
 # --------------------------------------------------------------------------
@@ -426,45 +540,42 @@ def _para2dict_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "add_new_tf": q_add_new_tf,
-        "num_range_ft": q_num_range_ft,
-        "repeat_tf": q_repeat_tf,
-        "markers_identity": q_markers_identity,
-        "file_exist_ft": q_file_exist_ft,
-        "table_ex_ge_roundtrip": q_table_ex_ge_roundtrip,
-        "dbge_csv": q_dbge_csv,
-        "db_ex_roundtrip": q_db_ex_roundtrip,
-        "folder_ge": q_folder_ge,
-        "write_read_file_text": q_write_read_file_text,
-        "save_file_ex": q_save_file_ex,
-        "etl_tf_sub": q_etl_tf_sub,
-        "etl_ex_count": q_etl_ex_count,
-        "crawler_tf_list": q_crawler_tf_list,
-        "para2dict": q_para2dict,
-        "prase_url": q_prase_url,
         "crawl_log": q_crawl_log,
         "crawl_seen": q_crawl_seen,
         "crawl_images_meta": q_crawl_images_meta,
         "bfs_ge": q_bfs_ge,
+        "crawler_tf_list": q_crawler_tf_list,
+        "crawler_list_root": q_crawler_list_root,
+        "dbge_csv": q_dbge_csv,
+        "table_ex_ge_roundtrip": q_table_ex_ge_roundtrip,
+        "db_ex_roundtrip": q_db_ex_roundtrip,
+        "db_ex_upsert": q_db_ex_upsert,
+        "folder_ge": q_folder_ge,
+        "write_read_file_text": q_write_read_file_text,
+        "file_exist_ft": q_file_exist_ft,
+        "save_file_ex": q_save_file_ex,
+        "etl_tf_sub": q_etl_tf_sub,
+        "etl_ex_count": q_etl_ex_count,
+        "parallel_map_reduce": q_parallel_map_reduce,
+        "markers_range_tf": q_markers_range_tf,
+        "repeat_merge_repeat_tf": q_repeat_merge_repeat_tf,
+        "spider_helpers": q_spider_helpers,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     tbl = _values  # brevity
     return {
-        "add_new_tf": "SELECT r_regionkey, 'const' AS tag FROM region",
-        "num_range_ft": """
-            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-            WHERE l_quantity BETWEEN 5 AND 15
-        """,
-        "repeat_tf": """
-            SELECT n_nationkey FROM nation, generate_series(1, 3)
-        """,
-        "markers_identity": "SELECT o_orderkey FROM orders",
-        "file_exist_ft": tbl([(1, "True"), (2, "False")], "id, does_exist"),
-        "table_ex_ge_roundtrip": "SELECT r_regionkey, r_name FROM region",
+        "crawl_log": _crawl_log_oracle(),
+        "crawl_seen": _crawl_seen_oracle(),
+        "crawl_images_meta": _crawl_images_oracle(),
+        "bfs_ge": _bfs_ge_oracle(),
+        "crawler_tf_list": _crawler_tf_oracle(),
+        "crawler_list_root": _crawler_list_root_oracle(),
         "dbge_csv": tbl([("A1", "3"), ("B2", "5"), ("C3", "7")], "sku, qty"),
+        "table_ex_ge_roundtrip": "SELECT r_regionkey, r_name FROM region",
         "db_ex_roundtrip": "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5",
+        "db_ex_upsert": _db_ex_upsert_oracle(),
         "folder_ge": tbl(
             [(f"{n}.parquet",) for n in sorted(
                 "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -474,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
         "write_read_file_text": tbl(
             [("hello",), ("world",), ("etl",), ("file-content",)], "line"
         ),
+        "file_exist_ft": tbl([(1, "True"), (2, "False")], "id, does_exist"),
         "save_file_ex": tbl(
             [
                 ("http://h.example/a.jpg", "imgs/a.jpg", len(b"data|http://h.example/a.jpg")),
@@ -481,13 +593,10 @@ def oracle_sql() -> dict[str, str]:
             ],
             "url, save_path, byte_len",
         ),
-        "etl_tf_sub": "SELECT i AS n, i + i AS d FROM generate_series(1, 5) s(i)",
+        "etl_tf_sub": "SELECT i AS n, i AS m, i + i AS d FROM generate_series(1, 5) s(i)",
         "etl_ex_count": tbl([("evens", 4)], "sub, n_rows"),
-        "crawler_tf_list": _crawler_tf_oracle(),
-        "para2dict": _para2dict_oracle(),
-        "prase_url": tbl([(1, _prase_url(_PRASE_BASE, _PRASE_TPL))], "id, url"),
-        "crawl_log": _crawl_log_oracle(),
-        "crawl_seen": _crawl_seen_oracle(),
-        "crawl_images_meta": _crawl_images_oracle(),
-        # bfs_ge: rows-only (depends on crawl rounds; covered by crawl_log)
+        "parallel_map_reduce": "SELECT i AS seed, i * i AS sq FROM generate_series(1, 8) s(i)",
+        "markers_range_tf": "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5 OFFSET 10",
+        "repeat_merge_repeat_tf": "SELECT n_nationkey, 3::BIGINT AS cnt FROM nation",
+        "spider_helpers": _spider_helpers_oracle(),
     }

@@ -1,8 +1,11 @@
 """Driver harness part 2: large-scale training-data operators
 (dedup / similarity / text analysis / multimodal) over the documents,
-embeddings and synthetic-image tables, each with a DuckDB oracle where the
-semantics are SQL-expressible (genuinely non-SQL ops are rows-only / WEAK
-and covered by pytest instead)."""
+embeddings and synthetic-image tables.
+
+Round 2: every entry has an oracle. SQL-expressible ops get DuckDB SQL;
+the procedural ops (IVF quantizer, pHash, frame sampling) get VALUES
+lists computed at oracle-build time by a deterministic serial replica —
+the same pattern the crawl-parity oracles use."""
 
 from __future__ import annotations
 
@@ -15,6 +18,10 @@ from etlpy_spark.operators import similarity as sim
 from etlpy_spark.operators import text as tx
 
 OFFSET = 100_000
+
+# the driver compares at sf=0.01; procedural oracles replicate over the
+# same table the Spark side reads there
+_DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
 
 def _t(spark, sf_dir, name) -> DataFrame:
@@ -79,43 +86,33 @@ def q_ann_ivf(spark, sf_dir):
     return sim.ivf_topk(e, list(qv), k=10).select("vec_id", "rank")
 
 
-def q_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.lang_id("text").alias("lang_pred"))
-
-
-def q_quality_score(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.quality_score("text").alias("quality"))
-
-
-def q_token_count(spark, sf_dir):
+def q_text_suite(spark, sf_dir):
+    """lang-id + quality score + token counts + rolling-hash fingerprint in
+    one pass over documents — all pure Column exprs, zero UDFs."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
+        tx.lang_id("text").alias("lang_pred"),
+        tx.quality_score("text").alias("quality"),
         tx.token_count("text").alias("n_tokens"),
         tx.whitespace_token_count("text").alias("n_ws_tokens"),
+        tx.fingerprint("text").alias("fp"),
     )
 
 
-def q_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.fingerprint("text").alias("fp"))
-
-
-def q_image_decode_meta(spark, sf_dir):
+def q_image_pipeline(spark, sf_dir):
+    """decode → features (w/h/fmt/pHash) on originals, plus resize(16) →
+    re-decode on thumbnails — the full image column pipeline, mapInPandas
+    with numpy kernels."""
     imgs = mm.synthetic_images_df(spark, n=200)
-    return mm.decode_image_features(imgs).select("image_id", "w", "h", "fmt")
-
-
-def q_image_resize(spark, sf_dir):
-    imgs = mm.synthetic_images_df(spark, n=100)
-    return mm.resize_images(imgs, size=16).select("image_id", "w", "h", "fmt")
-
-
-def q_image_phash(spark, sf_dir):
-    imgs = mm.synthetic_images_df(spark, n=100)
-    return mm.decode_image_features(imgs).select("image_id", "phash", "mean_lum")
+    orig = mm.decode_image_features(imgs).select(
+        "image_id", F.lit("orig").alias("stage"), "w", "h", "fmt", "phash"
+    )
+    thumbs = mm.resize_images(imgs, size=16)
+    thumb = mm.decode_image_features(thumbs).select(
+        "image_id", F.lit("thumb").alias("stage"), "w", "h", "fmt", "phash"
+    )
+    return orig.unionByName(thumb)
 
 
 def q_video_frames_fake(spark, sf_dir):
@@ -244,6 +241,136 @@ def _quality_sql() -> str:
     """
 
 
+_TOKENS_SQL = r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS n_tokens,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
+        FROM documents
+"""
+
+_FINGERPRINT_SQL = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS hs
+          FROM documents
+        )
+        SELECT doc_id,
+               list_reduce(list_prepend(0::BIGINT, hs),
+                           (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+        FROM t
+"""
+
+
+def _text_suite_sql() -> str:
+    return f"""
+        SELECT L.doc_id, L.lang_pred, Q.quality, T.n_tokens, T.n_ws_tokens, Fp.fp
+        FROM ({_lang_sql()}) L
+        JOIN ({_quality_sql()}) Q USING (doc_id)
+        JOIN ({_TOKENS_SQL}) T USING (doc_id)
+        JOIN ({_FINGERPRINT_SQL}) Fp USING (doc_id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# procedural oracles: serial replicas → VALUES
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _values(rows: list[tuple], cols: str) -> str:
+    body = ",".join(
+        "(" + ",".join(
+            "NULL" if v is None else (_sql_quote(v) if isinstance(v, str) else str(v))
+            for v in r
+        ) + ")"
+        for r in rows
+    )
+    return f"SELECT * FROM (VALUES {body}) AS t({cols})"
+
+
+def _load_driver_embeddings() -> list[tuple[int, list[float]]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{_DRIVER_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = sorted(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    return [(int(i), [float(x) for x in v]) for i, v in rows]
+
+
+def _ann_ivf_oracle(k: int = 10, n_cells: int = 16, nprobe: int = 4, sample: int = 512) -> str:
+    """Serial replica of ivf_topk with Spark's exact fold ordering:
+    left-fold accumulation for distances and cosines so the IEEE results
+    are bit-identical to the JVM aggregate exprs."""
+    from etlpy_spark.operators.similarity import _kmeans_lite
+
+    rows = _load_driver_embeddings()
+    q = rows[0][1]  # vec_id == 0
+    C = _kmeans_lite([v for _, v in rows[:sample]], n_cells)
+
+    def sqdist(v, c):
+        s = 0.0
+        for a, b in zip(v, c):
+            s += (a - b) * (a - b)
+        return s
+
+    def cos(v, c):
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for a, b in zip(v, c):
+            dot += a * b
+        for a in v:
+            na += a * a
+        for b in c:
+            nb += b * b
+        return dot / ((na ** 0.5) * (nb ** 0.5))
+
+    cents = [list(map(float, c)) for c in C]
+    probe = sorted(range(len(cents)), key=lambda j: sqdist(q, cents[j]))[:nprobe]
+    probe_set = set(probe)
+    scored = []
+    for vid, v in rows:
+        ds = [sqdist(v, c) for c in cents]
+        cell = ds.index(min(ds))
+        if cell in probe_set:
+            scored.append((vid, cos(v, q)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return _values([(vid, r + 1) for r, (vid, _) in enumerate(scored[:k])], "vec_id, rank")
+
+
+def _image_pipeline_oracle(n: int = 200, size: int = 16) -> str:
+    import numpy as np
+
+    from etlpy_spark.functions.imagecodec import (
+        decode,
+        encode_ppm,
+        image_bytes,
+        phash64,
+        sniff_format,
+    )
+
+    rows = []
+    for i in range(n):
+        iid = f"img-{i:012d}"
+        b = image_bytes(iid)
+        px = decode(b)
+        h, w, _ = px.shape
+        rows.append((iid, "orig", w, h, sniff_format(b), phash64(px)))
+        yi = (np.arange(size) * h // size).clip(0, h - 1)
+        xi = (np.arange(size) * w // size).clip(0, w - 1)
+        small = px[np.ix_(yi, xi)]
+        tb = encode_ppm(small)
+        rows.append((iid, "thumb", size, size, sniff_format(tb), phash64(decode(tb))))
+    return _values(rows, "image_id, stage, w, h, fmt, phash")
+
+
+def _video_frames_oracle() -> str:
+    rows = [(f"vid-{i:04d}", idx) for i in range(8) for idx in (0, 5, 10)]
+    return _values(rows, "video_id, frame_idx")
+
+
 def queries():
     return {
         "exact_dedup": q_exact_dedup,
@@ -253,13 +380,8 @@ def queries():
         "embedding_near_dup": q_embedding_near_dup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_count": q_token_count,
-        "fingerprint": q_fingerprint,
-        "image_decode_meta": q_image_decode_meta,
-        "image_resize": q_image_resize,
-        "image_phash": q_image_phash,
+        "text_suite": q_text_suite,
+        "image_pipeline": q_image_pipeline,
         "video_frames_fake": q_video_frames_fake,
     }
 
@@ -289,43 +411,8 @@ def oracle_sql():
                        ) DESC, vec_id) AS rank
               FROM embeddings) WHERE rank <= 10
         """,
-        # ann_ivf: approximate by design → rows-only; recall gate in pytest
-        "lang_id": _lang_sql(),
-        "quality_score": _quality_sql(),
-        "token_count": r"""
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS n_tokens,
-                   len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
-            FROM documents
-        """,
-        "fingerprint": """
-            WITH t AS (
-              SELECT doc_id,
-                     list_transform(regexp_split_to_array(trim(text), '\\s+'),
-                                    w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS hs
-              FROM documents
-            )
-            SELECT doc_id,
-                   list_reduce(list_prepend(0::BIGINT, hs),
-                               (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
-            FROM t
-        """,
-        # replicates functions/imagecodec.image_spec: md5('{seed}|spec|{id}')
-        # first-8-bytes big-endian; sizes by h%3, (h>>8)%3; fmt by (h>>16)%3
-        "image_decode_meta": """
-            WITH s AS (
-              SELECT printf('img-%012d', i) AS image_id,
-                     ('0x' || substr(md5('42|spec|img-' || printf('%012d', i)), 1, 16))::UBIGINT AS hv
-              FROM generate_series(0, 199) t(i))
-            SELECT image_id,
-                   CASE hv % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS w,
-                   CASE (hv // 256) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS h,
-                   CASE (hv // 65536) % 3 WHEN 0 THEN 'raw' WHEN 1 THEN 'ppm' ELSE 'png' END AS fmt
-            FROM s
-        """,
-        "image_resize": """
-            SELECT printf('img-%012d', i) AS image_id, 16 AS w, 16 AS h, 'ppm' AS fmt
-            FROM generate_series(0, 99) t(i)
-        """,
-        # image_phash / video_frames_fake: procedural-content ops → rows-only
+        "ann_ivf": _ann_ivf_oracle(),
+        "text_suite": _text_suite_sql(),
+        "image_pipeline": _image_pipeline_oracle(),
+        "video_frames_fake": _video_frames_oracle(),
     }

@@ -81,7 +81,16 @@ def ivf_topk(
     gate lives in tests (vs brute force)."""
     import numpy as np
 
-    rows = df.select(_vec(vec_col).alias("v")).limit(sample).collect()
+    # order-stable sample (TakeOrderedAndProject — a top-k, not a full
+    # sort): limit() alone takes whatever partitions answer first, which
+    # would make the trained quantizer (and thus the probed cells)
+    # nondeterministic across runs/cluster sizes
+    rows = (
+        df.select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(sample)
+        .collect()
+    )
     C = _kmeans_lite([r.v for r in rows], n_cells)
     q = np.asarray(query_vec, dtype=np.float64)
     probe_cells = np.argsort(((C - q) ** 2).sum(1))[:nprobe].tolist()
