@@ -23,6 +23,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the upstream scan
+    is narrower (a small parquet file = 1-2 partitions under the default
+    128 MB split, which serializes every downstream per-row computation).
+    At real scale the scan already has >= cores partitions and this is a
+    no-op — no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact
 
@@ -66,30 +78,57 @@ def ngram_jaccard_pairs(
     jaccard = shared / (|A| + |B| - shared). Returns (id_a, id_b, jaccard)
     with id_a < id_b. No cross join anywhere — the shuffle key is the
     shingle, so cost tracks shared content, not n²."""
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")).filter(
+    sh = _spread(df).select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")).filter(
         F.size("sh") >= 1
     )
-    # carry |sh| through the join so size-incompatible pairs (J >= t needs
-    # t <= n_a/n_b <= 1/t) are pruned BEFORE the pair aggregation, and
     # shuffle 8-byte shingle hashes, not the shingle strings (exactness is
     # preserved up to xxhash64 collisions, ~2^-32 at these cardinalities;
     # the jaccard itself is computed from true counts)
     inv = sh.select(
         "id", F.size("sh").alias("n_sh"), F.explode(shingle_hashes(F.col("sh"))).alias("shingle_h")
     )
-    pairs = (
-        inv.alias("a")
-        .join(inv.alias("b"), on="shingle_h")
-        .filter(
-            (F.col("a.id") < F.col("b.id"))
-            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
-            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh"))
+    # posting-list groupBy instead of an inverted-index SELF-join: the join
+    # evaluates the scan+shingle+explode plan once per side; the groupBy
+    # reads it once, shuffles (shingle_h, id, n_sh), and expands the same
+    # pair multiset in-array. |sh| is carried so size-incompatible pairs
+    # (J >= t needs t <= n_a/n_b <= 1/t) are pruned BEFORE the pair
+    # aggregation.
+    posts = (
+        inv.groupBy("shingle_h")
+        .agg(F.collect_list(F.struct("id", "n_sh")).alias("ps"))
+        .filter(F.size("ps") > 1)
+    )
+    ps = F.col("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(
+                    F.when(x["id"] < y["id"], x).otherwise(y).alias("a"),
+                    F.when(x["id"] < y["id"], y).otherwise(x).alias("b"),
+                ),
+            ),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    pairs = (
+        posts.select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.a.n_sh").alias("n_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.b.n_sh").alias("n_b"),
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_a") * threshold <= F.col("n_b"))
+            & (F.col("n_b") * threshold <= F.col("n_a"))
+        )
+        .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("shared"),
-            F.first(F.col("a.n_sh")).alias("n_a"),
-            F.first(F.col("b.n_sh")).alias("n_b"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
         )
     )
     out = (
@@ -104,14 +143,6 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
-
-
-def _perm_min(hs: Column, seed: int) -> Column:
-    # NB: the lambda must stay single-parameter (a two-parameter lambda in
-    # F.transform means (element, index)) — seed is bound by closure.
-    # xxhash64 over the 8-byte long (NOT the shingle string) is the seeded
-    # permutation: overflow-free under ANSI mode, and ~constant cost.
-    return F.array_min(F.transform(hs, lambda h: F.xxhash64(h, F.lit(seed))))
 
 
 def shingle_hashes(sh: Column) -> Column:
@@ -146,39 +177,73 @@ def minhash_lsh_pairs(
     candidates are removed by verification, so the output matches the exact
     operator with near-certainty while touching ~candidate pairs only."""
     r = k // bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, n).alias("sh"),
-    ).filter(F.size("sh") >= 1)
-    sh = sh.cache()
-    sig = sh.withColumn("sig", minhash_signature_from_shingles(F.col("sh"), k))
-    # band rows carry ONLY (id, band, bucket) — exploding the shingle
-    # arrays x bands through the bucket shuffle multiplies shuffle bytes
-    # by the banding factor; shingles are joined back onto the distinct
-    # candidate id-pairs instead
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r)), b
-                ),
-            )
-        ).alias("band", "bucket"),
+
+    def hashed(src: DataFrame) -> DataFrame:
+        """(id, hs: array<long>) — 8-byte hashed shingles. Narrow enough to
+        shuffle/recompute; the string arrays never leave their scan stage."""
+        return _spread(src).select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(word_shingles(text_col, n)).alias("hs"),
+        ).filter(F.size("hs") >= 1)
+
+    # signature: explode hashed shingles and take k seeded mins in ONE
+    # hash-aggregate — 64 static min() columns, fully whole-stage-codegen'd
+    # and map-side combinable (partial mins before the shuffle, so the
+    # exchange carries one 64-long row per doc). Array-lambda formulations
+    # of the same fold measured ~8× slower: higher-order functions are
+    # evaluated outside codegen and defeat CSE under projection collapse.
+    ex = hashed(df).select("id", F.explode("hs").alias("h"))
+    sig_tbl = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"m{s}") for s in range(k)]
     )
+    # band buckets as static exprs over the agg output (the Aggregate is a
+    # collapse barrier, so each min column is computed exactly once)
+    bucket_exprs = [
+        F.xxhash64(
+            F.concat_ws(",", *[F.col(f"m{b * r + j}") for j in range(r)]), F.lit(b)
+        )
+        for b in range(bands)
+    ]
+    banded = sig_tbl.select("id", F.posexplode(F.array(*bucket_exprs)).alias("band", "bucket"))
+    # candidate pairs via groupBy(bucket) + in-array pair expansion, NOT a
+    # self-join: a self-join evaluates the (expensive) signature plan once
+    # per side; the groupBy reads it once and shuffles only (id, band,
+    # bucket). Per-bucket expansion is quadratic in bucket size — exactly
+    # the same pair count the self-join would shuffle, without the second
+    # signature pass.
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
+    # distinct BEFORE the shingle join-back: a pair colliding in m bands
+    # would otherwise verify (and emit) m times
     pair_ids = (
-        banded.alias("a")
-        .join(banded.alias("b"), on=["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
+    # exact verification on the hashed shingle sets (exact up to xxhash64
+    # collisions, ~2^-64·|sh| per pair — the same contract as
+    # ngram_jaccard_pairs; jaccard counts come from true set sizes)
+    hs = hashed(df)
     cand = pair_ids.join(
-        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+        hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+    ).join(hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     return (
         cand.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
@@ -186,9 +251,25 @@ def minhash_lsh_pairs(
     )
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
+def _signature_from_hashes(hs: Column, k: int) -> Column:
+    """All k permutation-mins in ONE aggregate fold: acc[i] is the running
+    min of xxhash64(shingle_hash, seed=i). The seeded permutation hashes
+    the 8-byte long (not the shingle string) — overflow-free under ANSI
+    mode and ~constant cost per (element, seed)."""
+    seeds = F.array(*[F.lit(s) for s in range(k)])
+    init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), k)
+    return F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(acc, seeds, lambda a, s: F.least(a, F.xxhash64(h, s))),
+    )
+
+
 def minhash_signature_from_shingles(sh: Column, k: int = 64) -> Column:
-    hs = shingle_hashes(sh)
-    return F.array(*[_perm_min(hs, seed) for seed in range(k)])
+    return _signature_from_hashes(shingle_hashes(sh), k)
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +282,7 @@ def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     with SQL oracles); bit i of the result is the sign of the sum over all
     tokens of ±1 at bit i. One explode + one aggregation (map-side
     combinable)."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
