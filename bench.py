@@ -48,7 +48,10 @@ def bench_crawl(spark) -> dict:
     wd = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
         t0 = time.time()
-        cr = SparkCrawler(spark, wd, CrawlConfig(web=web, n_shards=16, n_buckets=CPUS))
+        cr = SparkCrawler(
+            spark, wd,
+            CrawlConfig(web=web, n_shards=16, n_buckets=CPUS, write_metrics=False),
+        )
         ms = cr.run(seeds, max_rounds=3)
         dt = time.time() - t0
         fetched = sum(m.get("fetched", 0) for m in ms)

@@ -299,28 +299,36 @@ class SparkCrawler:
 
         frontier = self.frontier.read()
 
-        # robots gate: broadcast join + any-prefix match (pure expressions);
-        # scheduled + blocked counted in ONE pass (each driver action is a
-        # full Spark job — round fixed cost is what caps URLs/sec).
+        # robots gate: broadcast join + any-prefix match (pure expressions).
+        # The annotated frontier is cached ONCE; scheduled+blocked counts,
+        # the politeness ranking and the fetch ranking all read the cache —
+        # one materializing agg instead of separate stats jobs (each driver
+        # action is a full Spark job; round fixed cost is what caps URLs/s).
         robots = self._robots_df()
         path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]+(/.*)$", 1)
-        joined = frontier.join(F.broadcast(robots), on="host", how="left")
         blocked_pred = F.exists(
             F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
             lambda d: path.startswith(d),
+        )
+        joined = (
+            frontier.join(F.broadcast(robots), on="host", how="left")
+            .withColumn("__blocked__", blocked_pred)
+            .drop("disallow")
+            .cache()
         )
         import time as _time
 
         _t = _time.time()
         stats = joined.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(blocked_pred.cast("long")), F.lit(0)).alias("blk"),
+            F.coalesce(F.sum(F.col("__blocked__").cast("long")), F.lit(0)).alias("blk"),
         ).first()
         scheduled, robots_blocked = int(stats["n"]), int(stats["blk"])
         _t = _tlog("robots_stats", _t)
         if scheduled == 0:
+            joined.unpersist()
             return {"round": rnd, "fetched": 0, "scheduled": 0}
-        allowed = joined.filter(~blocked_pred).drop("disallow")
+        allowed = joined.filter(~F.col("__blocked__")).drop("__blocked__")
 
         # politeness: first K per host by (priority, discovered_seq)
         wh = Window.partitionBy("host").orderBy("priority", "discovered_seq")
@@ -383,6 +391,73 @@ class SparkCrawler:
         self.log.append(log_rows, meta={"round": rnd})
         _t = _tlog("fetch+log_commit", _t)
 
+        # the log append above materialized the `extracted` cache, so the
+        # link path and the image path below read it without re-fetching —
+        # and being independent until the frontier commit, the image
+        # fetch/decode/append runs CONCURRENTLY (its own driver thread;
+        # Spark schedules jobs from multiple threads freely). This overlaps
+        # the two largest per-round jobs instead of paying them serially.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def image_path() -> int:
+            refs = (
+                extracted.filter(F.col("kind") == "img")
+                .groupBy(F.col("value").alias("image_id"))
+                .agg(
+                    F.min_by(
+                        F.struct("caption", "part"), F.struct("fetch_seq", "pos")
+                    ).alias("__f__")
+                )
+                .select("image_id", "__f__.caption", "__f__.part")
+            )
+            if self.images.current_version() is not None:
+                refs = refs.join(
+                    self.images.read().select("image_id"), on="image_id", how="left_anti"
+                )
+
+            def fetch_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                from etlpy_spark.functions.imagecodec import decode, image_spec, phash64
+                from etlpy_spark.sources.synthetic_web import fetch_image
+
+                CHUNK = 256  # bounds per-task memory: image BYTES never
+                # accumulate beyond ~CHUNK rows per yielded frame (a whole
+                # input batch of 280 KB images in one frame OOMs at high
+                # task concurrency — memory must not scale with parallelism)
+                for pdf in batches:
+                    for lo in range(0, len(pdf), CHUNK):
+                        sub = pdf.iloc[lo : lo + CHUNK]
+                        rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "first_round", "lineage_part")}
+                        for iid, cap, part in zip(sub["image_id"], sub["caption"], sub["part"]):
+                            data = fetch_image(iid, web)
+                            px = decode(data)
+                            w_, h_, fmt = image_spec(iid, web.seed, web.dim_scale, web.force_fmt)
+                            rows["image_id"].append(iid); rows["bytes"].append(data)
+                            rows["w"].append(w_); rows["h"].append(h_); rows["fmt"].append(fmt)
+                            rows["caption"].append(cap); rows["phash"].append(phash64(px))
+                            rows["first_round"].append(rnd); rows["lineage_part"].append(part)
+                        yield pd.DataFrame(rows)
+
+            # refs are already deduped keep-first AND anti-joined against the
+            # current image table, so every img_row is a brand-new image_id:
+            # a plain append IS the MERGE INTO here — and it skips re-reading
+            # the full (growing) image table twice per round. Row count comes
+            # from the written parquet footers, so the bytes are never cached.
+            img_rows = refs.repartition(cfg.n_buckets).mapInPandas(
+                fetch_images, schema=IMAGES_DDL
+            )
+            _, n_imgs = self.images.append_counted(img_rows, meta={"round": rnd})
+            return int(n_imgs)
+
+        # job-level overlap of the image and link paths: helps only when
+        # executors are NOT already saturated (both stages are Python-CPU
+        # heavy; on a saturated local[N] the overlap doubles the resident
+        # pyspark workers and measured 2x SLOWER). Opt-in for clusters
+        # with idle capacity.
+        overlap = os.environ.get("ETLPY_CRAWL_OVERLAP", "0") == "1"
+        if overlap:
+            pool = ThreadPoolExecutor(max_workers=1)
+            img_future = pool.submit(image_path)
+
         # -- link path: canonicalize, dedup, bloom, anti-join, sequence
         canon = self._canon_udf()
         links = (
@@ -400,12 +475,13 @@ class SparkCrawler:
             .select("url", "__f__.*")
         )
 
+        bloom_bcast = None
         if cfg.use_bloom and self.seen.current_version() is not None:
             blooms = self._load_blooms()
             payload = {
                 s: (b.to_bytes(), b.n_bits, b.n_hashes) for s, b in blooms.items()
             }
-            bb = spark.sparkContext.broadcast(payload)
+            bb = bloom_bcast = spark.sparkContext.broadcast(payload)
             n_shards = cfg.n_shards
 
             from pyspark.sql.functions import pandas_udf
@@ -457,56 +533,14 @@ class SparkCrawler:
         ).cache()
         _t = _tlog("links_canon_dedup_rank", _t)
 
-        # -- image path: first reference wins, fetch+decode+phash, MERGE
-        # (keep-first via min_by — map-side combine, no window sort)
-        refs = (
-            extracted.filter(F.col("kind") == "img")
-            .groupBy(F.col("value").alias("image_id"))
-            .agg(
-                F.min_by(
-                    F.struct("caption", "part"), F.struct("fetch_seq", "pos")
-                ).alias("__f__")
-            )
-            .select("image_id", "__f__.caption", "__f__.part")
-        )
-        if self.images.current_version() is not None:
-            refs = refs.join(self.images.read().select("image_id"), on="image_id", how="left_anti")
-
-        def fetch_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from etlpy_spark.functions.imagecodec import decode, image_spec, phash64
-            from etlpy_spark.sources.synthetic_web import fetch_image
-
-            CHUNK = 256  # bounds per-task memory: image BYTES never
-            # accumulate beyond ~CHUNK rows per yielded frame (a whole
-            # input batch of 280 KB images in one frame OOMs at high
-            # task concurrency — memory must not scale with parallelism)
-            for pdf in batches:
-                for lo in range(0, len(pdf), CHUNK):
-                    sub = pdf.iloc[lo : lo + CHUNK]
-                    rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "first_round", "lineage_part")}
-                    for iid, cap, part in zip(sub["image_id"], sub["caption"], sub["part"]):
-                        data = fetch_image(iid, web)
-                        px = decode(data)
-                        w_, h_, fmt = image_spec(iid, web.seed, web.dim_scale, web.force_fmt)
-                        rows["image_id"].append(iid); rows["bytes"].append(data)
-                        rows["w"].append(w_); rows["h"].append(h_); rows["fmt"].append(fmt)
-                        rows["caption"].append(cap); rows["phash"].append(phash64(px))
-                        rows["first_round"].append(rnd); rows["lineage_part"].append(part)
-                    yield pd.DataFrame(rows)
-
-        # refs are already deduped keep-first AND anti-joined against the
-        # current image table, so every img_row is a brand-new image_id:
-        # a plain append IS the MERGE INTO here — and it skips re-reading
-        # the full (growing) image table twice per round. Row count comes
-        # from the written parquet footers, so the bytes are never cached.
-        img_rows = refs.repartition(cfg.n_buckets).mapInPandas(
-            fetch_images, schema=IMAGES_DDL
-        )
-        _, n_new_images = self.images.append_counted(img_rows, meta={"round": rnd})
-        _t = _tlog("image_fetch_decode_commit", _t)
-
-        # -- commit state
+        # -- commit state (image append still in flight on its own thread)
         self._commit_seen(new_frontier.select("url", F.lit(rnd + 1).alias("round")))
+        if overlap:
+            n_new_images = img_future.result()
+            pool.shutdown()
+        else:
+            n_new_images = image_path()
+        _t = _tlog("image_join+seen_commit", _t)
         next_frontier = deferred.select(
             "url", "host", "priority", "discovered_seq", "round", "lineage_part"
         ).unionByName(new_frontier)
@@ -533,8 +567,13 @@ class SparkCrawler:
         _t = _tlog("seen+frontier+metrics_commit", _t)
         extracted.unpersist()
         new_frontier.unpersist()
+        joined.unpersist()
         for c in round_caches:
             c.unpersist()
+        if bloom_bcast is not None:
+            # the per-round Bloom payload otherwise accumulates on the
+            # driver/executors over a long many-round crawl
+            bloom_bcast.destroy()
         return m
 
     def run(self, seeds: list[str] | None, max_rounds: int) -> list[dict]:
