@@ -13,8 +13,9 @@ Scale shapes (the part that must survive 100 TB):
   - n-gram Jaccard: inverted-index join on shingle (shuffle keyed by
     shingle) + count-sharing per pair; exact, and the standard way to do
     exact-Jaccard at scale.
-  - embedding cosine: bounded block self-join (here; IVF/LSH routing in
-    operators/similarity.py is the scale path for top-k).
+  - embedding cosine: random-hyperplane LSH banding (numpy matmul per
+    Arrow batch) + exact cosine verify; IVF routing in
+    operators/similarity.py is the top-k path.
 """
 
 from __future__ import annotations
@@ -316,38 +317,81 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    planes_per_band: int = 8,
+    bands: int = 16,
+    seed: int = 7,
 ) -> DataFrame:
-    """Cosine near-dup pairs. Blocking key = sign of the first principal-ish
-    component (sum of elements): exact for threshold→1 cases like true
-    duplicates and cheap; a real 100 TB run would use the IVF routing in
-    operators/similarity.py. Self-join stays within blocks."""
-    v = df.select(
+    """Cosine near-dup pairs via random-hyperplane LSH banding + exact
+    cosine verification.
+
+    Each band hashes the sign pattern of r hyperplane projections
+    (sign-match probability per plane = 1 - θ/π); a candidate pair must
+    agree on a whole band. At cos ≥ 0.95 the per-band hit rate is ~0.43,
+    so 16 bands miss with prob (1-0.43)^16 ≈ 1e-4 — and identical vectors
+    collide in EVERY band. This replaces the r1 prefix-sum sign blocking,
+    which deterministically missed near-dups straddling a sign boundary.
+
+    Projections are one Arrow-batched numpy matmul per batch (V @ H.T —
+    the vectorized-UDF case: 128 per-element fold expressions would run
+    interpreted); candidates then verify with the exact JVM-side cosine.
+    """
+    import numpy as np
+
+    probe = df.select(vec_col).head()
+    if probe is None:
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos double")
+    dim = len(probe[0])
+    rng = np.random.RandomState(seed)
+    H = rng.normal(size=(bands * planes_per_band, dim))
+
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    r = planes_per_band
+    weights = (1 << np.arange(r)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def band_buckets(vecs):
+        V = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (V @ H.T) > 0  # (n, bands*r)
+        codes = bits.reshape(len(V), bands, r) @ weights  # (n, bands)
+        # encode band id into the bucket so different bands never collide
+        buckets = codes + (np.arange(bands, dtype=np.int64) << r)
+        return pd.Series(list(buckets))
+
+    v = _spread(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    # block: coarse signature (sign pattern of 4 prefix-sums) — identical
-    # vectors share it; near-identical vectors share it w.h.p.
-    def block(col: Column) -> Column:
-        quarters = [
-            F.aggregate(F.slice(col, i * 16 + 1, 16), F.lit(0.0), lambda s, x: s + x)
-            for i in range(4)
-        ]
-        sig: Column = F.lit(0)
-        for i, q in enumerate(quarters):
-            sig = sig + F.when(q > 0, F.lit(1 << i)).otherwise(0)
-        return sig
-
-    vb = v.withColumn("blk", block(F.col("v")))
-    pairs = (
-        vb.alias("a")
-        .join(vb.alias("b"), on="blk")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+    banded = v.select("id", F.explode(band_buckets(F.col("v"))).alias("bucket"))
+    posts = (
+        banded.groupBy("bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
         )
+    )
+    pair_ids = (
+        posts.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    cand = pair_ids.join(
+        v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+    ).join(v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+    return (
+        cand.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
-    return pairs

@@ -108,3 +108,41 @@ def test_exact_dedup_keep_first(spark):
     )
     kept = sorted(r.doc_id for r in dd.exact_dedup(df).collect())
     assert kept == [1, 2]
+
+
+def test_embedding_near_dup_boundary_straddlers(spark):
+    """Near-dup pairs whose element sums sit at a sign boundary — the r1
+    prefix-sum sign blocking missed these deterministically; hyperplane-LSH
+    banding must recover every pair the exact operator finds."""
+    import numpy as np
+
+    from etlpy_spark.operators import dedup as dd
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(40):
+        # base vector with ~zero mean (every quarter-sum hovers near 0)
+        v = rng.normal(0, 1.0, 64)
+        v -= v.mean()
+        # near-copy: tiny perturbation that can flip quarter-sum signs
+        w = v + rng.normal(0, 0.01, 64)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_near_dup_pairs(df, threshold=0.99).collect()
+    }
+    # exact reference: brute-force all pairs
+    V = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    expect = set()
+    ks = sorted(V)
+    for ai in range(len(ks)):
+        for bi in range(ai + 1, len(ks)):
+            a, b = ks[ai], ks[bi]
+            c = V[a] @ V[b] / (np.linalg.norm(V[a]) * np.linalg.norm(V[b]))
+            if c >= 0.99:
+                expect.add((a, b))
+    assert expect, "fixture must contain near-dup pairs"
+    assert got == expect
