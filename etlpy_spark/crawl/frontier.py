@@ -82,6 +82,11 @@ class CrawlConfig:
     # metrics land in the frontier snapshot meta either way; the separate
     # metrics table commit can be skipped for benchmark runs
     write_metrics: bool = True
+    # write image part files with pyarrow INSIDE the fetch/decode UDF and
+    # manifest-commit them, so image bytes never cross the Python→Arrow→
+    # JVM→parquet row path (they go Python→pyarrow→disk); False = classic
+    # Spark writer
+    images_direct_write: bool = True
 
 
 def global_rank(
@@ -196,8 +201,12 @@ class SparkCrawler:
             {"seed_seq": pd.array(range(len(seeds)), dtype="int64"), "raw": seeds}
         )
         # Arrow path: a million-seed list lands in executors in ~a second;
-        # the row-by-row createDataFrame pickle path is 10x slower
-        raw = spark.createDataFrame(seed_pdf).repartition(self.cfg.n_buckets)
+        # the row-by-row createDataFrame pickle path is 10x slower. The
+        # explicit schema keeps an EMPTY seed list valid (schema inference
+        # cannot type an empty object column).
+        raw = spark.createDataFrame(
+            seed_pdf, schema="seed_seq long, raw string"
+        ).repartition(self.cfg.n_buckets)
         canon = self._canon_udf()
         df = raw.select("seed_seq", canon(F.col("raw")).alias("c")).select(
             "seed_seq", "c.url", "c.host", "c.priority"
@@ -207,9 +216,10 @@ class SparkCrawler:
         first = df.groupBy("url").agg(
             F.min(F.struct("seed_seq", "host", "priority")).alias("__f__")
         ).select("url", "__f__.*")
+        init_caches: list = []
         ranked, n = global_rank(
             first, ["seed_seq"], "discovered_seq", 0, self.cfg.n_buckets,
-            small=len(seeds) <= self.cfg.rank_threshold,
+            small=len(seeds) <= self.cfg.rank_threshold, caches=init_caches,
         )
         frontier = ranked.select(
             "url", "host", "priority", "discovered_seq",
@@ -219,6 +229,8 @@ class SparkCrawler:
             frontier, meta={"round": 0, "next_fetch_seq": 0, "next_discovered_seq": n}
         )
         self._commit_seen(frontier.select("url", F.lit(0).alias("round")))
+        for c in init_caches:
+            c.unpersist()
 
     def _build_shard_blooms(self, rows: DataFrame) -> list:
         """Distributed Bloom construction: hash every URL into a per-shard
@@ -415,27 +427,70 @@ class SparkCrawler:
                     self.images.read().select("image_id"), on="image_id", how="left_anti"
                 )
 
-            def fetch_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def rows_for(sub: pd.DataFrame) -> dict:
                 from etlpy_spark.functions.imagecodec import decode, image_spec, phash64
                 from etlpy_spark.sources.synthetic_web import fetch_image
 
-                CHUNK = 256  # bounds per-task memory: image BYTES never
-                # accumulate beyond ~CHUNK rows per yielded frame (a whole
-                # input batch of 280 KB images in one frame OOMs at high
-                # task concurrency — memory must not scale with parallelism)
+                rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "first_round", "lineage_part")}
+                for iid, cap, part in zip(sub["image_id"], sub["caption"], sub["part"]):
+                    data = fetch_image(iid, web)
+                    px = decode(data)
+                    w_, h_, fmt = image_spec(iid, web.seed, web.dim_scale, web.force_fmt)
+                    rows["image_id"].append(iid); rows["bytes"].append(data)
+                    rows["w"].append(int(w_)); rows["h"].append(int(h_)); rows["fmt"].append(fmt)
+                    rows["caption"].append(cap); rows["phash"].append(int(phash64(px)))
+                    rows["first_round"].append(rnd); rows["lineage_part"].append(int(part))
+                return rows
+
+            CHUNK = 256  # bounds per-task memory: image BYTES never
+            # accumulate beyond ~CHUNK rows per frame/file (a whole input
+            # batch of 280 KB images in one frame OOMs at high task
+            # concurrency — memory must not scale with parallelism)
+
+            if cfg.images_direct_write:
+                # bytes go Python→pyarrow→disk INSIDE the task; the Spark
+                # job only carries a (file, n) manifest row per part file.
+                # Skips the Arrow transfer, the JVM row copy and the JVM
+                # parquet encode for the ~300 KB binary payloads — on the
+                # memory-bandwidth-bound image axis those copies were the
+                # engine overhead on top of the raw codec kernel.
+                v, data_dir = self.images.begin_external()
+
+                def fetch_write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    import uuid
+
+                    import pyarrow as pa
+                    import pyarrow.parquet as pq
+
+                    schema = pa.schema([
+                        ("image_id", pa.string()), ("bytes", pa.binary()),
+                        ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
+                        ("caption", pa.string()), ("phash", pa.int64()),
+                        ("first_round", pa.int32()), ("lineage_part", pa.int32()),
+                    ])
+                    for pdf in batches:
+                        for lo in range(0, len(pdf), CHUNK):
+                            sub = pdf.iloc[lo : lo + CHUNK]
+                            if not len(sub):
+                                continue
+                            tbl = pa.Table.from_pydict(rows_for(sub), schema=schema)
+                            fn = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
+                            # bytes are already-compressed image containers
+                            pq.write_table(tbl, fn, compression="none")
+                            yield pd.DataFrame({"file": [fn], "n": [len(sub)]})
+
+                manifest = refs.repartition(cfg.n_buckets).mapInPandas(
+                    fetch_write, schema="file string, n long"
+                )
+                manifest.count()  # run the write job (output is a tiny manifest)
+                _, n_imgs = self.images.commit_external(v, data_dir, meta={"round": rnd})
+                return int(n_imgs)
+
+            def fetch_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for pdf in batches:
                     for lo in range(0, len(pdf), CHUNK):
                         sub = pdf.iloc[lo : lo + CHUNK]
-                        rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "first_round", "lineage_part")}
-                        for iid, cap, part in zip(sub["image_id"], sub["caption"], sub["part"]):
-                            data = fetch_image(iid, web)
-                            px = decode(data)
-                            w_, h_, fmt = image_spec(iid, web.seed, web.dim_scale, web.force_fmt)
-                            rows["image_id"].append(iid); rows["bytes"].append(data)
-                            rows["w"].append(w_); rows["h"].append(h_); rows["fmt"].append(fmt)
-                            rows["caption"].append(cap); rows["phash"].append(phash64(px))
-                            rows["first_round"].append(rnd); rows["lineage_part"].append(part)
-                        yield pd.DataFrame(rows)
+                        yield pd.DataFrame(rows_for(sub))
 
             # refs are already deduped keep-first AND anti-joined against the
             # current image table, so every img_row is a brand-new image_id:

@@ -3,11 +3,11 @@ SimHash, exact n-gram-Jaccard (inverted-index join), embedding-cosine.
 
 Scale shapes (the part that must survive 100 TB):
   - exact dedup: one shuffle on the content hash; keep-first via min_by.
-  - MinHash LSH: signatures are k JVM-side array_min/xxhash64 expressions
-    (no UDF); banding explodes b rows/doc; candidate generation is a
-    self-join on (band, band_hash) — i.e. a shuffle keyed by bucket, never
-    the O(n²) cross join; verification computes exact Jaccard only on
-    candidates.
+  - MinHash LSH: signatures are one explode + a 64-column min() hash
+    aggregate (codegen, map-side combine, no UDF); banding emits b narrow
+    rows/doc; candidate generation is a groupBy on (band, bucket) with
+    in-array pair expansion — one scan, never the O(n²) cross join;
+    verification computes exact Jaccard only on candidates.
   - SimHash: explode tokens → one groupBy(doc) with 64 conditional sums —
     a single map-side-combinable aggregation.
   - n-gram Jaccard: inverted-index join on shingle (shuffle keyed by
@@ -148,10 +148,8 @@ def ngram_jaccard_pairs(
 
 def shingle_hashes(sh: Column) -> Column:
     """Hash each shingle string ONCE (xxhash64); the k permutations then
-    re-hash these fixed-width longs. Re-hashing the full strings per seed
-    (k string-hash passes over every shingle) was the dominant cost of
-    signature construction; Catalyst's subexpression elimination computes
-    this array a single time for all k mins."""
+    re-hash these fixed-width longs (k string-hash passes over every
+    shingle would dominate signature construction)."""
     return F.transform(sh, lambda s: F.xxhash64(s))
 
 

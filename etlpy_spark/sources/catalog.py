@@ -43,6 +43,19 @@ class Snapshot:
 
 class SnapshotTable:
     def __init__(self, spark: SparkSession, path: str, compression: str | None = None):
+        # manifests (snapshots/, _current) are written with local os I/O
+        # while the data dirs go through the Spark writer — a URI-scheme
+        # path (hdfs://, s3a://) would split-brain the table: data on the
+        # remote FS, manifests in a literal './hdfs:' directory. Require a
+        # local / shared-mount path; porting to object storage means
+        # routing BOTH through one FS API (or a real Iceberg catalog).
+        if "://" in path and not path.startswith("file://"):
+            raise ValueError(
+                f"SnapshotTable path {path!r} uses a URI scheme; only local/"
+                "shared-filesystem paths are supported (manifest I/O is local)"
+            )
+        if path.startswith("file://"):
+            path = path[len("file://"):]
         self.spark = spark
         self.path = path
         # binary-payload tables (already-compressed image bytes) should set
@@ -123,6 +136,51 @@ class SnapshotTable:
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(df, "overwrite", meta)
+
+    # -- externally-written data (executor-side pyarrow writers)
+
+    def begin_external(self) -> tuple[int, str]:
+        """Reserve the next snapshot's data dir for files written OUTSIDE
+        the Spark writer (e.g. pyarrow part files emitted inside a UDF so
+        binary payloads never cross the Arrow→JVM row path). Single-writer
+        tables only (the crawler is); commit with commit_external."""
+        v = (self.current_version() or 0) + 1
+        data_dir = os.path.join(self.path, "data", f"v{v:06d}")
+        os.makedirs(data_dir, exist_ok=True)
+        return v, data_dir
+
+    def commit_external(
+        self, version: int, data_dir: str, mode: str = "append", meta: dict | None = None
+    ) -> tuple[int, int]:
+        """Manifest-commit part files already present in ``data_dir``;
+        returns (version, row count from parquet footers). If no files were
+        written the reservation is abandoned (table state unchanged). NB a
+        retried/speculated task could leave duplicate part files — real
+        Iceberg fences this with per-task commit metadata; the sandbox
+        crawler runs without retries."""
+        import pyarrow.parquet as pq
+
+        files = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+        if not files:
+            os.rmdir(data_dir)
+            return self.current_version() or 0, 0
+        n = sum(
+            pq.read_metadata(os.path.join(data_dir, f)).num_rows for f in files
+        )
+        if mode == "append" and (prev := self.current_version()):
+            dirs = self.snapshot(prev).data_dirs + [data_dir]
+        else:
+            dirs = [data_dir]
+        snap = {"version": version, "mode": mode, "data_dirs": dirs, "meta": meta or {}}
+        tmp = self._snap_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, self._snap_path(version))
+        cur_tmp = os.path.join(self.path, "_current.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(cur_tmp, os.path.join(self.path, "_current"))
+        return version, n
 
     def merge_upsert(self, df: DataFrame, key: str, prefer_new: bool = False,
                      meta: dict | None = None) -> int:

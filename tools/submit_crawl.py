@@ -12,8 +12,14 @@ master/executor settings (no master override here):
       --conf spark.sql.adaptive.enabled=true \
       --conf spark.sql.shuffle.partitions=2000 \
       tools/submit_crawl.py \
-        --workdir hdfs:///crawl/run1 --seeds-file seeds.txt \
+        --workdir /mnt/shared/crawl/run1 --seeds-file seeds.txt \
         --rounds 10 --shards 1024 --buckets 2000
+
+``--workdir`` must be a LOCAL or SHARED-FILESYSTEM mount visible to the
+driver (NFS/Lustre/fuse mount): the snapshot catalog writes manifests
+with local file I/O. hdfs:///s3a:// URIs are rejected by SnapshotTable —
+object-store backends need the manifest I/O routed through one FS API
+(or a real Iceberg catalog, which the table API maps onto 1:1).
 
 Resume: rerun the same command — the snapshot tables ARE the state
 (a crashed round re-runs from its last committed snapshot; generalizes
