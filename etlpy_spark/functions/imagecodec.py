@@ -122,7 +122,11 @@ def encode_png(px: np.ndarray) -> bytes:
     """Minimal real PNG: 8-bit RGB, no interlace, filter 0 per scanline."""
     h, w, _ = px.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    # one (h, stride) array instead of h per-scanline joins — the Python
+    # loop overhead was ~20% of encode for 512px images
+    rows = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    rows[:, 1:] = px.reshape(h, w * 3)
+    raw = rows.tobytes()
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -148,11 +152,14 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
     raw = zlib.decompress(idat)
     stride = w * 3 + 1
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    filters = arr[:, 0]
+    if not filters.any():  # all filter-0 (what our encoder emits): one reshape
+        return arr[:, 1:].reshape(h, w, 3).copy()
     px = np.empty((h, w, 3), dtype=np.uint8)
     prev = np.zeros(w * 3, dtype=np.uint8)
     for y in range(h):
-        row = raw[y * stride : (y + 1) * stride]
-        ftype, body = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
+        ftype, body = int(filters[y]), arr[y, 1:].copy()
         if ftype == 0:
             line = body
         elif ftype == 2:  # Up
