@@ -290,15 +290,36 @@ class SparkCrawler:
 
     # -- robots -------------------------------------------------------------
 
-    def _robots_df(self) -> DataFrame:
-        from etlpy_spark.sources.synthetic_web import robots_disallow
+    _robots_cache: DataFrame | None = None
 
+    def _robots_df(self) -> DataFrame:
+        """robots.txt rules as a (host, disallow[]) table, fetched/parsed
+        IN EXECUTORS (one Arrow batch per partition over the host id space)
+        and built once per crawler — in production this is a periodically
+        refreshed fetched table keyed by host, exactly this shape; the r1
+        version rebuilt it with a driver-side loop over all hosts every
+        round (an O(n_hosts) serial Amdahl term)."""
+        if self._robots_cache is not None:
+            return self._robots_cache
         web = self.cfg.web
-        rows = []
-        for k in range(web.n_hosts):
-            host = f"host{k}.example"
-            rows.append((host, robots_disallow(host, web)))
-        return self.spark.createDataFrame(rows, "host string, disallow array<string>")
+        npart = min(self.cfg.n_buckets, max(1, web.n_hosts // 1000 + 1))
+
+        def fetch_robots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from etlpy_spark.sources.synthetic_web import robots_disallow
+
+            for pdf in batches:
+                hosts = [f"host{int(k)}.example" for k in pdf["id"]]
+                yield pd.DataFrame(
+                    {"host": hosts, "disallow": [robots_disallow(h, web) for h in hosts]}
+                )
+
+        df = (
+            self.spark.range(0, web.n_hosts, 1, npart)
+            .mapInPandas(fetch_robots, schema="host string, disallow array<string>")
+            .cache()
+        )
+        self._robots_cache = df
+        return df
 
     # -- one round ----------------------------------------------------------
 
