@@ -67,6 +67,32 @@ def bench_crawl(spark) -> dict:
         shutil.rmtree(wd, ignore_errors=True)
 
 
+def warmup(spark) -> None:
+    """Untimed warm-up: excludes first-use costs — JVM/codegen warm-up,
+    spawning $CPUS python workers each importing pandas+numpy+pyarrow, the
+    parquet writer init — so the timed section measures the engine, not
+    process bootstrap (BENCH/BASELINE.md excludes cold-start the same way;
+    on this host the cold first Arrow-UDF stage alone can cost 10-30 s).
+    A mini end-to-end crawl touches every machinery class the timed
+    workloads use: pandas UDF, applyInPandas, mapInPandas, window rank,
+    broadcast join, shuffle agg, parquet read/write."""
+    from etlpy_spark.crawl.frontier import CrawlConfig, SparkCrawler
+    from etlpy_spark.sources.synthetic_web import WebConfig, seed_urls
+
+    web = WebConfig(
+        n_hosts=24, n_cats=3, pages_per_cat=40, politeness_budget=8,
+        max_links=3, max_images=1, skew_host0=2, image_universe=5_000,
+    )
+    wd = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        cr = SparkCrawler(
+            spark, wd, CrawlConfig(web=web, n_shards=8, n_buckets=CPUS, write_metrics=False)
+        )
+        cr.run(seed_urls(web, n_per_host=2), max_rounds=2)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -77,6 +103,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    warmup(spark)
 
     times: dict[str, float] = {}
     extras: dict[str, float] = {}

@@ -92,6 +92,7 @@ class CrawlConfig:
 def global_rank(
     df: DataFrame, order_cols: list[str], out_col: str, base: int,
     npart: int, small: bool, caches: list | None = None,
+    count: bool = True,
 ) -> tuple[DataFrame, int]:
     """Total-order 0-based sequence ``base + rank`` over ``order_cols``
     (assumed a unique key) WITHOUT a single-partition sort at scale:
@@ -101,7 +102,12 @@ def global_rank(
     rank + offset == the global rank — the 10^10-row form of row_number.
 
     Returns (ranked df cached, total rows). ``small=True`` keeps the plain
-    global window (cheaper below ~20k rows)."""
+    global window (cheaper below ~20k rows). ``count=False`` skips the
+    materializing count job and returns -1 — for callers that already know
+    the row count (or get it later from parquet footers); every driver
+    action is a full Spark job, and the per-round job count is what caps
+    URLs/s at the 10^10 design point. The large path always counts: its
+    partition-size collect IS the offset computation."""
     if small:
         w = Window.orderBy(*order_cols)
         out = df.withColumn(
@@ -109,7 +115,7 @@ def global_rank(
         ).cache()
         if caches is not None:
             caches.append(out)
-        return out, out.count()
+        return out, (out.count() if count else -1)
     d = (
         df.repartitionByRange(npart, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
@@ -220,15 +226,23 @@ class SparkCrawler:
         ranked, n = global_rank(
             first, ["seed_seq"], "discovered_seq", 0, self.cfg.n_buckets,
             small=len(seeds) <= self.cfg.rank_threshold, caches=init_caches,
+            count=False,
         )
         frontier = ranked.select(
             "url", "host", "priority", "discovered_seq",
             F.lit(0).alias("round"), F.lit(-1).alias("lineage_part"),
-        )
+        ).cache()
+        # seen first: its fused write job materializes the frontier cache
+        # AND returns the row count (no separate count job). A crash between
+        # the two commits re-runs init, duplicating seen rows — harmless:
+        # membership is an anti-join and parity reads distinct urls.
+        n_seen = self._commit_seen(frontier.select("url", F.lit(0).alias("round")))
+        if n < 0:
+            n = n_seen
         self.frontier.overwrite(
             frontier, meta={"round": 0, "next_fetch_seq": 0, "next_discovered_seq": n}
         )
-        self._commit_seen(frontier.select("url", F.lit(0).alias("round")))
+        frontier.unpersist()
         for c in init_caches:
             c.unpersist()
 
@@ -267,7 +281,14 @@ class SparkCrawler:
             tgt.bits = np.bitwise_or(tgt.bits, np.frombuffer(bytes(r["bits"]), dtype=np.uint8))
         self._blooms = blooms
 
-    def _commit_seen(self, urls_round: DataFrame) -> None:
+    def _commit_seen(self, urls_round: DataFrame) -> int:
+        """Commit this round's new URLs to the seen table and fold them into
+        the per-shard Blooms in ONE Spark job: each shard group writes its
+        own parquet part file (pyarrow, executor-side) AND returns its
+        ~KB Bloom bitset; the driver ORs bitsets and manifest-commits the
+        files. Returns the number of URLs committed (from the bitset rows —
+        no separate count job). The r1 version paid three jobs here (JVM
+        parquet append, bloom applyInPandas collect, rank count)."""
         cfg = self.cfg
         rows = urls_round.select(
             F.pmod(F.xxhash64("url"), F.lit(cfg.n_shards)).cast("int").alias("shard"),
@@ -275,10 +296,44 @@ class SparkCrawler:
             "url",
             "round",
         )
-        self.seen.append(rows)
-        if cfg.use_bloom:
-            self._load_blooms()
-            self._merge_shard_blooms(self._build_shard_blooms(rows))
+        if not cfg.use_bloom:
+            _, n = self.seen.append_counted(rows)
+            return n
+        self._load_blooms()
+        proto = BloomFilter.sized_for(cfg.bloom_capacity, cfg.bloom_fpp)
+        nb, nh = proto.n_bits, proto.n_hashes
+        v, data_dir = self.seen.begin_external()
+
+        def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            bf = BloomFilter(nb, nh)
+            bf.add_many(pdf["url"].to_numpy())
+            tbl = pa.Table.from_pandas(
+                pdf[["shard", "url_hash", "url", "round"]], preserve_index=False
+            )
+            pq.write_table(
+                tbl, os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
+            )
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "bits": [bf.to_bytes()],
+                    "n": [len(pdf)],
+                }
+            )
+
+        parts = (
+            rows.groupBy("shard")
+            .applyInPandas(write_shard, schema="shard int, bits binary, n long")
+            .collect()
+        )
+        self._merge_shard_blooms(parts)
+        self.seen.commit_external(v, data_dir)
+        return sum(int(r["n"]) for r in parts)
 
     def _load_blooms(self) -> dict[int, BloomFilter]:
         if self._blooms is not None:
@@ -343,40 +398,54 @@ class SparkCrawler:
             F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
             lambda d: path.startswith(d),
         )
-        joined = (
+        # politeness rank fused into the same cached pass: the per-host
+        # window orders blocked rows LAST, so row_number over allowed rows
+        # is identical to ranking the allowed subset alone — one shuffle +
+        # one cache + ONE stats agg replaces the r1 stats job + separate
+        # politeness/rank materialization (each driver action is a full
+        # Spark job; round fixed cost is what caps URLs/s).
+        K = cfg.web.politeness_budget
+        wh = Window.partitionBy("host").orderBy(
+            F.col("__blocked__").asc(), "priority", "discovered_seq"
+        )
+        annotated = (
             frontier.join(F.broadcast(robots), on="host", how="left")
             .withColumn("__blocked__", blocked_pred)
             .drop("disallow")
+            .withColumn("__hk__", F.row_number().over(wh))
             .cache()
         )
+        sel_pred = (~F.col("__blocked__")) & (F.col("__hk__") <= K)
         import time as _time
 
         _t = _time.time()
-        stats = joined.agg(
+        stats = annotated.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum(F.col("__blocked__").cast("long")), F.lit(0)).alias("blk"),
+            F.coalesce(F.sum(sel_pred.cast("long")), F.lit(0)).alias("nsel"),
         ).first()
         scheduled, robots_blocked = int(stats["n"]), int(stats["blk"])
-        _t = _tlog("robots_stats", _t)
+        n_selected = int(stats["nsel"])
+        _t = _tlog("robots+politeness_stats", _t)
         if scheduled == 0:
-            joined.unpersist()
+            annotated.unpersist()
             return {"round": rnd, "fetched": 0, "scheduled": 0}
-        allowed = joined.filter(~F.col("__blocked__")).drop("__blocked__")
+        selected = annotated.filter(sel_pred).drop("__blocked__", "__hk__")
+        deferred = annotated.filter(
+            (~F.col("__blocked__")) & (F.col("__hk__") > K)
+        ).drop("__blocked__", "__hk__")
 
-        # politeness: first K per host by (priority, discovered_seq)
-        wh = Window.partitionBy("host").orderBy("priority", "discovered_seq")
-        ranked = allowed.withColumn("__hk__", F.row_number().over(wh))
-        selected = ranked.filter(F.col("__hk__") <= cfg.web.politeness_budget).drop("__hk__")
-        deferred = ranked.filter(F.col("__hk__") > cfg.web.politeness_budget).drop("__hk__")
-
-        # global fetch order (total: priority, discovered_seq unique)
+        # global fetch order (total: priority, discovered_seq unique);
+        # count comes from the stats agg above — no second job
         round_caches: list = []
-        selected, n_selected = global_rank(
+        selected, _n = global_rank(
             selected, ["priority", "discovered_seq"], "fetch_seq", fetch_base,
             cfg.n_buckets, small=scheduled <= cfg.rank_threshold,
-            caches=round_caches,
+            caches=round_caches, count=False,
         )
-        _t = _tlog("politeness+fetch_rank", _t)
+        if _n >= 0:
+            n_selected = _n
+        _t = _tlog("fetch_rank", _t)
 
         # fetch inside politeness buckets (salted by host hash)
         buckets = selected.repartition(cfg.n_buckets, F.pmod(F.xxhash64("host"), F.lit(cfg.n_buckets)))
@@ -601,7 +670,7 @@ class SparkCrawler:
         ranked_links, n_new = global_rank(
             new_links, ["fetch_seq", "pos"], "discovered_seq", seq_base,
             cfg.n_buckets, small=scheduled <= cfg.rank_threshold,
-            caches=round_caches,
+            caches=round_caches, count=False,
         )
         new_frontier = ranked_links.select(
             "url", "host", "priority", "discovered_seq",
@@ -609,8 +678,15 @@ class SparkCrawler:
         ).cache()
         _t = _tlog("links_canon_dedup_rank", _t)
 
-        # -- commit state (image append still in flight on its own thread)
-        self._commit_seen(new_frontier.select("url", F.lit(rnd + 1).alias("round")))
+        # -- commit state (image append still in flight on its own thread).
+        # The fused seen write materializes the new_frontier cache (whole
+        # link path: canon UDF → keep-first agg → bloom prefilter →
+        # anti-join → rank) and returns the new-URL count in the same job.
+        n_committed = self._commit_seen(
+            new_frontier.select("url", F.lit(rnd + 1).alias("round"))
+        )
+        if n_new < 0:
+            n_new = n_committed
         if overlap:
             n_new_images = img_future.result()
             pool.shutdown()
@@ -643,7 +719,7 @@ class SparkCrawler:
         _t = _tlog("seen+frontier+metrics_commit", _t)
         extracted.unpersist()
         new_frontier.unpersist()
-        joined.unpersist()
+        annotated.unpersist()
         for c in round_caches:
             c.unpersist()
         if bloom_bcast is not None:
