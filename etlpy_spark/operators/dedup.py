@@ -79,8 +79,14 @@ def ngram_jaccard_pairs(
     jaccard = shared / (|A| + |B| - shared). Returns (id_a, id_b, jaccard)
     with id_a < id_b. No cross join anywhere — the shuffle key is the
     shingle, so cost tracks shared content, not n²."""
-    sh = _spread(df).select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")).filter(
-        F.size("sh") >= 1
+    # filter on the cheap word count, NOT on size(shingles): a predicate
+    # containing the higher-order shingle expression gets pushed below the
+    # projection and re-evaluated interpreted per row (measured 7x the
+    # whole shingle computation). words >= n  ⟺  at least one shingle.
+    sh = (
+        _spread(df)
+        .filter(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n)
+        .select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
     )
     # shuffle 8-byte shingle hashes, not the shingle strings (exactness is
     # preserved up to xxhash64 collisions, ~2^-32 at these cardinalities;
@@ -179,31 +185,70 @@ def minhash_lsh_pairs(
 
     def hashed(src: DataFrame) -> DataFrame:
         """(id, hs: array<long>) — 8-byte hashed shingles. Narrow enough to
-        shuffle/recompute; the string arrays never leave their scan stage."""
-        return _spread(src).select(
-            F.col(id_col).alias("id"),
-            shingle_hashes(word_shingles(text_col, n)).alias("hs"),
-        ).filter(F.size("hs") >= 1)
-
-    # signature: explode hashed shingles and take k seeded mins in ONE
-    # hash-aggregate — 64 static min() columns, fully whole-stage-codegen'd
-    # and map-side combinable (partial mins before the shuffle, so the
-    # exchange carries one 64-long row per doc). Array-lambda formulations
-    # of the same fold measured ~8× slower: higher-order functions are
-    # evaluated outside codegen and defeat CSE under projection collapse.
-    ex = hashed(df).select("id", F.explode("hs").alias("h"))
-    sig_tbl = ex.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"m{s}") for s in range(k)]
-    )
-    # band buckets as static exprs over the agg output (the Aggregate is a
-    # collapse barrier, so each min column is computed exactly once)
-    bucket_exprs = [
-        F.xxhash64(
-            F.concat_ws(",", *[F.col(f"m{b * r + j}") for j in range(r)]), F.lit(b)
+        shuffle/recompute; the string arrays never leave their scan stage.
+        The non-empty filter tests the cheap word count, not size(hs) — a
+        size(hs) predicate pushes the shingle HOF below the projection and
+        re-evaluates it interpreted per row (measured 7x slower)."""
+        return (
+            _spread(src)
+            .filter(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n)
+            .select(
+                F.col(id_col).alias("id"),
+                shingle_hashes(word_shingles(text_col, n)).alias("hs"),
+            )
         )
-        for b in range(bands)
-    ]
-    banded = sig_tbl.select("id", F.posexplode(F.array(*bucket_exprs)).alias("band", "bucket"))
+
+    # signatures + band buckets in ONE shuffle-free Arrow pass: a doc's
+    # signature depends only on its own shingles, so it's embarrassingly
+    # parallel — mapInPandas with numpy `minimum.reduceat` over the
+    # flattened per-batch shingle hashes computes all k permutation mins
+    # per doc without the explode shuffle + k-column hash-aggregate the r1
+    # version paid (whose 64-min generated code also cost seconds of
+    # driver-side Janino compile per invocation). Permutations are k
+    # independent 64-bit affine maps g_s(x) = a_s*x + b_s, a_s odd, uint64
+    # wraparound (numpy wraps where ANSI SQL would raise) — the standard
+    # universal family, so per-band collision independence matches the
+    # seeded-rehash version; candidate recall only, verification below is
+    # exact either way.
+    def sig_bands(batches):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(0x5EED)
+        A = (rng.randint(0, 1 << 62, size=k).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+        B = rng.randint(0, 1 << 62, size=k).astype(np.uint64)
+        C1 = np.uint64(0x9E3779B97F4A7C15)
+        C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            arrs = pdf["hs"].to_numpy()
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=m)
+            flat = np.concatenate(arrs).astype(np.uint64)
+            starts = np.zeros(m, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sig = np.empty((m, k), dtype=np.uint64)
+            for s in range(k):
+                sig[:, s] = np.minimum.reduceat(A[s] * flat + B[s], starts)
+            # per-band bucket: mix the r mins with odd constants + the band
+            # index, then an avalanche shift — deterministic, band-disjoint
+            codes = sig.reshape(m, bands, r)
+            mixed = (codes[:, :, 0] * C1 + np.arange(bands, dtype=np.uint64)) ^ (
+                codes[:, :, 1] * C2 if r > 1 else 0
+            )
+            for j in range(2, r):
+                mixed = (mixed ^ (codes[:, :, j] * C1)) * C2
+            mixed ^= mixed >> np.uint64(29)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), m),
+                    "bucket": mixed.astype(np.int64).reshape(-1),
+                }
+            )
+
+    banded = hashed(df).mapInPandas(sig_bands, schema="id long, band int, bucket long")
     # candidate pairs via groupBy(bucket) + in-array pair expansion, NOT a
     # self-join: a self-join evaluates the (expensive) signature plan once
     # per side; the groupBy reads it once and shuffles only (id, band,
@@ -237,8 +282,11 @@ def minhash_lsh_pairs(
     # exact verification on the hashed shingle sets (exact up to xxhash64
     # collisions, ~2^-64·|sh| per pair — the same contract as
     # ngram_jaccard_pairs; jaccard counts come from true set sizes)
+    # candidates are a vanishing fraction of docs — broadcast them so the
+    # two shingle-set lookups are broadcast joins that STREAM the doc scan
+    # (no shuffle/sort of the full shingle table per side)
     hs = hashed(df)
-    cand = pair_ids.join(
+    cand = F.broadcast(pair_ids).join(
         hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
     ).join(hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
