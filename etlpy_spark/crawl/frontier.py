@@ -162,28 +162,25 @@ class SparkCrawler:
     # -- vectorized url helpers -------------------------------------------
 
     def _canon_udf(self):
-        """(raw urls) -> struct(url, host, priority): canonicalize (RFC-3986)
-        + deterministic priority in one Arrow batch."""
+        """raw url -> canonical url (RFC-3986), one Arrow batch, vectorized:
+        URLs full-matching the already-canonical shape (FAST_CANONICAL_RE —
+        the overwhelming majority in a steady crawl, since extracted links
+        are well-formed) skip per-row canonicalization entirely; only
+        irregular URLs pay the urlsplit slow path. This UDF is the ONLY
+        Python in the link path — host and priority are pure Column
+        expressions over the canonical url (synthetic_web.host_expr /
+        priority_expr), computed after dedup on the unique survivors."""
         from pyspark.sql.functions import pandas_udf
 
-        web = self.cfg.web
+        @pandas_udf("string")
+        def _canon(raw: pd.Series) -> pd.Series:
+            from etlpy_spark.functions.url import FAST_CANONICAL_RE, canonicalize_url
 
-        @pandas_udf("url string, host string, priority int")
-        def _canon(raw: pd.Series) -> pd.DataFrame:
-            from etlpy_spark.functions.url import canonicalize_url
-            from etlpy_spark.sources.synthetic_web import h64, parse_url
-
-            urls, hosts, prios = [], [], []
-            for s in raw:
-                c = canonicalize_url(s)
-                if c is None:
-                    urls.append(None); hosts.append(None); prios.append(None)
-                    continue
-                p = parse_url(c)
-                urls.append(c)
-                hosts.append(f"host{p[0]}.example" if p else "")
-                prios.append(h64("prio|" + c, web.seed) % 100)
-            return pd.DataFrame({"url": urls, "host": hosts, "priority": prios})
+            fast = raw.str.fullmatch(FAST_CANONICAL_RE, na=False)
+            canon = raw.where(fast, None)
+            if (~fast).any():
+                canon.loc[~fast] = raw.loc[~fast].map(canonicalize_url)
+            return canon
 
         return _canon
 
@@ -213,15 +210,22 @@ class SparkCrawler:
         raw = spark.createDataFrame(
             seed_pdf, schema="seed_seq long, raw string"
         ).repartition(self.cfg.n_buckets)
+        from etlpy_spark.sources.synthetic_web import host_expr, priority_expr
+
         canon = self._canon_udf()
-        df = raw.select("seed_seq", canon(F.col("raw")).alias("c")).select(
-            "seed_seq", "c.url", "c.host", "c.priority"
-        ).filter(F.col("url").isNotNull())
+        df = raw.select("seed_seq", canon(F.col("raw")).alias("url")).filter(
+            F.col("url").isNotNull()
+        )
         # keep-first per url (min seed_seq) via map-side-combinable agg;
-        # dispatch order = seed order (reference distributed.py:60-66)
-        first = df.groupBy("url").agg(
-            F.min(F.struct("seed_seq", "host", "priority")).alias("__f__")
-        ).select("url", "__f__.*")
+        # dispatch order = seed order (reference distributed.py:60-66).
+        # host/priority are derived JVM-side from the unique urls — they
+        # never ride the shuffle or the Arrow channel.
+        first = (
+            df.groupBy("url")
+            .agg(F.min("seed_seq").alias("seed_seq"))
+            .withColumn("host", host_expr(F.col("url")))
+            .withColumn("priority", priority_expr(F.col("url"), self.cfg.web.seed))
+        )
         init_caches: list = []
         ranked, n = global_rank(
             first, ["seed_seq"], "discovered_seq", 0, self.cfg.n_buckets,
@@ -604,20 +608,25 @@ class SparkCrawler:
             img_future = pool.submit(image_path)
 
         # -- link path: canonicalize, dedup, bloom, anti-join, sequence
+        from etlpy_spark.sources.synthetic_web import host_expr, priority_expr
+
         canon = self._canon_udf()
         links = (
             extracted.filter(F.col("kind") == "link")
-            .select("fetch_seq", "pos", "part", canon(F.col("value")).alias("c"))
-            .select("fetch_seq", "pos", "part", "c.url", "c.host", "c.priority")
+            .select("fetch_seq", "pos", "part", canon(F.col("value")).alias("url"))
             .filter(F.col("url").isNotNull())
         )
         # keep-first by (fetch_seq, pos): min over a struct ordered by those
         # fields — a map-side-combinable aggregation, NOT a window sort
-        # (shuffle carries one row per unique url, not every occurrence)
+        # (shuffle carries one row per unique url, not every occurrence).
+        # host/priority are pure functions of the canonical url — computed
+        # JVM-side on the unique survivors, never shuffled per occurrence.
         links = (
             links.groupBy("url")
-            .agg(F.min(F.struct("fetch_seq", "pos", "part", "host", "priority")).alias("__f__"))
+            .agg(F.min(F.struct("fetch_seq", "pos", "part")).alias("__f__"))
             .select("url", "__f__.*")
+            .withColumn("host", host_expr(F.col("url")))
+            .withColumn("priority", priority_expr(F.col("url"), cfg.web.seed))
         )
 
         bloom_bcast = None

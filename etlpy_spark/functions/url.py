@@ -97,6 +97,14 @@ def canonicalize_url_expr(col: Column | str) -> Column:
     return _canonicalize_udf(F.col(col) if isinstance(col, str) else col)
 
 
+# Conservative "already canonical" shape: http scheme, lowercase dotted
+# host, no port/userinfo, a present path made of dot-free unreserved
+# segments, no %-escapes, no query/fragment. Every string FULL-matching
+# this is a fixed point of canonicalize_url (tests/test_url_canon.py
+# fuzzes the equivalence) — the crawl's canon UDF uses it as a vectorized
+# fast path so only irregular URLs pay the per-row slow path.
+FAST_CANONICAL_RE = r"http://[a-z0-9-]+(?:\.[a-z0-9-]+)+/(?:[A-Za-z0-9_~-]+/)*[A-Za-z0-9_~-]*"
+
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)"
 
 

@@ -24,6 +24,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _expand_pairs(grouped: DataFrame, arr_col: str) -> DataFrame:
+    """Per-row unordered pair expansion of an array column (all i<j element
+    pairs) via two chained explodes: posexplode anchors element i, a second
+    explode walks the tail slice. Emits columns ``__x__``/``__y__``.
+    Semantically identical to a nested transform/slice/flatten lambda form,
+    but with a tiny expression tree — the lambda form's generated code cost
+    ~25 s of driver-side Janino compile PER QUERY INVOCATION at 64-element
+    bucket arrays (the single largest first-run cost in the LSH ops)."""
+    a = grouped.select(
+        F.col(arr_col).alias("__arr__"),
+        F.posexplode(arr_col).alias("__i__", "__x__"),
+    )
+    return a.select(
+        "__x__",
+        F.explode(
+            F.slice(F.col("__arr__"), F.col("__i__") + F.lit(2), F.size("__arr__"))
+        ).alias("__y__"),
+    )
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to the session's parallelism when the upstream scan
     is narrower (a small parquet file = 1-2 partitions under the default
@@ -105,26 +125,16 @@ def ngram_jaccard_pairs(
         .agg(F.collect_list(F.struct("id", "n_sh")).alias("ps"))
         .filter(F.size("ps") > 1)
     )
-    ps = F.col("ps")
-    pair_structs = F.flatten(
-        F.transform(
-            ps,
-            lambda x, i: F.transform(
-                F.slice(ps, i + 2, F.size(ps)),
-                lambda y: F.struct(
-                    F.when(x["id"] < y["id"], x).otherwise(y).alias("a"),
-                    F.when(x["id"] < y["id"], y).otherwise(x).alias("b"),
-                ),
-            ),
-        )
-    )
+    x, y = F.col("__x__"), F.col("__y__")
+    a = F.when(x["id"] < y["id"], x).otherwise(y)
+    b = F.when(x["id"] < y["id"], y).otherwise(x)
     pairs = (
-        posts.select(F.explode(pair_structs).alias("p"))
+        _expand_pairs(posts, "ps")
         .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.a.n_sh").alias("n_a"),
-            F.col("p.b.id").alias("id_b"),
-            F.col("p.b.n_sh").alias("n_b"),
+            a["id"].alias("id_a"),
+            a["n_sh"].alias("n_a"),
+            b["id"].alias("id_b"),
+            b["n_sh"].alias("n_b"),
         )
         .filter(
             (F.col("id_a") < F.col("id_b"))
@@ -260,23 +270,14 @@ def minhash_lsh_pairs(
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
-            ),
-        )
-    )
     # distinct BEFORE the shingle join-back: a pair colliding in m bands
     # would otherwise verify (and emit) m times
     pair_ids = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        _expand_pairs(buckets, "ids")
+        .select(
+            F.least("__x__", "__y__").alias("id_a"),
+            F.greatest("__x__", "__y__").alias("id_b"),
+        )
         .distinct()
     )
     # exact verification on the hashed shingle sets (exact up to xxhash64
@@ -416,21 +417,12 @@ def embedding_near_dup_pairs(
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
-            ),
-        )
-    )
     pair_ids = (
-        posts.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        _expand_pairs(posts, "ids")
+        .select(
+            F.least("__x__", "__y__").alias("id_a"),
+            F.greatest("__x__", "__y__").alias("id_b"),
+        )
         .distinct()
     )
     cand = pair_ids.join(

@@ -60,6 +60,29 @@ def make_url(k: int, c: int, n: int) -> str:
     return f"http://host{k}.example/cat{c}/p{n}"
 
 
+def host_expr(col):
+    """JVM-side ``url_host_of`` (parse_url semantics: synthetic host or "").
+    Pure Column expression so the crawl never ships URLs to Python just to
+    derive the host."""
+    from pyspark.sql import functions as F
+
+    num = F.regexp_extract(col, _URL_RE.pattern, 1)
+    return F.when(num != "", F.concat(F.lit("host"), num, F.lit(".example"))).otherwise(F.lit(""))
+
+
+def priority_expr(col, seed: int):
+    """JVM-side ``WebConfig.priority`` — bit-exact h64 parity: md5 of
+    "{seed}|prio|{url}", first 8 bytes as unsigned big-endian (= first 16
+    hex chars via conv base16→10 into decimal(20,0)), mod 100. Verified
+    against the pure-Python h64 in tests (including non-ASCII URLs)."""
+    from pyspark.sql import functions as F
+
+    u64 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|prio|"), col)), 1, 16), 16, 10
+    ).cast("decimal(20,0)")
+    return F.pmod(u64, F.lit(100)).cast("int")
+
+
 def robots_disallow(host: str, cfg: WebConfig) -> list[str]:
     """host k disallows /cat{k % n_cats}/ when k % 7 == 0 (FIXTURES.md F3)."""
     m = re.match(r"^host(\d+)\.example$", host)

@@ -52,3 +52,47 @@ def test_spark_expr_matches_pure(spark):
     assert [r.c for r in rows] == [canonicalize_url(d) for d in dirty]
     assert rows[0].h == "host3.example"
     assert rows[1].h == "host1.example"
+
+
+def test_fast_canonical_fixed_point():
+    """Every string FULL-matching FAST_CANONICAL_RE must be a fixed point of
+    canonicalize_url — the crawl canon UDF skips the slow path for them."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etlpy_spark.functions.url import FAST_CANONICAL_RE
+
+    rx = re.compile(FAST_CANONICAL_RE)
+    seg = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_~-",
+        min_size=1, max_size=8,
+    )
+    label = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=8)
+    urls = st.builds(
+        lambda ls, segs, slash: "http://" + ".".join(ls) + "/" + "/".join(segs) + slash,
+        st.lists(label, min_size=2, max_size=3),
+        st.lists(seg, min_size=0, max_size=4),
+        st.sampled_from(["", "/"]),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(urls)
+    def check(u):
+        if rx.fullmatch(u):
+            assert canonicalize_url(u) == u
+
+    check()
+    # the synthetic web's entire URL shape is on the fast path
+    assert rx.fullmatch("http://host3.example/cat1/p7")
+    # off-path shapes must NOT match (they need the slow path)
+    for bad in (
+        "HTTP://host3.example/cat1/p7",
+        "http://host3.example:80/cat1/p7",
+        "http://host3.example/cat1/../p7",
+        "http://host3.example/cat1/p7?x=1",
+        "http://host3.example/a%20b",
+        "http://host3.example",
+    ):
+        assert not rx.fullmatch(bad)

@@ -55,17 +55,22 @@ def big_config(workload: str):
                         image_universe=100_000, dim_scale=1)
         n_per_host = 8
     elif workload == "frontier":
-        # frontier-throughput axis: ~3M seed URLs scheduled+fetched in
-        # one round — politeness windows, canonicalization, keep-first
+        # frontier-throughput axis: millions of seed URLs scheduled+fetched
+        # in one round — politeness windows, canonicalization, keep-first
         # dedup, Bloom membership, seen anti-join, two global ranks. Image
         # work pinned to ~nothing (tiny universe, dim_scale=1) so the
         # number measures the SCHEDULER, not the codec. Sized so parallel
-        # work dominates the ~25-30s of per-round driver-side serial cost
-        # (query planning, snapshot commits, Bloom maintenance).
+        # work dominates the per-round driver-side serial cost (query
+        # planning, snapshot commits, Bloom maintenance). FRONTIER_NPH
+        # scales seeds-per-host (default 60 → ~6M seeds; this VM's DRAM
+        # bus saturates at 2 cores — see dram_probe — so the multi-GB
+        # shuffle working set at 6M rows pays a shared-bus tax at 8 cores
+        # that per-node-bus clusters do not).
+        nph = int(os.environ.get("FRONTIER_NPH", "60"))
         web = WebConfig(n_hosts=100_000, n_cats=4, pages_per_cat=5000,
-                        politeness_budget=60, max_links=3, max_images=1,
+                        politeness_budget=nph, max_links=3, max_images=1,
                         skew_host0=8, image_universe=20_000, dim_scale=1)
-        n_per_host = 60
+        n_per_host = nph
     else:
         # image-merge axis: ~10k pages fetched, ~37k unique images (≤512px
         # forced PNG → deflate/inflate dominate = compute-bound; a
