@@ -96,3 +96,31 @@ def test_fast_canonical_fixed_point():
         "http://host3.example",
     ):
         assert not rx.fullmatch(bad)
+
+
+def test_host_priority_exprs_match_python(spark):
+    """host_expr/priority_expr (pure Column, JVM md5) must reproduce
+    url_host_of / WebConfig.priority bit-exactly — the crawl's frontier
+    rows are built from these expressions."""
+    from pyspark.sql import functions as F
+
+    from etlpy_spark.crawl.oracle import url_host_of
+    from etlpy_spark.sources.synthetic_web import WebConfig, h64, host_expr, priority_expr
+
+    urls = [
+        "http://host0.example/cat1/p1",
+        "http://host123.example/cat3/p999",
+        "http://other.example/somewhere",
+        "http://host5.example/cat1/p2/extra",  # not the synthetic shape
+        "http://host7.example/éx",  # non-ASCII
+    ]
+    web = WebConfig(seed=42)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        host_expr(F.col("url")).alias("h"),
+        priority_expr(F.col("url"), web.seed).alias("p"),
+    ).collect()
+    for r in rows:
+        assert r.h == url_host_of(r.url), r.url
+        assert r.p == h64("prio|" + r.url, web.seed) % 100, r.url
