@@ -77,6 +77,61 @@ def resize_images(df: DataFrame, size: int = 16, id_col: str = "image_id",
     return df.select(*cols).mapInPandas(run, schema=THUMB_DDL)
 
 
+def phash_near_dup_pairs(
+    df: DataFrame,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    EXACT for the given radius, no cross join.
+
+    Banding with a pigeonhole guarantee: split the 64-bit pHash into
+    (max_hamming+1) equal bands; two hashes within Hamming distance k
+    differ in at most k bands, so at least one band matches exactly —
+    candidate generation is a groupBy on (band, band_value) posting lists
+    (the shuffle key is the 16-bit band value, cost tracks shared content,
+    not n²), and candidates verify with the exact JVM-side
+    bit_count(xor) — pure Column expressions end to end.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    from etlpy_spark.operators.dedup import _expand_pairs
+
+    bands = max_hamming + 1
+    w = 64 // bands
+    mask = (1 << w) - 1
+    h = F.col(phash_col).cast("long")
+    band_vals = F.array(
+        *[F.shiftrightunsigned(h, i * w).bitwiseAND(F.lit(mask)) for i in range(bands)]
+    )
+    banded = df.select(
+        F.struct(F.col(id_col).alias("id"), h.alias("ph")).alias("e"),
+        F.posexplode(band_vals).alias("band", "val"),
+    )
+    posts = (
+        banded.groupBy("band", "val")
+        .agg(F.collect_list("e").alias("es"))
+        .filter(F.size("es") > 1)
+    )
+    x, y = F.col("__x__"), F.col("__y__")
+    a = F.when(x["id"] < y["id"], x).otherwise(y)
+    b = F.when(x["id"] < y["id"], y).otherwise(x)
+    pairs = (
+        _expand_pairs(posts, "es")
+        .filter(x["id"] != y["id"])
+        .select(
+            a["id"].alias("id_a"),
+            b["id"].alias("id_b"),
+            F.bit_count(a["ph"].bitwiseXOR(b["ph"])).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # a pair within radius k can share up to (max_hamming+1) bands —
+        # dedup after the cheap verify
+        .distinct()
+    )
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # stubbed modalities (no audio/video codecs in this container)
 

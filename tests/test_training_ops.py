@@ -146,3 +146,31 @@ def test_embedding_near_dup_boundary_straddlers(spark):
                 expect.add((a, b))
     assert expect, "fixture must contain near-dup pairs"
     assert got == expect
+
+
+def test_phash_near_dup_pairs(spark):
+    """Banded-Hamming pHash near-dup: output must equal the brute-force
+    O(n²) answer (pigeonhole banding is exact for the radius)."""
+    import itertools
+    import random
+
+    from etlpy_spark.operators.multimodal import phash_near_dup_pairs
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(63) for _ in range(40)]
+    rows = []
+    for i, h in enumerate(base):
+        rows.append((f"img{i:03d}", h))
+        if i % 4 == 0:  # a near-copy within radius 3
+            flipped = h ^ (1 << rng.randrange(63)) ^ (1 << rng.randrange(63))
+            rows.append((f"img{i:03d}-nd", flipped))
+    expected = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        if bin(ha ^ hb).count("1") <= 3:
+            expected.add(tuple(sorted((ia, ib))))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in phash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert got == expected and len(expected) >= 10
