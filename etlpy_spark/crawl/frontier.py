@@ -696,12 +696,13 @@ class SparkCrawler:
         )
         if n_new < 0:
             n_new = n_committed
+        _t = _tlog("seen_commit", _t)
         if overlap:
             n_new_images = img_future.result()
             pool.shutdown()
         else:
             n_new_images = image_path()
-        _t = _tlog("image_join+seen_commit", _t)
+        _t = _tlog("image_path", _t)
         next_frontier = deferred.select(
             "url", "host", "priority", "discovered_seq", "round", "lineage_part"
         ).unionByName(new_frontier)
