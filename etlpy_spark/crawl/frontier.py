@@ -87,6 +87,13 @@ class CrawlConfig:
     # JVM→parquet row path (they go Python→pyarrow→disk); False = classic
     # Spark writer
     images_direct_write: bool = True
+    # sharded Bloom prefilter for the image-table MERGE anti-join (same
+    # pattern as the URL seen set): bloom-negative image refs are
+    # definitely new and skip the join, so the growing image table's
+    # image_id column is NOT re-scanned every round for the common case.
+    # Maintained only on the direct-write path (the shard write job
+    # returns the bitsets); exact either way — positives still anti-join.
+    use_image_bloom: bool = True
 
 
 def global_rank(
@@ -158,6 +165,7 @@ class SparkCrawler:
         self.log = SnapshotTable(spark, os.path.join(workdir, "crawl_log"))
         self.metrics = SnapshotTable(spark, os.path.join(workdir, "metrics"))
         self._blooms: dict[int, BloomFilter] | None = None
+        self._img_blooms: dict[int, BloomFilter] | None = None
 
     # -- vectorized url helpers -------------------------------------------
 
@@ -250,11 +258,11 @@ class SparkCrawler:
         for c in init_caches:
             c.unpersist()
 
-    def _build_shard_blooms(self, rows: DataFrame) -> list:
-        """Distributed Bloom construction: hash every URL into a per-shard
+    def _build_shard_blooms(self, rows: DataFrame, col: str = "url") -> list:
+        """Distributed Bloom construction: hash every key into a per-shard
         bitset IN EXECUTORS (one applyInPandas group per shard), ship only
         the ~(n_bits/8)-byte bitsets to the driver. The previous driver-side
-        toPandas + add_many was O(all urls) SERIAL per round — the single
+        toPandas + add_many was O(all keys) SERIAL per round — the single
         largest Amdahl term at millions of URLs/round."""
         cfg = self.cfg
         proto = BloomFilter.sized_for(cfg.bloom_capacity, cfg.bloom_fpp)
@@ -262,28 +270,31 @@ class SparkCrawler:
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             bf = BloomFilter(nb, nh)
-            bf.add_many(pdf["url"].to_numpy())
+            bf.add_many(pdf[col].to_numpy())
             return pd.DataFrame(
                 {"shard": [int(pdf["shard"].iloc[0])], "bits": [bf.to_bytes()]}
             )
 
         return (
-            rows.select("shard", "url")
+            rows.select("shard", col)
             .groupBy("shard")
             .applyInPandas(build, schema="shard int, bits binary")
             .collect()
         )
 
-    def _merge_shard_blooms(self, parts: list) -> None:
+    def _fold_shard_bits(self, blooms: dict, parts: list) -> dict:
+        """OR per-shard bitset rows (shard, bits, ...) into ``blooms``."""
         import numpy as np
 
         cfg = self.cfg
         proto = BloomFilter.sized_for(cfg.bloom_capacity, cfg.bloom_fpp)
-        blooms = self._blooms if self._blooms is not None else {}
         for r in parts:
             tgt = blooms.setdefault(int(r["shard"]), BloomFilter(proto.n_bits, proto.n_hashes))
             tgt.bits = np.bitwise_or(tgt.bits, np.frombuffer(bytes(r["bits"]), dtype=np.uint8))
-        self._blooms = blooms
+        return blooms
+
+    def _merge_shard_blooms(self, parts: list) -> None:
+        self._blooms = self._fold_shard_bits(self._blooms or {}, parts)
 
     def _commit_seen(self, urls_round: DataFrame) -> int:
         """Commit this round's new URLs to the seen table and fold them into
@@ -346,6 +357,25 @@ class SparkCrawler:
         if self.seen.current_version() is not None:
             self._merge_shard_blooms(self._build_shard_blooms(self.seen.read()))
         return self._blooms
+
+    def _load_img_blooms(self) -> dict[int, BloomFilter]:
+        """Per-shard Blooms over the image table's image_id column — built
+        once per crawler (resume pays one distributed pass over the table),
+        then folded forward by each round's shard write job."""
+        if self._img_blooms is not None:
+            return self._img_blooms
+        self._img_blooms = {}
+        if self.images.current_version() is not None:
+            rows = self.images.read().select(
+                F.pmod(F.xxhash64("image_id"), F.lit(self.cfg.n_shards))
+                .cast("int")
+                .alias("shard"),
+                "image_id",
+            )
+            self._img_blooms = self._fold_shard_bits(
+                {}, self._build_shard_blooms(rows, col="image_id")
+            )
+        return self._img_blooms
 
     # -- robots -------------------------------------------------------------
 
@@ -516,7 +546,57 @@ class SparkCrawler:
                 )
                 .select("image_id", "__f__.caption", "__f__.part")
             )
-            if self.images.current_version() is not None:
+            img_bloom_bcast = None
+            have_table = self.images.current_version() is not None
+            use_ib = cfg.use_image_bloom and cfg.images_direct_write
+            if have_table and use_ib:
+                # Bloom prefilter for the MERGE: bloom-negative refs are
+                # DEFINITELY new and skip the anti-join, so the growing
+                # image table's image_id column is only scanned for the
+                # (rare at steady state) bloom-positive residue — the same
+                # short-circuit the URL seen set uses. No false negatives →
+                # the committed table stays exactly-deduped.
+                iblooms = self._load_img_blooms()
+                payload = {
+                    s: (b.to_bytes(), b.n_bits, b.n_hashes) for s, b in iblooms.items()
+                }
+                ib = img_bloom_bcast = spark.sparkContext.broadcast(payload)
+                n_ish = cfg.n_shards
+
+                from pyspark.sql.functions import pandas_udf
+
+                @pandas_udf("boolean")
+                def maybe_have(ids: pd.Series, shards: pd.Series) -> pd.Series:
+                    import numpy as np
+
+                    from etlpy_spark.crawl.seen import BloomFilter as BF
+
+                    local = {
+                        s: BF.from_bytes(d, nb, nh) for s, (d, nb, nh) in ib.value.items()
+                    }
+                    sh = shards.to_numpy()
+                    ia = ids.to_numpy()
+                    out = np.zeros(len(ia), dtype=bool)
+                    for s in np.unique(sh):
+                        f = local.get(int(s))
+                        if f is None:
+                            continue
+                        m = sh == s
+                        out[m] = f.might_contain_many(ia[m])
+                    return pd.Series(out)
+
+                refs = refs.withColumn(
+                    "__shard__",
+                    F.pmod(F.xxhash64("image_id"), F.lit(n_ish)).cast("int"),
+                ).withColumn("__maybe__", maybe_have(F.col("image_id"), F.col("__shard__")))
+                fresh = refs.filter(~F.col("__maybe__")).drop("__maybe__")
+                to_check = (
+                    refs.filter(F.col("__maybe__"))
+                    .drop("__maybe__")
+                    .join(self.images.read().select("image_id"), on="image_id", how="left_anti")
+                )
+                refs = fresh.unionByName(to_check)
+            elif have_table:
                 refs = refs.join(
                     self.images.read().select("image_id"), on="image_id", how="left_anti"
                 )
@@ -543,14 +623,20 @@ class SparkCrawler:
 
             if cfg.images_direct_write:
                 # bytes go Python→pyarrow→disk INSIDE the task; the Spark
-                # job only carries a (file, n) manifest row per part file.
-                # Skips the Arrow transfer, the JVM row copy and the JVM
-                # parquet encode for the ~300 KB binary payloads — on the
-                # memory-bandwidth-bound image axis those copies were the
-                # engine overhead on top of the raw codec kernel.
+                # job only carries a (shard, bits, n) row per group. Skips
+                # the Arrow transfer, the JVM row copy and the JVM parquet
+                # encode for the ~300 KB binary payloads — on the memory-
+                # bandwidth-bound image axis those copies were the engine
+                # overhead on top of the raw codec kernel. Groups are
+                # (shard, sub-split): sub-split restores the old
+                # n_buckets-way parallelism; bitsets OR per shard on the
+                # driver, folding this round's ids into the image Blooms
+                # in the SAME job that writes the bytes.
                 v, data_dir = self.images.begin_external()
+                proto = BloomFilter.sized_for(cfg.bloom_capacity, cfg.bloom_fpp)
+                nb2, nh2 = proto.n_bits, proto.n_hashes
 
-                def fetch_write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                def write_shard_imgs(pdf: pd.DataFrame) -> pd.DataFrame:
                     import uuid
 
                     import pyarrow as pa
@@ -562,22 +648,48 @@ class SparkCrawler:
                         ("caption", pa.string()), ("phash", pa.int64()),
                         ("first_round", pa.int32()), ("lineage_part", pa.int32()),
                     ])
-                    for pdf in batches:
-                        for lo in range(0, len(pdf), CHUNK):
-                            sub = pdf.iloc[lo : lo + CHUNK]
-                            if not len(sub):
-                                continue
-                            tbl = pa.Table.from_pydict(rows_for(sub), schema=schema)
-                            fn = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
-                            # bytes are already-compressed image containers
-                            pq.write_table(tbl, fn, compression="none")
-                            yield pd.DataFrame({"file": [fn], "n": [len(sub)]})
+                    n = 0
+                    for lo in range(0, len(pdf), CHUNK):
+                        sub = pdf.iloc[lo : lo + CHUNK]
+                        if not len(sub):
+                            continue
+                        tbl = pa.Table.from_pydict(rows_for(sub), schema=schema)
+                        fn = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
+                        # bytes are already-compressed image containers
+                        pq.write_table(tbl, fn, compression="none")
+                        n += len(sub)
+                    bf = BloomFilter(nb2, nh2)
+                    bf.add_many(pdf["image_id"].to_numpy())
+                    return pd.DataFrame(
+                        {
+                            "shard": [int(pdf["__shard__"].iloc[0])],
+                            "bits": [bf.to_bytes()],
+                            "n": [n],
+                        }
+                    )
 
-                manifest = refs.repartition(cfg.n_buckets).mapInPandas(
-                    fetch_write, schema="file string, n long"
+                subs = max(1, cfg.n_buckets // cfg.n_shards)
+                if "__shard__" not in refs.columns:
+                    refs = refs.withColumn(
+                        "__shard__",
+                        F.pmod(F.xxhash64("image_id"), F.lit(cfg.n_shards)).cast("int"),
+                    )
+                parts = (
+                    refs.withColumn(
+                        "__sub__",
+                        F.pmod(F.xxhash64("image_id", F.lit(1)), F.lit(subs)).cast("int"),
+                    )
+                    .groupBy("__shard__", "__sub__")
+                    .applyInPandas(write_shard_imgs, schema="shard int, bits binary, n long")
+                    .collect()
                 )
-                manifest.count()  # run the write job (output is a tiny manifest)
+                if cfg.use_image_bloom:
+                    self._img_blooms = self._fold_shard_bits(
+                        self._img_blooms or {}, parts
+                    )
                 _, n_imgs = self.images.commit_external(v, data_dir, meta={"round": rnd})
+                if img_bloom_bcast is not None:
+                    img_bloom_bcast.destroy()
                 return int(n_imgs)
 
             def fetch_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
