@@ -91,3 +91,240 @@ class BloomFilter:
     @classmethod
     def from_bytes(cls, data: bytes, n_bits: int, n_hashes: int) -> "BloomFilter":
         return cls(n_bits, n_hashes, np.frombuffer(data, dtype=np.uint8).copy())
+
+    # -- pluggable-filter surface (shared with CuckooFilter) ---------------
+
+    @property
+    def spec(self) -> tuple:
+        return ("bloom", self.n_bits, self.n_hashes)
+
+    def merge_bytes(self, data: bytes) -> None:
+        """Fold another shard bitset (same spec) into this one. Blooms of
+        identical geometry merge by bitwise OR — the property the
+        executor-build / driver-fold pattern relies on."""
+        self.bits = np.bitwise_or(self.bits, np.frombuffer(data, dtype=np.uint8))
+
+
+class CuckooFilter:
+    """Cuckoo filter (Fan et al., CoNEXT'14): the seen-set fast path the
+    north_star names alongside Bloom ("sharded Bloom/cuckoo-filter URL-seen
+    set"). Same contract as :class:`BloomFilter` — NO false negatives, so
+    the exact seen table stays the authority — plus what Bloom cannot do:
+    ``delete_many`` (retract URLs, e.g. recrawl scheduling) and ~30-40% less
+    space at fpp ≤ 1% under high load.
+
+    Layout: ``n_buckets`` (power of two) × 4 slots of uint16 fingerprints
+    (0 = empty). fp(x) ∈ [1, 2^fp_bits-1]; bucket i1 = h1 & (n_buckets-1);
+    partner i2 = i1 XOR (fp·0x5bd1e995 & mask) — involutive, so either
+    bucket recovers the other. Evictions that survive MAX_KICKS land in a
+    ``stash`` checked on lookup (conservative: extra false positives,
+    never a false negative). Lookups — the hot path, run per candidate URL
+    per round — are fully numpy-vectorized; inserts run once per *new* URL
+    inside the per-shard executor build, where a short Python kick loop is
+    acceptable (vectorized empty-slot fast path handles the bulk).
+
+    Merging (the driver's per-round fold) re-inserts the other filter's
+    occupied fingerprints at their recorded buckets — correct because the
+    partner bucket is derivable from (bucket, fp) by the XOR involution.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+    _FP_MIX = np.uint64(0x5BD1E995)
+
+    def __init__(
+        self,
+        n_buckets: int,
+        fp_bits: int,
+        table: np.ndarray | None = None,
+        stash: list | None = None,
+    ):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+        assert 1 <= fp_bits <= 16
+        self.n_buckets = n_buckets
+        self.fp_bits = fp_bits
+        self.table = (
+            table
+            if table is not None
+            else np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        )
+        self.stash: list[int] = stash if stash is not None else []
+        self._kick_rot = 0  # deterministic victim-slot rotation
+
+    @classmethod
+    def sized_for(cls, n_items: int, fpp: float = 0.01) -> "CuckooFilter":
+        n_items = max(n_items, 64)
+        # fpp ≈ 2·SLOTS / 2^fp_bits  →  fp_bits ≈ log2(8/fpp)
+        fp_bits = min(16, max(8, math.ceil(math.log2(2 * cls.SLOTS / fpp))))
+        n_buckets = 1
+        while n_buckets * cls.SLOTS < 2 * n_items:  # target ≤50% load: rare kicks
+            n_buckets <<= 1
+        return cls(n_buckets, fp_bits)
+
+    # -- hashing ------------------------------------------------------------
+
+    def _fp_i1(self, keys) -> tuple[np.ndarray, np.ndarray]:
+        h1, h2 = _hash2(keys)
+        fps = (h2 % np.uint64((1 << self.fp_bits) - 1) + np.uint64(1)).astype(np.uint16)
+        i1 = (h1 & np.uint64(self.n_buckets - 1)).astype(np.int64)
+        return fps, i1
+
+    def _alt(self, i: np.ndarray | int, fp: np.ndarray | int):
+        mix = (np.asarray(fp, dtype=np.uint64) * self._FP_MIX) & np.uint64(
+            self.n_buckets - 1
+        )
+        return np.bitwise_xor(np.asarray(i, dtype=np.uint64), mix).astype(np.int64)
+
+    # -- core ops -------------------------------------------------------------
+
+    def add_many(self, keys) -> None:
+        if len(keys) == 0:
+            return
+        fps, i1 = self._fp_i1(keys)
+        # same-key duplicates within the batch collapse to one insert
+        pair = np.unique(np.stack([i1, fps.astype(np.int64)], axis=1), axis=0)
+        i1, fps = pair[:, 0], pair[:, 1].astype(np.uint16)
+        i2 = self._alt(i1, fps)
+        # skip fingerprints already present (idempotent adds; keeps folds
+        # from inflating load) — vectorized
+        present = (self.table[i1] == fps[:, None]).any(axis=1) | (
+            self.table[i2] == fps[:, None]
+        ).any(axis=1)
+        if self.stash:
+            present |= np.isin(fps, np.asarray(self.stash, dtype=np.uint16))
+        for i, fp in zip(i1[~present].tolist(), fps[~present].tolist()):
+            self._insert(i, fp)
+
+    def _insert(self, i: int, fp: int) -> None:
+        t = self.table
+        for cand in (i, int(self._alt(i, fp))):
+            row = t[cand]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return
+        cur_i, cur_fp = int(self._alt(i, fp)), fp
+        for _ in range(self.MAX_KICKS):
+            slot = self._kick_rot % self.SLOTS
+            self._kick_rot += 1
+            cur_fp, t[cur_i, slot] = int(t[cur_i, slot]), cur_fp
+            cur_i = int(self._alt(cur_i, cur_fp))
+            row = t[cur_i]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur_fp
+                return
+        self.stash.append(cur_fp)  # never drop: no-false-negative contract
+
+    def might_contain_many(self, keys) -> np.ndarray:
+        n = len(keys)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        fps, i1 = self._fp_i1(keys)
+        i2 = self._alt(i1, fps)
+        out = (self.table[i1] == fps[:, None]).any(axis=1) | (
+            self.table[i2] == fps[:, None]
+        ).any(axis=1)
+        if self.stash:
+            out |= np.isin(fps, np.asarray(self.stash, dtype=np.uint16))
+        return out
+
+    def might_contain(self, key: str) -> bool:
+        return bool(self.might_contain_many([key])[0])
+
+    def delete_many(self, keys) -> int:
+        """Remove one stored fingerprint per key (standard cuckoo contract:
+        only delete keys that were inserted). Returns how many were found.
+        This is the operation Blooms cannot support at all."""
+        if len(keys) == 0:
+            return 0
+        fps, i1 = self._fp_i1(keys)
+        i2 = self._alt(i1, fps)
+        removed = 0
+        for a, b, fp in zip(i1.tolist(), i2.tolist(), fps.tolist()):
+            hit = False
+            for cand in (a, b):
+                row = self.table[cand]
+                j = np.nonzero(row == fp)[0]
+                if len(j):
+                    row[j[0]] = 0
+                    hit = True
+                    break
+            if not hit and fp in self.stash:
+                self.stash.remove(fp)
+                hit = True
+            removed += hit
+        return removed
+
+    # -- merge / serialization ------------------------------------------------
+
+    def merge(self, other: "CuckooFilter") -> None:
+        assert (self.n_buckets, self.fp_bits) == (other.n_buckets, other.fp_bits)
+        occ = np.nonzero(other.table)  # (bucket_idx, slot)
+        fps = other.table[occ]
+        buckets = occ[0].astype(np.int64)
+        alts = self._alt(buckets, fps)
+        present = (self.table[buckets] == fps[:, None]).any(axis=1) | (
+            self.table[alts] == fps[:, None]
+        ).any(axis=1)
+        for i, fp in zip(buckets[~present].tolist(), fps[~present].tolist()):
+            self._insert(i, fp)
+        for fp in other.stash:
+            if not self.might_contain_fp(fp):
+                self.stash.append(fp)
+
+    def might_contain_fp(self, fp: int) -> bool:
+        return fp in self.stash or bool((self.table == np.uint16(fp)).any())
+
+    def to_bytes(self) -> bytes:
+        st = np.asarray(self.stash, dtype=np.uint16)
+        return (
+            np.uint32(len(st)).tobytes() + st.tobytes() + self.table.tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes, n_buckets: int, fp_bits: int) -> "CuckooFilter":
+        ns = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
+        stash = np.frombuffer(data[4 : 4 + 2 * ns], dtype=np.uint16).tolist()
+        table = (
+            np.frombuffer(data[4 + 2 * ns :], dtype=np.uint16)
+            .reshape(n_buckets, cls.SLOTS)
+            .copy()
+        )
+        return cls(n_buckets, fp_bits, table, stash)
+
+    @property
+    def spec(self) -> tuple:
+        return ("cuckoo", self.n_buckets, self.fp_bits)
+
+    def merge_bytes(self, data: bytes) -> None:
+        self.merge(CuckooFilter.from_bytes(data, self.n_buckets, self.fp_bits))
+
+
+# -- pluggable seen-filter factory (frontier picks via CrawlConfig) ---------
+
+
+def filter_spec(kind: str, capacity: int, fpp: float) -> tuple:
+    """Geometry spec for a per-shard seen filter: a small picklable tuple
+    the frontier captures in executor closures / broadcasts instead of a
+    class reference. ``("bloom", n_bits, n_hashes)`` or
+    ``("cuckoo", n_buckets, fp_bits)``."""
+    if kind == "cuckoo":
+        p = CuckooFilter.sized_for(capacity, fpp)
+        return p.spec
+    if kind == "bloom":
+        p = BloomFilter.sized_for(capacity, fpp)
+        return p.spec
+    raise ValueError(f"unknown seen_filter kind: {kind!r}")
+
+
+def new_filter(spec: tuple):
+    if spec[0] == "cuckoo":
+        return CuckooFilter(spec[1], spec[2])
+    return BloomFilter(spec[1], spec[2])
+
+
+def filter_from_bytes(spec: tuple, data: bytes):
+    if spec[0] == "cuckoo":
+        return CuckooFilter.from_bytes(data, spec[1], spec[2])
+    return BloomFilter.from_bytes(data, spec[1], spec[2])

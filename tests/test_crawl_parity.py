@@ -100,6 +100,24 @@ def test_ranged_rank_path_parity(spark, oracle):
         shutil.rmtree(wd, ignore_errors=True)
 
 
+def test_cuckoo_seen_filter_parity(spark, oracle):
+    """The cuckoo seen-filter backend (north_star: "sharded Bloom/cuckoo-
+    filter URL-seen set") must be observationally identical to Bloom: the
+    fast path only short-circuits definite-negatives, the exact table stays
+    the authority, so crawl order / seen set / image ids match the serial
+    oracle exactly."""
+    wd = tempfile.mkdtemp(prefix="crawl_cuckoo_")
+    try:
+        cr = SparkCrawler(spark, wd, CrawlConfig(web=WEB, seen_filter="cuckoo"))
+        cr.run(seed_urls(WEB, n_per_host=2), max_rounds=ROUNDS)
+        assert cr.crawl_log_list() == oracle.crawl_log
+        assert cr.seen_urls_list() == set(oracle.seen)
+        got_ids = {r.image_id for r in cr.images.read().select("image_id").collect()}
+        assert got_ids == set(oracle.images)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 def test_rollback_time_travel(spark):
     """Snapshot tables support time travel: after 3 rounds, the round-1
     frontier is still readable (per-round lineage, north_rule)."""
