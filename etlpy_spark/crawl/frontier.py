@@ -876,6 +876,99 @@ class SparkCrawler:
                 break
         return out
 
+    # -- refresh / retraction APIs --------------------------------------------
+
+    def _urls_df(self, urls) -> DataFrame:
+        """Canonical, distinct url column from a list (Arrow path, like
+        seeds) or a DataFrame with a ``url`` column (the scale path — a
+        10^10-scale recrawl set never rides the driver)."""
+        if isinstance(urls, DataFrame):
+            raw = urls.select(F.col("url").cast("string").alias("raw"))
+        else:
+            raw = self.spark.createDataFrame(
+                pd.DataFrame({"raw": pd.array(urls, dtype="string")}),
+                schema="raw string",
+            )
+        canon = self._canon_udf()
+        return (
+            raw.select(canon(F.col("raw")).alias("url"))
+            .filter(F.col("url").isNotNull())
+            .distinct()
+        )
+
+    def recrawl(self, urls) -> int:
+        """Stale-page refresh: re-enqueue URLs into the frontier so the next
+        round refetches them. The seen set is NOT touched — it gates link
+        *discovery*, not fetching, so a direct enqueue refetches regardless
+        of membership while every invariant (exact seen table, link-path
+        anti-joins, politeness/robots/priority ordering) holds unchanged.
+        Newly appearing links on the refetched page are discovered normally.
+
+        Rows get fresh ``discovered_seq`` values (ranked by url — pure-
+        DataFrame and deterministic) and ``lineage_part = -2`` so recrawled
+        lineage is distinguishable from seed (-1) and link parts (≥0).
+        Returns the number of URLs enqueued (already-pending ones are
+        skipped)."""
+        from etlpy_spark.sources.synthetic_web import host_expr, priority_expr
+
+        # list inputs below the threshold take the cheap global-window rank;
+        # DataFrame inputs are assumed big → two-phase ranged rank
+        is_small = (
+            not isinstance(urls, DataFrame) and len(urls) <= self.cfg.rank_threshold
+        )
+        pending = self.frontier.read()
+        tgt = (
+            self._urls_df(urls)
+            .join(pending.select("url"), on="url", how="left_anti")
+            .withColumn("host", host_expr(F.col("url")))
+            .withColumn("priority", priority_expr(F.col("url"), self.cfg.web.seed))
+        )
+        st = self.state()
+        rnd, seq_base = int(st["round"]), int(st["next_discovered_seq"])
+        caches: list = []
+        ranked, n = global_rank(
+            tgt, ["url"], "discovered_seq", seq_base, self.cfg.n_buckets,
+            small=is_small, caches=caches,
+        )
+        rows = ranked.select(
+            "url", "host", "priority", "discovered_seq",
+            F.lit(rnd).alias("round"), F.lit(-2).alias("lineage_part"),
+        )
+        self.frontier.overwrite(
+            pending.unionByName(rows),
+            meta={
+                "round": rnd,
+                "next_fetch_seq": int(st["next_fetch_seq"]),
+                "next_discovered_seq": seq_base + n,
+                "recrawled": n,
+            },
+        )
+        for c in caches:
+            c.unpersist()
+        return n
+
+    def forget(self, urls) -> int:
+        """Retract URLs from the seen set so they become *discoverable*
+        again through links (domain purge-and-recrawl, takedown-then-allow).
+        The exact table is updated by anti-join overwrite; the in-memory
+        shard filters are invalidated and lazily rebuilt from the updated
+        table by the next round's ``_load_blooms`` (one distributed pass).
+
+        The rebuild — not ``CuckooFilter.delete_many`` — is the correct path
+        for the SHARED filters: ``add_many``/``merge`` collapse colliding
+        (bucket, fingerprint) pairs to a single copy, so deleting URL X
+        could also un-represent a colliding URL Y, a false negative the
+        contract forbids. ``delete_many`` stays sound for privately built
+        filters that never dedupe. Returns how many seen rows were
+        retracted."""
+        tgt = self._urls_df(urls)
+        seen = self.seen.read()
+        removed = seen.join(tgt, on="url", how="left_semi").count()
+        if removed:
+            self.seen.overwrite(seen.join(tgt, on="url", how="left_anti"))
+            self._blooms = None  # rebuilt distributed, on demand
+        return int(removed)
+
     # -- results for parity checks ------------------------------------------
 
     def crawl_log_list(self) -> list[tuple[int, str]]:
