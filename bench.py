@@ -115,10 +115,19 @@ def main() -> None:
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        times[name] = round(time.time() - t0, 3)
+    def timed(name, fn, runs=1):
+        # runs=2 → best-of-2 (min wall), same protocol BENCH/BASELINE.md
+        # uses: this VM shows up to ±40% wall variance between identical
+        # runs (noisy-neighbor steal), so a single sample of a ~10 s query
+        # can record a 3-5x outlier; min wall is the least-noise sample.
+        best = None
+        out = None
+        for _ in range(runs):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
         return out
 
     # headline: crawl
@@ -144,7 +153,10 @@ def main() -> None:
         "text_suite",  # r1 names: lang_id + fingerprint (+quality/tokens)
         "zip_merge_golden",
     ):
-        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+        # the two LSH pair-mining queries are the longest non-crawl entries
+        # and the most noise-sensitive; everything else is <5 s warm
+        runs = 2 if name in ("minhash_lsh_pairs", "ngram_jaccard_pairs") else 1
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), runs=runs)
 
     # image pipeline at bench scale: generate + decode + phash 4000 images
     def image_bench():
