@@ -499,12 +499,26 @@ class SparkCrawler:
         buckets = selected.repartition(cfg.n_buckets, F.pmod(F.xxhash64("host"), F.lit(cfg.n_buckets)))
         web = cfg.web
 
+        # the crawl log is written INSIDE the fetch UDF (pyarrow part file
+        # per politeness bucket, manifest-committed after the first job that
+        # materializes the fetch) — the r2.0 separate log.append cost a full
+        # Spark job per round just to materialize the fetch cache. Part
+        # files are named by partition id and land via atomic rename, so a
+        # re-computed partition (cache race under ETLPY_CRAWL_OVERLAP, task
+        # retry) overwrites its own identical output instead of duplicating.
+        v_log, log_dir = self.log.begin_external()
+
         def fetch_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
             from pyspark import TaskContext
 
             from etlpy_spark.sources.synthetic_web import page
 
             part = TaskContext.get().partitionId() if TaskContext.get() else -1
+            log = {"fetch_seq": [], "url": []}
             for pdf in batches:
                 out = {"fetch_seq": [], "kind": [], "pos": [], "value": [], "caption": [], "part": []}
                 for fs, u in zip(pdf["fetch_seq"], pdf["url"]):
@@ -517,29 +531,29 @@ class SparkCrawler:
                         out["fetch_seq"].append(fs); out["kind"].append("img")
                         out["pos"].append(i); out["value"].append(im)
                         out["caption"].append(cap); out["part"].append(part)
-                    # sentinel row marks the fetch itself (for the log/lineage)
-                    out["fetch_seq"].append(fs); out["kind"].append("fetched")
-                    out["pos"].append(-1); out["value"].append(u)
-                    out["caption"].append(None); out["part"].append(part)
+                    log["fetch_seq"].append(fs); log["url"].append(u)
                 yield pd.DataFrame(out)
+            if log["fetch_seq"]:
+                n = len(log["fetch_seq"])
+                tbl = pa.table({
+                    "fetch_seq": pa.array(log["fetch_seq"], pa.int64()),
+                    "url": pa.array(log["url"], pa.string()),
+                    "round": pa.array([rnd] * n, pa.int32()),
+                    "lineage_part": pa.array([part] * n, pa.int32()),
+                })
+                tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, os.path.join(log_dir, f"part-{part:05d}.parquet"))
 
         extracted = buckets.mapInPandas(
             fetch_pages,
             schema="fetch_seq long, kind string, pos int, value string, caption string, part int",
         )
         extracted = extracted.cache()
-
-        # crawl log (+ per-partition lineage); every selected row is fetched
-        # exactly once (one sentinel per url), so fetched == n_selected —
-        # no extra count job.
-        log_rows = (
-            extracted.filter(F.col("kind") == "fetched")
-            .select("fetch_seq", F.col("value").alias("url"), F.lit(rnd).alias("round"),
-                    F.col("part").alias("lineage_part"))
-        )
+        # every selected row is fetched exactly once, so fetched ==
+        # n_selected — no count job; the log commit happens after the
+        # seen-commit job below has materialized the fetch cache.
         fetched = n_selected
-        self.log.append(log_rows, meta={"round": rnd})
-        _t = _tlog("fetch+log_commit", _t)
 
         # the log append above materialized the `extracted` cache, so the
         # link path and the image path below read it without re-fetching —
@@ -687,6 +701,7 @@ class SparkCrawler:
                         "__shard__",
                         F.pmod(F.xxhash64("image_id"), F.lit(cfg.n_shards)).cast("int"),
                     )
+                _ti = _time.time()
                 parts = (
                     refs.withColumn(
                         "__sub__",
@@ -696,11 +711,13 @@ class SparkCrawler:
                     .applyInPandas(write_shard_imgs, schema="shard int, bits binary, n long")
                     .collect()
                 )
+                _ti = _tlog("  image_write_job", _ti)
                 if cfg.use_image_bloom:
                     self._img_blooms = self._fold_shard_bits(
                         self._img_blooms or {}, parts
                     )
                 _, n_imgs = self.images.commit_external(v, data_dir, meta={"round": rnd})
+                _ti = _tlog("  image_commit", _ti)
                 if img_bloom_bcast is not None:
                     img_bloom_bcast.destroy()
                 return int(n_imgs)
@@ -819,7 +836,10 @@ class SparkCrawler:
         )
         if n_new < 0:
             n_new = n_committed
-        _t = _tlog("seen_commit", _t)
+        # the seen-commit job consumed every partition of the fetch cache,
+        # so all per-bucket log part files exist — manifest-commit them
+        self.log.commit_external(v_log, log_dir, meta={"round": rnd})
+        _t = _tlog("seen_commit+log", _t)
         if overlap:
             n_new_images = img_future.result()
             pool.shutdown()
