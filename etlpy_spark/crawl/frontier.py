@@ -101,6 +101,13 @@ class CrawlConfig:
     # seen table remains the authority either way (north_star: "sharded
     # Bloom/cuckoo-filter URL-seen set").
     seen_filter: str = "bloom"
+    # merge-on-read frontier commits: append new URLs + equality-delete
+    # tombstones for consumed ones instead of rewriting the whole pending
+    # frontier every round. O(round) per commit instead of O(pending) —
+    # the difference between a 10^10-URL frontier being writable and not.
+    # Tombstones auto-compact past the threshold fraction of live rows.
+    frontier_mor: bool = True
+    frontier_compact_threshold: float = 0.3
 
 
 def global_rank(
@@ -846,9 +853,6 @@ class SparkCrawler:
         else:
             n_new_images = image_path()
         _t = _tlog("image_path", _t)
-        next_frontier = deferred.select(
-            "url", "host", "priority", "discovered_seq", "round", "lineage_part"
-        ).unionByName(new_frontier)
         m = {
             "round": rnd,
             "scheduled": scheduled,
@@ -858,15 +862,29 @@ class SparkCrawler:
             "new_urls": n_new,
             "new_images": int(n_new_images),
         }
-        self.frontier.overwrite(
-            next_frontier,
-            meta={
-                "round": rnd + 1,
-                "next_fetch_seq": fetch_base + fetched,
-                "next_discovered_seq": seq_base + n_new,
-                "metrics": m,
-            },
-        )
+        state_meta = {
+            "round": rnd + 1,
+            "next_fetch_seq": fetch_base + fetched,
+            "next_discovered_seq": seq_base + n_new,
+            "metrics": m,
+        }
+        if cfg.frontier_mor:
+            # merge-on-read commit: append the round's NEW urls + tombstone
+            # the consumed ones (fetched + robots-blocked). O(round-sized
+            # files), never O(pending) — at a 10^10-URL frontier the old
+            # overwrite path rewrote every deferred row every round, which
+            # WAS the per-round commit cost at scale. Tombstones compact
+            # automatically past the threshold (one distributed rewrite).
+            removed = annotated.filter(sel_pred | F.col("__blocked__")).select("url")
+            self.frontier.append_with_deletes(
+                new_frontier, removed, key="url", meta=state_meta,
+                compact_threshold=cfg.frontier_compact_threshold,
+            )
+        else:
+            next_frontier = deferred.select(
+                "url", "host", "priority", "discovered_seq", "round", "lineage_part"
+            ).unionByName(new_frontier)
+            self.frontier.overwrite(next_frontier, meta=state_meta)
         if cfg.write_metrics:
             self.metrics.append(spark.createDataFrame([tuple(m.values())], METRICS_DDL))
         _t = _tlog("seen+frontier+metrics_commit", _t)
@@ -954,8 +972,11 @@ class SparkCrawler:
             "url", "host", "priority", "discovered_seq",
             F.lit(rnd).alias("round"), F.lit(-2).alias("lineage_part"),
         )
-        self.frontier.overwrite(
-            pending.unionByName(rows),
+        # append-only enqueue (pending rows stay in their files): with
+        # sequence-aware tombstones a previously-fetched url appended here
+        # is NOT re-deleted by old tombstones, so re-enqueue always lands
+        self.frontier.append(
+            rows,
             meta={
                 "round": rnd,
                 "next_fetch_seq": int(st["next_fetch_seq"]),

@@ -35,6 +35,16 @@ class Snapshot:
     mode: str  # 'append' | 'overwrite'
     data_dirs: list[str]
     meta: dict
+    # merge-on-read state (Iceberg equality-delete files): entries of
+    # {"dir": <key-only parquet dir>, "upto": <data-dir index bound>} —
+    # a tombstone deletes ONLY from data dirs with index < upto (the
+    # Iceberg sequence-number rule: deletes never touch files added
+    # after them, so a later re-append of the same key survives), plus
+    # the key column name and cumulative (data, tomb) footer-row stats
+    # driving compaction
+    delete_dirs: list[dict] | None = None
+    delete_key: str | None = None
+    mor_stats: dict | None = None
 
     @property
     def name(self) -> str:
@@ -80,7 +90,11 @@ class SnapshotTable:
     def snapshot(self, version: int) -> Snapshot:
         with open(self._snap_path(version)) as f:
             d = json.load(f)
-        return Snapshot(version=d["version"], mode=d["mode"], data_dirs=d["data_dirs"], meta=d["meta"])
+        return Snapshot(
+            version=d["version"], mode=d["mode"], data_dirs=d["data_dirs"],
+            meta=d["meta"], delete_dirs=d.get("delete_dirs"),
+            delete_key=d.get("delete_key"), mor_stats=d.get("mor_stats"),
+        )
 
     def history(self) -> list[Snapshot]:
         out = []
@@ -101,11 +115,20 @@ class SnapshotTable:
         if self.compression:
             w = w.option("compression", self.compression)
         w.parquet(data_dir)
+        snap = {"version": v, "mode": mode, "data_dirs": [data_dir], "meta": meta or {}}
         if mode == "append" and (prev := self.current_version()):
-            dirs = self.snapshot(prev).data_dirs + [data_dir]
-        else:
-            dirs = [data_dir]
-        snap = {"version": v, "mode": mode, "data_dirs": dirs, "meta": meta or {}}
+            ps = self.snapshot(prev)
+            snap["data_dirs"] = ps.data_dirs + [data_dir]
+            # tombstones survive plain appends (they delete from OLD dirs);
+            # an overwrite resets them along with the data
+            if ps.delete_dirs:
+                snap["delete_dirs"] = ps.delete_dirs
+                snap["delete_key"] = ps.delete_key
+                snap["mor_stats"] = ps.mor_stats
+        self._write_manifest(v, snap)
+        return v
+
+    def _write_manifest(self, v: int, snap: dict) -> None:
         tmp = self._snap_path(v) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(snap, f)
@@ -114,7 +137,6 @@ class SnapshotTable:
         with open(cur_tmp, "w") as f:
             f.write(str(v))
         os.replace(cur_tmp, os.path.join(self.path, "_current"))
-        return v
 
     def append(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(df, "append", meta)
@@ -167,20 +189,97 @@ class SnapshotTable:
         n = sum(
             pq.read_metadata(os.path.join(data_dir, f)).num_rows for f in files
         )
+        snap = {"version": version, "mode": mode, "data_dirs": [data_dir],
+                "meta": meta or {}}
         if mode == "append" and (prev := self.current_version()):
-            dirs = self.snapshot(prev).data_dirs + [data_dir]
-        else:
-            dirs = [data_dir]
-        snap = {"version": version, "mode": mode, "data_dirs": dirs, "meta": meta or {}}
-        tmp = self._snap_path(version) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-        os.replace(tmp, self._snap_path(version))
-        cur_tmp = os.path.join(self.path, "_current.tmp")
-        with open(cur_tmp, "w") as f:
-            f.write(str(version))
-        os.replace(cur_tmp, os.path.join(self.path, "_current"))
+            ps = self.snapshot(prev)
+            snap["data_dirs"] = ps.data_dirs + [data_dir]
+            if ps.delete_dirs:
+                snap["delete_dirs"] = ps.delete_dirs
+                snap["delete_key"] = ps.delete_key
+                snap["mor_stats"] = ps.mor_stats
+        self._write_manifest(version, snap)
         return version, n
+
+    # -- merge-on-read deletes (Iceberg equality-delete files + compaction)
+
+    def append_with_deletes(
+        self, df: DataFrame, delete_keys: DataFrame, key: str,
+        meta: dict | None = None, compact_threshold: float = 0.3,
+    ) -> int:
+        """One atomic commit = append ``df`` + equality-delete every
+        existing row whose ``key`` appears in ``delete_keys`` (Iceberg
+        merge-on-read DELETE semantics: a ~key-only tombstone file, no
+        data-file rewrite). ``read()`` applies tombstones as an anti-join.
+
+        This turns a mutate-in-place table (the crawl frontier) from an
+        O(table) rewrite per commit into O(changed rows): at a 10^10-URL
+        pending frontier the per-round commit writes round-sized files
+        only. When accumulated tombstones exceed ``compact_threshold`` of
+        live rows the commit compacts (one distributed rewrite, the moral
+        equivalent of Iceberg's rewrite_data_files) so read-side anti-join
+        cost stays bounded; amortized cost is O(changed) per commit."""
+        v = (self.current_version() or 0) + 1
+        data_dir = os.path.join(self.path, "data", f"v{v:06d}")
+        del_dir = os.path.join(self.path, "data", f"v{v:06d}.del")
+        w = df.write.mode("overwrite")
+        if self.compression:
+            w = w.option("compression", self.compression)
+        w.parquet(data_dir)
+        delete_keys.select(key).write.mode("overwrite").parquet(del_dir)
+        prev = self.current_version()
+        psnap = self.snapshot(prev) if prev else None
+        if psnap and psnap.delete_key not in (None, key):
+            raise ValueError(
+                f"table already has tombstones keyed by {psnap.delete_key!r}"
+            )
+        prev_dirs = psnap.data_dirs if psnap else []
+        dirs = prev_dirs + [data_dir]
+        # the tombstone applies to PRE-EXISTING data dirs only (Iceberg
+        # sequence numbers): rows appended in this same commit — or any
+        # later one — with a deleted key stay live
+        dels = (psnap.delete_dirs or [] if psnap else []) + [
+            {"dir": del_dir, "upto": len(prev_dirs)}
+        ]
+        if psnap and psnap.mor_stats:
+            stats = dict(psnap.mor_stats)
+        else:
+            # first MoR commit on this table: seed the live-row count from
+            # the pre-existing data files (footer metadata only)
+            stats = {"data": sum(self._footer_rows(d) for d in prev_dirs
+                                 if os.path.exists(d)),
+                     "tomb": 0}
+        stats["data"] += self._footer_rows(data_dir)
+        stats["tomb"] += self._footer_rows(del_dir)
+        live = max(stats["data"] - stats["tomb"], 1)
+        snap = {"version": v, "mode": "append", "data_dirs": dirs,
+                "meta": dict(meta or {}), "delete_dirs": dels,
+                "delete_key": key, "mor_stats": stats}
+        self._write_manifest(v, snap)
+        if stats["tomb"] > compact_threshold * live:
+            return self.compact(meta=meta)
+        return v
+
+    def compact(self, meta: dict | None = None) -> int:
+        """Materialize the post-delete view into one fresh snapshot (the
+        moral equivalent of Iceberg rewrite_data_files): one distributed
+        rewrite clears all tombstones so read-side anti-join cost stays
+        bounded. Carries ``meta`` (defaults to the current snapshot's)."""
+        cur = self.current_version()
+        if cur is None:
+            return 0
+        if meta is None:
+            meta = self.snapshot(cur).meta
+        return self._commit(self.read(), "overwrite", meta)
+
+    def _footer_rows(self, data_dir: str) -> int:
+        import pyarrow.parquet as pq
+
+        n = 0
+        for f in os.listdir(data_dir):
+            if f.endswith(".parquet"):
+                n += pq.read_metadata(os.path.join(data_dir, f)).num_rows
+        return n
 
     def merge_upsert(self, df: DataFrame, key: str, prefer_new: bool = False,
                      meta: dict | None = None) -> int:
@@ -207,8 +306,32 @@ class SnapshotTable:
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"table {self.path} has no snapshots")
-        dirs = [d for d in self.snapshot(v).data_dirs if os.path.exists(d)]
-        return self.spark.read.parquet(*dirs)
+        snap = self.snapshot(v)
+        if not snap.delete_dirs:
+            dirs = [d for d in snap.data_dirs if os.path.exists(d)]
+            return self.spark.read.parquet(*dirs)
+        # sequence-aware tombstones: data dir i is deleted-from only by
+        # tombstones with upto > i. Group data dirs sharing the same
+        # applicable-tombstone set -> one anti-join per group (group
+        # count stays small because compaction clears the tombstones).
+        groups: dict[tuple, list[str]] = {}
+        for i, d in enumerate(snap.data_dirs):
+            if not os.path.exists(d):
+                continue
+            applicable = tuple(
+                e["dir"] for e in snap.delete_dirs if e["upto"] > i
+            )
+            groups.setdefault(applicable, []).append(d)
+        out = None
+        for applicable, ds in groups.items():
+            df = self.spark.read.parquet(*ds)
+            if applicable:
+                tomb = self.spark.read.parquet(*applicable).select(
+                    snap.delete_key
+                ).distinct()
+                df = df.join(tomb, on=snap.delete_key, how="left_anti")
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def read_or_empty(self, schema_ddl: str, version: int | None = None) -> DataFrame:
         try:
