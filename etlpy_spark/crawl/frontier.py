@@ -415,17 +415,27 @@ class SparkCrawler:
         npart = min(self.cfg.n_buckets, max(1, web.n_hosts // 1000 + 1))
 
         def fetch_robots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from etlpy_spark.sources.synthetic_web import robots_disallow
+            from etlpy_spark.sources.synthetic_web import (
+                robots_crawl_delay,
+                robots_disallow,
+            )
 
             for pdf in batches:
                 hosts = [f"host{int(k)}.example" for k in pdf["id"]]
                 yield pd.DataFrame(
-                    {"host": hosts, "disallow": [robots_disallow(h, web) for h in hosts]}
+                    {
+                        "host": hosts,
+                        "disallow": [robots_disallow(h, web) for h in hosts],
+                        "crawl_delay": [robots_crawl_delay(h, web) for h in hosts],
+                    }
                 )
 
         df = (
             self.spark.range(0, web.n_hosts, 1, npart)
-            .mapInPandas(fetch_robots, schema="host string, disallow array<string>")
+            .mapInPandas(
+                fetch_robots,
+                schema="host string, disallow array<string>, crawl_delay int",
+            )
             .cache()
         )
         self._robots_cache = df
@@ -459,18 +469,28 @@ class SparkCrawler:
         # one cache + ONE stats agg replaces the r1 stats job + separate
         # politeness/rank materialization (each driver action is a full
         # Spark job; round fixed cost is what caps URLs/s).
+        # per-host round budget: K scaled down by the host's robots
+        # Crawl-delay (host_round_budget rule — identical expression in the
+        # serial oracle), JVM-side from the broadcast robots row
         K = cfg.web.politeness_budget
+        budget = F.when(
+            F.coalesce(F.col("crawl_delay"), F.lit(0)) > 0,
+            F.greatest(
+                F.lit(1), F.floor(F.lit(K) / F.col("crawl_delay")).cast("int")
+            ),
+        ).otherwise(F.lit(K))
         wh = Window.partitionBy("host").orderBy(
             F.col("__blocked__").asc(), "priority", "discovered_seq"
         )
         annotated = (
             frontier.join(F.broadcast(robots), on="host", how="left")
             .withColumn("__blocked__", blocked_pred)
-            .drop("disallow")
+            .withColumn("__budget__", budget)
+            .drop("disallow", "crawl_delay")
             .withColumn("__hk__", F.row_number().over(wh))
             .cache()
         )
-        sel_pred = (~F.col("__blocked__")) & (F.col("__hk__") <= K)
+        sel_pred = (~F.col("__blocked__")) & (F.col("__hk__") <= F.col("__budget__"))
         import time as _time
 
         _t = _time.time()
@@ -485,10 +505,10 @@ class SparkCrawler:
         if scheduled == 0:
             annotated.unpersist()
             return {"round": rnd, "fetched": 0, "scheduled": 0}
-        selected = annotated.filter(sel_pred).drop("__blocked__", "__hk__")
+        selected = annotated.filter(sel_pred).drop("__blocked__", "__hk__", "__budget__")
         deferred = annotated.filter(
-            (~F.col("__blocked__")) & (F.col("__hk__") > K)
-        ).drop("__blocked__", "__hk__")
+            (~F.col("__blocked__")) & (F.col("__hk__") > F.col("__budget__"))
+        ).drop("__blocked__", "__hk__", "__budget__")
 
         # global fetch order (total: priority, discovered_seq unique);
         # count comes from the stats agg above — no second job

@@ -18,8 +18,9 @@ THE CRAWL RULE (shared by this oracle and crawl/frontier.py):
   round r:
     1. candidates = frontier
     2. robots-blocked candidates are removed (counted, never fetched)
-    3. per host, order by (priority, discovered_seq); first K fetch this
-       round, the rest defer to round r+1
+    3. per host, order by (priority, discovered_seq); the first
+       host_round_budget(host) fetch this round (K, scaled down by the
+       host's robots Crawl-delay), the rest defer to round r+1
     4. global fetch order = selected sorted by (priority, discovered_seq);
        fetch_seq continues across rounds
     5. pages are processed in fetch order; out-links in page order; a
@@ -44,6 +45,7 @@ from etlpy_spark.functions.url import canonicalize_url
 from etlpy_spark.sources.synthetic_web import (
     WebConfig,
     fetch_image,
+    host_round_budget,
     page,
     parse_url,
     robots_allowed,
@@ -90,8 +92,9 @@ def crawl_oracle(seeds: list[str], cfg: WebConfig, max_rounds: int = 3) -> Oracl
             by_host.setdefault(url_host_of(f[0]), []).append(f)
         selected, deferred = [], []
         for host, items in by_host.items():
-            selected.extend(items[: cfg.politeness_budget])
-            deferred.extend(items[cfg.politeness_budget :])
+            k = host_round_budget(host, cfg)
+            selected.extend(items[:k])
+            deferred.extend(items[k:])
         selected.sort(key=lambda f: (f[1], f[2]))
 
         new_frontier: list[tuple[str, int, int]] = []

@@ -94,6 +94,26 @@ def robots_disallow(host: str, cfg: WebConfig) -> list[str]:
     return []
 
 
+def robots_crawl_delay(host: str, cfg: WebConfig) -> int:
+    """host k declares ``Crawl-delay: 2 + k%3`` (seconds) when k % 5 == 3;
+    other hosts declare none (0). Deterministic like every robots rule."""
+    m = re.match(r"^host(\d+)\.example$", host)
+    if not m:
+        return 0
+    k = int(m.group(1))
+    return 2 + (k % 3) if k % 5 == 3 else 0
+
+
+def host_round_budget(host: str, cfg: WebConfig) -> int:
+    """Per-host politeness budget for one round: the configured budget K
+    corresponds to default request pacing; a host demanding a Crawl-delay
+    d× the default gets K/d fetches per round (min 1 so progress is
+    guaranteed). Part of THE CRAWL RULE — implemented identically by the
+    serial oracle and the Spark engine's JVM-side budget expression."""
+    d = robots_crawl_delay(host, cfg)
+    return max(1, cfg.politeness_budget // d) if d > 0 else cfg.politeness_budget
+
+
 def robots_allowed(url: str, cfg: WebConfig) -> bool:
     p = parse_url(url)
     if p is None:

@@ -56,6 +56,23 @@ def test_image_rows_parity(crawler, oracle):
         assert np.array_equal(a, b) and psnr(a, b) == float("inf")
 
 
+def test_crawl_delay_budget_enforced(crawler, oracle):
+    """Hosts declaring robots Crawl-delay get a scaled-down per-round
+    budget (host_round_budget rule) — host3 declares delay 2 with K=2,
+    so it must never be fetched more than once per round; and the oracle
+    must agree that the rule actually bound somewhere (host3 fetched)."""
+    from collections import Counter
+
+    from etlpy_spark.sources.synthetic_web import host_round_budget
+
+    assert host_round_budget("host3.example", WEB) == 1 < WEB.politeness_budget
+    rows = crawler.log.read().select("round", "url").collect()
+    per_round = Counter(
+        r.round for r in rows if r.url.startswith("http://host3.example/")
+    )
+    assert per_round and all(v <= 1 for v in per_round.values())
+
+
 def test_metrics_parity(crawler, oracle):
     got = [
         r.asDict() for r in crawler.metrics.read().orderBy("round").collect()
