@@ -108,6 +108,11 @@ class CrawlConfig:
     # Tombstones auto-compact past the threshold fraction of live rows.
     frontier_mor: bool = True
     frontier_compact_threshold: float = 0.3
+    # starvation protection: each deferred round improves a URL's
+    # effective priority by this amount (0 = off, reference-exact order).
+    # eff = max(0, priority - aging * rounds_deferred) — deterministic,
+    # mirrored by the serial oracle's priority_aging argument.
+    priority_aging: int = 0
 
 
 def global_rank(
@@ -479,13 +484,26 @@ class SparkCrawler:
                 F.lit(1), F.floor(F.lit(K) / F.col("crawl_delay")).cast("int")
             ),
         ).otherwise(F.lit(K))
+        # effective priority: aging (starvation protection) subtracts
+        # priority_aging per deferred round — a pure function of
+        # (priority, entry round, current round), so the distributed
+        # order still collapses to the serial oracle's exactly
+        if cfg.priority_aging > 0:
+            eprio = F.greatest(
+                F.lit(0),
+                F.col("priority")
+                - F.lit(cfg.priority_aging) * (F.lit(rnd) - F.col("round")),
+            ).cast("int")
+        else:
+            eprio = F.col("priority")
         wh = Window.partitionBy("host").orderBy(
-            F.col("__blocked__").asc(), "priority", "discovered_seq"
+            F.col("__blocked__").asc(), "__eprio__", "discovered_seq"
         )
         annotated = (
             frontier.join(F.broadcast(robots), on="host", how="left")
             .withColumn("__blocked__", blocked_pred)
             .withColumn("__budget__", budget)
+            .withColumn("__eprio__", eprio)
             .drop("disallow", "crawl_delay")
             .withColumn("__hk__", F.row_number().over(wh))
             .cache()
@@ -508,16 +526,17 @@ class SparkCrawler:
         selected = annotated.filter(sel_pred).drop("__blocked__", "__hk__", "__budget__")
         deferred = annotated.filter(
             (~F.col("__blocked__")) & (F.col("__hk__") > F.col("__budget__"))
-        ).drop("__blocked__", "__hk__", "__budget__")
+        ).drop("__blocked__", "__hk__", "__budget__", "__eprio__")
 
         # global fetch order (total: priority, discovered_seq unique);
         # count comes from the stats agg above — no second job
         round_caches: list = []
         selected, _n = global_rank(
-            selected, ["priority", "discovered_seq"], "fetch_seq", fetch_base,
+            selected, ["__eprio__", "discovered_seq"], "fetch_seq", fetch_base,
             cfg.n_buckets, small=scheduled <= cfg.rank_threshold,
             caches=round_caches, count=False,
         )
+        selected = selected.drop("__eprio__")
         if _n >= 0:
             n_selected = _n
         _t = _tlog("fetch_rank", _t)

@@ -66,17 +66,27 @@ class OracleResult:
     rounds_run: int = 0
 
 
-def crawl_oracle(seeds: list[str], cfg: WebConfig, max_rounds: int = 3) -> OracleResult:
+def crawl_oracle(
+    seeds: list[str], cfg: WebConfig, max_rounds: int = 3,
+    priority_aging: int = 0,
+) -> OracleResult:
+    """``priority_aging`` > 0 enables starvation protection: a URL
+    deferred for ``a`` rounds competes with effective priority
+    ``max(0, priority - priority_aging*a)`` (lower = sooner), so a hot
+    host's long backlog cannot starve low-priority pages forever. The
+    effective priority is a pure function of (priority, entry_round,
+    current_round) — still deterministic, still exactly reproducible by
+    the distributed engine."""
     res = OracleResult()
     # ingest seeds: canonicalize in order, keep-first
-    frontier: list[tuple[str, int, int]] = []  # (url, priority, discovered_seq)
+    frontier: list[tuple[str, int, int, int]] = []  # (url, prio, seq, entry_round)
     seq = 0
     for s in seeds:
         canon = canonicalize_url(s)
         if canon is None or canon in res.seen:
             continue
         res.seen[canon] = seq
-        frontier.append((canon, cfg.priority(canon), seq))
+        frontier.append((canon, cfg.priority(canon), seq, 0))
         seq += 1
     fetch_seq = 0
 
@@ -84,22 +94,27 @@ def crawl_oracle(seeds: list[str], cfg: WebConfig, max_rounds: int = 3) -> Oracl
         if not frontier:
             break
         res.rounds_run = r + 1
+
+        def eff(f):
+            return (max(0, f[1] - priority_aging * (r - f[3]))
+                    if priority_aging > 0 else f[1])
+
         allowed = [f for f in frontier if robots_allowed(f[0], cfg)]
         blocked = len(frontier) - len(allowed)
-        # politeness: first K per host by (priority, discovered_seq)
+        # politeness: first K per host by (effective priority, discovered_seq)
         by_host: dict[str, list] = {}
-        for f in sorted(allowed, key=lambda f: (f[1], f[2])):
+        for f in sorted(allowed, key=lambda f: (eff(f), f[2])):
             by_host.setdefault(url_host_of(f[0]), []).append(f)
         selected, deferred = [], []
         for host, items in by_host.items():
             k = host_round_budget(host, cfg)
             selected.extend(items[:k])
             deferred.extend(items[k:])
-        selected.sort(key=lambda f: (f[1], f[2]))
+        selected.sort(key=lambda f: (eff(f), f[2]))
 
-        new_frontier: list[tuple[str, int, int]] = []
+        new_frontier: list[tuple[str, int, int, int]] = []
         new_images = 0
-        for url, prio, dseq in selected:
+        for url, prio, dseq, _er in selected:
             res.crawl_log.append((fetch_seq, url))
             fetch_seq += 1
             pg = page(url, cfg)
@@ -108,7 +123,7 @@ def crawl_oracle(seeds: list[str], cfg: WebConfig, max_rounds: int = 3) -> Oracl
                 if canon is None or canon in res.seen:
                     continue
                 res.seen[canon] = seq
-                new_frontier.append((canon, cfg.priority(canon), seq))
+                new_frontier.append((canon, cfg.priority(canon), seq, r + 1))
                 seq += 1
             for image_id, caption in zip(pg["image_ids"], pg["captions"]):
                 if image_id in res.images:
