@@ -285,26 +285,44 @@ class SparkCrawler:
         return filter_spec(cfg.seen_filter, cfg.bloom_capacity, cfg.bloom_fpp)
 
     def _build_shard_blooms(self, rows: DataFrame, col: str = "url") -> list:
-        """Distributed filter construction: hash every key into a per-shard
-        filter IN EXECUTORS (one applyInPandas group per shard), ship only
-        the ~KB serialized filters to the driver. The previous driver-side
-        toPandas + add_many was O(all keys) SERIAL per round — the single
-        largest Amdahl term at millions of URLs/round."""
-        spec = self._filter_geom()
+        """Distributed filter construction: hash every key into per-shard
+        filters IN EXECUTORS, ship only the ~KB serialized filters to the
+        driver (which ORs partial filters per shard — idempotent). The
+        previous driver-side toPandas + add_many was O(all keys) SERIAL per
+        round — the single largest Amdahl term at millions of URLs/round.
 
-        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        NB the shuffle is an EXPLICIT repartition, not a groupBy: AQE
+        coalesces ENSURE_REQUIREMENTS shuffles by INPUT bytes, and these
+        key rows are tiny while the per-key compute is not — a groupBy
+        here collapses to ~1 task and serializes the stage (measured 4.5x
+        on the image axis). repartition(n, cols) pins the partition count;
+        mapInPandas builds partial filters per partition."""
+        spec = self._filter_geom()
+        nb = max(self.cfg.n_buckets, self.cfg.n_shards)
+
+        def build_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from etlpy_spark.crawl.seen import new_filter as _nf
 
-            bf = _nf(spec)
-            bf.add_many(pdf[col].to_numpy())
-            return pd.DataFrame(
-                {"shard": [int(pdf["shard"].iloc[0])], "bits": [bf.to_bytes()]}
-            )
+            filters: dict = {}
+            for pdf in batches:
+                for s, g in pdf.groupby("shard"):
+                    f = filters.get(int(s))
+                    if f is None:
+                        f = filters[int(s)] = _nf(spec)
+                    f.add_many(g[col].to_numpy())
+            if filters:
+                yield pd.DataFrame(
+                    {
+                        "shard": list(filters),
+                        "bits": [f.to_bytes() for f in filters.values()],
+                    }
+                )
 
+        sub = F.pmod(F.xxhash64(F.col(col), F.lit(7)), F.lit(max(1, nb // self.cfg.n_shards)))
         return (
             rows.select("shard", col)
-            .groupBy("shard")
-            .applyInPandas(build, schema="shard int, bits binary")
+            .repartition(nb, F.col("shard"), sub)
+            .mapInPandas(build_parts, schema="shard int, bits binary")
             .collect()
         )
 
@@ -343,7 +361,13 @@ class SparkCrawler:
         spec = self._filter_geom()
         v, data_dir = self.seen.begin_external()
 
-        def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        # explicit repartition, NOT groupBy: AQE would coalesce the
+        # groupBy shuffle by input bytes and serialize the write+filter
+        # stage (key rows are narrow; see _build_shard_blooms). Partial
+        # per-shard filters from different partitions OR together on the
+        # driver (idempotent), and shard is a column so mixed-shard part
+        # files are fine.
+        def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import uuid
 
             import pyarrow as pa
@@ -351,25 +375,37 @@ class SparkCrawler:
 
             from etlpy_spark.crawl.seen import new_filter as _nf
 
-            bf = _nf(spec)
-            bf.add_many(pdf["url"].to_numpy())
-            tbl = pa.Table.from_pandas(
-                pdf[["shard", "url_hash", "url", "round"]], preserve_index=False
-            )
-            pq.write_table(
-                tbl, os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
-            )
-            return pd.DataFrame(
-                {
-                    "shard": [int(pdf["shard"].iloc[0])],
-                    "bits": [bf.to_bytes()],
-                    "n": [len(pdf)],
-                }
-            )
+            filters: dict = {}
+            counts: dict = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                tbl = pa.Table.from_pandas(
+                    pdf[["shard", "url_hash", "url", "round"]], preserve_index=False
+                )
+                pq.write_table(
+                    tbl, os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
+                )
+                for s, g in pdf.groupby("shard"):
+                    f = filters.get(int(s))
+                    if f is None:
+                        f = filters[int(s)] = _nf(spec)
+                    f.add_many(g["url"].to_numpy())
+                    counts[int(s)] = counts.get(int(s), 0) + len(g)
+            if filters:
+                yield pd.DataFrame(
+                    {
+                        "shard": list(filters),
+                        "bits": [f.to_bytes() for f in filters.values()],
+                        "n": [counts[s] for s in filters],
+                    }
+                )
 
+        nb = max(cfg.n_buckets, cfg.n_shards)
+        sub = F.pmod(F.xxhash64("url", F.lit(7)), F.lit(max(1, nb // cfg.n_shards)))
         parts = (
-            rows.groupBy("shard")
-            .applyInPandas(write_shard, schema="shard int, bits binary, n long")
+            rows.repartition(nb, F.col("shard"), sub)
+            .mapInPandas(write_parts, schema="shard int, bits binary, n long")
             .collect()
         )
         self._merge_shard_blooms(parts)
@@ -707,11 +743,20 @@ class SparkCrawler:
                 v, data_dir = self.images.begin_external()
                 wspec = self._filter_geom()
 
-                def write_shard_imgs(pdf: pd.DataFrame) -> pd.DataFrame:
+                # explicit repartition, NOT groupBy+applyInPandas: this
+                # stage's INPUT is narrow (id, caption) while its work is
+                # the whole fetch+decode+phash+parquet pipeline — AQE
+                # coalesces the groupBy shuffle by input bytes and ran the
+                # entire image axis in ONE task (measured 4.5x slower at
+                # 8 cores). repartition(n, cols) pins the partition count;
+                # partial per-shard bitsets OR on the driver as before.
+                def write_part_imgs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     import uuid
 
                     import pyarrow as pa
                     import pyarrow.parquet as pq
+
+                    from etlpy_spark.crawl.seen import new_filter as _nf
 
                     schema = pa.schema([
                         ("image_id", pa.string()), ("bytes", pa.binary()),
@@ -719,27 +764,31 @@ class SparkCrawler:
                         ("caption", pa.string()), ("phash", pa.int64()),
                         ("first_round", pa.int32()), ("lineage_part", pa.int32()),
                     ])
-                    n = 0
-                    for lo in range(0, len(pdf), CHUNK):
-                        sub = pdf.iloc[lo : lo + CHUNK]
-                        if not len(sub):
-                            continue
-                        tbl = pa.Table.from_pydict(rows_for(sub), schema=schema)
-                        fn = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
-                        # bytes are already-compressed image containers
-                        pq.write_table(tbl, fn, compression="none")
-                        n += len(sub)
-                    from etlpy_spark.crawl.seen import new_filter as _nf
-
-                    bf = _nf(wspec)
-                    bf.add_many(pdf["image_id"].to_numpy())
-                    return pd.DataFrame(
-                        {
-                            "shard": [int(pdf["__shard__"].iloc[0])],
-                            "bits": [bf.to_bytes()],
-                            "n": [n],
-                        }
-                    )
+                    filters: dict = {}
+                    counts: dict = {}
+                    for pdf in batches:
+                        for lo in range(0, len(pdf), CHUNK):
+                            sub = pdf.iloc[lo : lo + CHUNK]
+                            if not len(sub):
+                                continue
+                            tbl = pa.Table.from_pydict(rows_for(sub), schema=schema)
+                            fn = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
+                            # bytes are already-compressed image containers
+                            pq.write_table(tbl, fn, compression="none")
+                        for s, g in pdf.groupby("__shard__"):
+                            f = filters.get(int(s))
+                            if f is None:
+                                f = filters[int(s)] = _nf(wspec)
+                            f.add_many(g["image_id"].to_numpy())
+                            counts[int(s)] = counts.get(int(s), 0) + len(g)
+                    if filters:
+                        yield pd.DataFrame(
+                            {
+                                "shard": list(filters),
+                                "bits": [f.to_bytes() for f in filters.values()],
+                                "n": [counts[s] for s in filters],
+                            }
+                        )
 
                 subs = max(1, cfg.n_buckets // cfg.n_shards)
                 if "__shard__" not in refs.columns:
@@ -749,12 +798,12 @@ class SparkCrawler:
                     )
                 _ti = _time.time()
                 parts = (
-                    refs.withColumn(
-                        "__sub__",
-                        F.pmod(F.xxhash64("image_id", F.lit(1)), F.lit(subs)).cast("int"),
+                    refs.repartition(
+                        cfg.n_buckets,
+                        F.col("__shard__"),
+                        F.pmod(F.xxhash64("image_id", F.lit(1)), F.lit(subs)),
                     )
-                    .groupBy("__shard__", "__sub__")
-                    .applyInPandas(write_shard_imgs, schema="shard int, bits binary, n long")
+                    .mapInPandas(write_part_imgs, schema="shard int, bits binary, n long")
                     .collect()
                 )
                 _ti = _tlog("  image_write_job", _ti)

@@ -433,3 +433,107 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> connected components -> canonical survivors
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (id, cluster_id)
+    with cluster_id = min member id. The step a real dedup pipeline runs
+    AFTER pair mining: near-duplication is transitive in effect (A~B~C
+    should keep ONE survivor even if A~C was never emitted).
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes min(own label, neighbors' labels) — two hash-join/agg stages
+    per round, all shuffles keyed by node id, converging in O(graph
+    diameter) rounds (near-dup clusters are shallow: diameter is tiny
+    even at 10^10 docs, and rounds are independent Spark jobs, so this
+    runs at any scale; the large-star/small-star variant trades more
+    edges per round for O(log n) worst-case rounds — unnecessary here).
+    Convergence is detected by a changed-label count hitting zero. Each
+    round's labels are localCheckpoint()ed — iterative self-joins MUST
+    truncate lineage or the logical plan doubles per round and the
+    driver OOMs planning it (at production scale, point
+    ``spark.sparkContext.setCheckpointDir`` at shared storage and swap
+    in ``checkpoint()`` for executor-loss tolerance).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # min neighbor label per node, joined against current labels
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), on="dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "id")
+        )
+        tentative = labels.join(nbr_min, on="id", how="left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("__old__"),
+        )
+        # pointer jump (path compression): label <- label(label). Plain
+        # propagation moves the min ONE hop per round (O(diameter) rounds
+        # — a 41-node chain needs 40); the jump doubles the reach so
+        # convergence is O(log n) rounds even on path-shaped clusters.
+        parent = tentative.select(
+            F.col("id").alias("__pid__"), F.col("label").alias("__pl__")
+        )
+        new_labels = (
+            tentative.join(
+                parent, tentative["label"] == parent["__pid__"], "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("__pl__", F.col("label"))
+                ).alias("label"),
+                (
+                    F.least(F.col("label"), F.coalesce("__pl__", F.col("label")))
+                    < F.col("__old__")
+                ).cast("long").alias("__chg__"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.agg(F.sum("__chg__")).first()[0] or 0
+        labels = new_labels.drop("__chg__")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_by_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one survivor per near-dup cluster (the min id — deterministic),
+    passing through every row not in any pair. Composes with any pair
+    miner above: minhash_lsh_pairs / ngram_jaccard_pairs /
+    embedding_near_dup_pairs / phash banding. One broadcast-or-shuffle
+    join against the (small: only clustered ids) component map."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    survivors_in_clusters = comp.filter(F.col("id") == F.col("cluster_id"))
+    clustered_ids = comp.select(F.col("id").alias(id_col))
+    keep_clustered = df.join(
+        survivors_in_clusters.select(F.col("id").alias(id_col)),
+        on=id_col, how="left_semi",
+    )
+    untouched = df.join(clustered_ids, on=id_col, how="left_anti")
+    return untouched.unionByName(keep_clustered)
