@@ -97,6 +97,46 @@ def fingerprint(col: Column | str) -> Column:
     )
 
 
+# --- PII detection / redaction -------------------------------------------
+# Web-scale training corpora are scrubbed of personally identifiable
+# information before use; these are the standard cheap regex classes, kept
+# to a syntax subset that behaves identically under Java regex (Spark JVM)
+# and Python `re` so the differential test is exact. All pure Column
+# expressions — zero Python in the row path, codegen-friendly.
+PII_PATTERNS = [
+    # order matters: longer/more-specific classes first so e.g. a credit
+    # card is not partially consumed as phone digits.
+    ("credit_card", r"\b\d{4}([- ])\d{4}\1\d{4}\1\d{4}\b", "[CC]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "[PHONE]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def pii_counts(col: Column | str) -> Column:
+    """struct<credit_card:int, ssn:int, phone:int, email:int, ipv4:int> of
+    per-class match counts. Counts overlap-free per class but classes are
+    counted independently (an IPv4 inside an email would count for both);
+    redact_pii resolves precedence by replacement order instead."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        *[F.regexp_count(c, F.lit(pat)).alias(name) for name, pat, _ in PII_PATTERNS]
+    )
+
+
+def redact_pii(col: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace each PII class with its placeholder token, applied in
+    PII_PATTERNS order (most-specific first) so one span is consumed by
+    exactly one class."""
+    c = F.col(col) if isinstance(col, str) else col
+    for name, pat, token in PII_PATTERNS:
+        if kinds is not None and name not in kinds:
+            continue
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
 def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     return (
         df.withColumn("lang_pred", lang_id(col))
