@@ -29,7 +29,7 @@ DECOYS = [
     "12-34-5678",            # wrong grouping
     "999.999.999.9999",      # 4-digit last octet: prefix still matches -> both engines
     "4111-1111 1111-1111",   # mixed separators: backreference must reject
-    "v1.2.3.4",              # dotted version string (digits only -> matches ipv4: ok, same both sides)
+    "v1.2.3.4",              # dotted version string: no \\b before the 1 -> no match, same both sides
 ]
 
 
