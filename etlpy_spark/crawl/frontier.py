@@ -357,9 +357,12 @@ class SparkCrawler:
         if not cfg.use_bloom:
             _, n = self.seen.append_counted(rows)
             return n
+        import time as _time
+        _t = _time.time()
         self._load_blooms()
         spec = self._filter_geom()
         v, data_dir = self.seen.begin_external()
+        _t = _tlog("    seen.load_blooms+begin", _t)
 
         # explicit repartition, NOT groupBy: AQE would coalesce the
         # groupBy shuffle by input bytes and serialize the write+filter
@@ -403,13 +406,15 @@ class SparkCrawler:
 
         nb = max(cfg.n_buckets, cfg.n_shards)
         sub = F.pmod(F.xxhash64("url", F.lit(7)), F.lit(max(1, nb // cfg.n_shards)))
-        parts = (
-            rows.repartition(nb, F.col("shard"), sub)
-            .mapInPandas(write_parts, schema="shard int, bits binary, n long")
-            .collect()
+        job = rows.repartition(nb, F.col("shard"), sub).mapInPandas(
+            write_parts, schema="shard int, bits binary, n long"
         )
+        _t = _tlog("    seen.plan_build", _t)
+        parts = job.collect()
+        _t = _tlog("    seen.collect_job", _t)
         self._merge_shard_blooms(parts)
         self.seen.commit_external(v, data_dir)
+        _t = _tlog("    seen.fold+commit", _t)
         return sum(int(r["n"]) for r in parts)
 
     def _load_blooms(self) -> dict[int, BloomFilter]:
@@ -597,14 +602,19 @@ class SparkCrawler:
             import pyarrow.parquet as pq
             from pyspark import TaskContext
 
-            from etlpy_spark.sources.synthetic_web import page
+            from etlpy_spark.sources.synthetic_web import page, parse_page
 
             part = TaskContext.get().partitionId() if TaskContext.get() else -1
             log = {"fetch_seq": [], "url": []}
             for pdf in batches:
                 out = {"fetch_seq": [], "kind": [], "pos": [], "value": [], "caption": [], "part": []}
                 for fs, u in zip(pdf["fetch_seq"], pdf["url"]):
-                    pg = page(u, web)
+                    # fetch → parse → extract, like the reference spider
+                    # (spider.py:211-261): links/images come from the parsed
+                    # markup, not from the generator's internal lists —
+                    # parse_page's round-trip exactness vs page() is
+                    # differentially tested, so oracle parity is unaffected
+                    pg = parse_page(page(u, web)["html"])
                     for i, l in enumerate(pg["links"]):
                         out["fetch_seq"].append(fs); out["kind"].append("link")
                         out["pos"].append(i); out["value"].append(l)
@@ -878,11 +888,19 @@ class SparkCrawler:
 
             @pandas_udf("boolean")
             def maybe_seen(urls: pd.Series, shards: pd.Series) -> pd.Series:
+                import os as _os
+                import sys as _sys
+                import time as _tm
+
+                _t0 = _tm.time()
                 import numpy as np
 
                 from etlpy_spark.crawl.seen import filter_from_bytes as _fb
 
+                _t1 = _tm.time()
                 _spec, _parts = bb.value
+                if _os.environ.get("ETLPY_UDF_TIMING") == "1":
+                    print(f"UDFT maybe_seen imports={_t1-_t0:.3f} bcast={_tm.time()-_t1:.3f} n={len(urls)} pid={_os.getpid()}", file=_sys.stderr, flush=True)
                 local = {s: _fb(_spec, d) for s, d in _parts.items()}
                 sh = shards.to_numpy()
                 uarr = urls.to_numpy()

@@ -161,6 +161,33 @@ def fetch_image(image_id: str, cfg: WebConfig) -> bytes:
     return image_bytes(image_id, cfg.seed, cfg.dim_scale, cfg.force_fmt)
 
 
+def parse_page(html: str) -> dict:
+    """Extract {links, image_ids, captions} from a fetched page by PARSING
+    its HTML — the same ElementTree parse the CrawlerTF extraction layer
+    uses (``crawler_fetcher`` below; reference semantics: the spider
+    fetches markup and extracts anchors/images from the parsed tree,
+    spider.py:211-261 + GetImage spider.py:73-78 — it never receives a
+    pre-extracted link list). The BfsGE fetch stage calls this per page,
+    so the benchmark's per-URL cost includes the parse a real crawl pays.
+
+    ``test_round2_ops.py::test_parse_page_matches_generator`` proves the
+    round-trip exact: parse_page(page(u)["html"]) equals page(u)'s own
+    link/image/caption lists for every URL shape, so the serial oracle
+    (crawl/oracle.py) may keep reading the generator's lists directly —
+    crawl order, seen set and image rows are bitwise unaffected."""
+    if not html:
+        return {"links": [], "image_ids": [], "captions": []}
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(html)
+    links = [a.attrib["href"] for a in root.iter("a")]
+    image_ids, captions = [], []
+    for img in root.iter("img"):
+        image_ids.append(img.attrib["src"])
+        captions.append(img.attrib.get("alt", ""))
+    return {"links": links, "image_ids": image_ids, "captions": captions}
+
+
 # ---------------------------------------------------------------------------
 # seed list (FIXTURES.md F2) — includes dirty variants to exercise RFC-3986
 

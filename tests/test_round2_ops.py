@@ -193,3 +193,35 @@ def test_parallel_no_tolist_first_stage_is_map(spark):
     ]
     prefix, suffix = split_at_tolist(stages)
     assert len(prefix) == 1 and [s.type for s in suffix] == ["PythonTF"]
+
+
+# ---------------------------------------------------------------------------
+# fetch-stage parse: parse_page(page(u)["html"]) must reproduce page(u)'s
+# own lists EXACTLY (the BfsGE fetch extracts from parsed markup like the
+# reference spider; the serial oracle keeps reading the generator's lists,
+# so this round-trip identity is what keeps crawl parity bitwise intact)
+
+
+def test_parse_page_matches_generator():
+    from etlpy_spark.sources.synthetic_web import (
+        WebConfig, make_url, page, parse_page, seed_urls,
+    )
+
+    for cfg in (
+        WebConfig(n_hosts=40, n_cats=4, pages_per_cat=200, max_links=4,
+                  max_images=3, image_universe=10_000),
+        WebConfig(n_hosts=5, n_cats=2, pages_per_cat=20, max_links=2,
+                  max_images=8, image_universe=100),
+    ):
+        urls = [make_url(k % cfg.n_hosts, k % cfg.n_cats,
+                         (k * 17) % cfg.pages_per_cat + 1) for k in range(1500)]
+        for u in urls:
+            pg = page(u, cfg)
+            parsed = parse_page(pg["html"])
+            assert parsed["links"] == pg["links"], u
+            assert parsed["image_ids"] == pg["image_ids"], u
+            assert parsed["captions"] == pg["captions"], u
+    # 404 / empty page
+    assert parse_page("") == {"links": [], "image_ids": [], "captions": []}
+    dead = page("http://nosuch", WebConfig(n_hosts=3))
+    assert parse_page(dead["html"]) == {"links": [], "image_ids": [], "captions": []}

@@ -72,15 +72,24 @@ def big_config(workload: str):
                         skew_host0=8, image_universe=20_000, dim_scale=1)
         n_per_host = nph
     else:
-        # image-merge axis: ~10k pages fetched, ~37k unique images (≤512px
+        # image-merge axis: pages fetched with heavy image mix (≤512px
         # forced PNG → deflate/inflate dominate = compute-bound; a
         # byte-heavy raw mix saturates single-box DRAM bandwidth, which a
-        # real 4N-node cluster would not — it has 4N× the memory channels)
+        # real 4N-node cluster would not — it has 4N× the memory channels).
+        # IMAGES_NPH scales seeds-per-host (default 20 → ~40k seeds,
+        # ~128k unique images per round). The round must be
+        # production-shaped: a 10^10-URL crawl's recurring round is ~10^6×
+        # larger than any measurable here, so the per-round FIXED cost
+        # (driver job scheduling, snapshot commits — measured s ≈ 34 s by
+        # the two-level s + p/c fit, see BENCH/BASELINE.md) must be small
+        # relative to parallel work or the pair measures the constant, not
+        # the engine's scaling.
+        nph = int(os.environ.get("IMAGES_NPH", "20"))
         web = WebConfig(n_hosts=2000, n_cats=4, pages_per_cat=5000,
-                        politeness_budget=5, max_links=2, max_images=8,
+                        politeness_budget=nph, max_links=2, max_images=8,
                         skew_host0=8, image_universe=10_000_000,
                         dim_scale=4, force_fmt="png")
-        n_per_host = 5
+        n_per_host = nph
     cfg = CrawlConfig(web=web, n_shards=16, n_buckets=SHUFFLE_PARTITIONS,
                       bloom_capacity=1 << 17, write_metrics=False,
                       rank_threshold=20_000)

@@ -47,6 +47,10 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=0, help="politeness fetch buckets (0 = shuffle partitions)")
     ap.add_argument("--hosts", type=int, default=48, help="synthetic web size")
     ap.add_argument("--budget", type=int, default=16, help="politeness budget per host per round")
+    ap.add_argument("--verify-oracle", action="store_true",
+                    help="after the run, replay the serial reference-semantics "
+                         "oracle on the driver and assert crawl-order + "
+                         "URL-seen-set parity (synthetic web, fresh runs only)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -71,6 +75,20 @@ def main() -> None:
     metrics = cr.run(seeds, max_rounds=args.rounds)
     for m in metrics:
         print(json.dumps(m))
+
+    if args.verify_oracle:
+        if seeds is None:
+            raise SystemExit("--verify-oracle needs --seeds-file (fresh run)")
+        from etlpy_spark.crawl.oracle import crawl_oracle
+
+        orc = crawl_oracle(seeds, web, max_rounds=args.rounds,
+                           priority_aging=cfg.priority_aging)
+        if cr.crawl_log_list() != orc.crawl_log:
+            raise SystemExit("PARITY FAILED: crawl order diverges from serial oracle")
+        if cr.seen_urls_list() != set(orc.seen):
+            raise SystemExit("PARITY FAILED: URL-seen set diverges from serial oracle")
+        print(f"PARITY OK: crawl order ({len(orc.crawl_log)} fetches) and "
+              f"seen set ({len(orc.seen)} URLs) match the serial oracle")
 
 
 if __name__ == "__main__":
