@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("ETLPY_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("ETLPY_DAEMON_PRELOAD", "1") == "1":
+        # Fork Python workers from a daemon that has already imported
+        # numpy/pandas/pyarrow: a freshly forked worker otherwise pays
+        # ~0.4 s of imports before its first Arrow batch (measured; see
+        # etlpy_spark/spark_daemon.py docstring).
+        b = b.config("spark.python.daemon.module", "etlpy_spark.spark_daemon")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
