@@ -48,6 +48,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("ETLPY_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    codec = os.environ.get("ETLPY_IO_CODEC")
+    if codec:
+        # One knob for byte-heavy paths: shuffle/broadcast/spill blocks
+        # (spark.io.*) and parquet table files. On a single box with
+        # tmpfs workdirs every written byte is DRAM traffic; on a real
+        # cluster it is network+disk — either way fewer bytes relieves
+        # the non-scaling resource at the cost of (scalable) CPU.
+        b = (
+            b.config("spark.io.compression.codec", codec)
+            .config("spark.sql.parquet.compression.codec", codec)
+        )
     if os.environ.get("ETLPY_DAEMON_PRELOAD", "1") == "1":
         # Fork Python workers from a daemon that has already imported
         # numpy/pandas/pyarrow: a freshly forked worker otherwise pays

@@ -33,9 +33,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+try:  # normal production path: the --py-files zip (or PYTHONPATH) has it
+    import etlpy_spark  # noqa: F401
+except ImportError:  # in-sandbox convenience: plain `python tools/submit_crawl.py`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
