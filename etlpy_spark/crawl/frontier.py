@@ -61,8 +61,19 @@ def _tlog(label: str, t0: float) -> float:
     return t
 
 
-FRONTIER_DDL = "url string, host string, priority int, discovered_seq long, round int, lineage_part int"
-SEEN_DDL = "shard int, url_hash long, url string, round int"
+# Storage schemas are DERIVABLE-COLUMN-FREE: host and priority are pure
+# functions of the url (synthetic_web.host_expr / priority_expr), and the
+# seen shard / url_hash are pmod(xxhash64(url), S) / xxhash64(url) — so
+# none of them is written to disk. Recomputing them on read costs scalable
+# in-partition CPU; storing them costs bytes through the write path (the
+# non-scaling resource on a shared bus — and 8-byte random hashes do not
+# compress, so the old 4-column seen layout was 2x the bytes of (url,
+# round) and 3.8x the bytes of the delta-encoded slim layout; probed in
+# sources/catalog.py `encodings`). ``read_frontier`` re-derives the
+# expression columns.
+FRONTIER_DDL = "url string, discovered_seq long, round int, lineage_part int"
+SEEN_DDL = "url string, round int"
+_URL_ENC = {"url": "DELTA_BYTE_ARRAY"}
 IMAGES_DDL = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long, first_round int, lineage_part int"
 LOG_DDL = "fetch_seq long, url string, round int, lineage_part int"
 METRICS_DDL = "round int, scheduled long, robots_blocked long, fetched long, deferred long, new_urls long, new_images long"
@@ -113,6 +124,22 @@ class CrawlConfig:
     # eff = max(0, priority - aging * rounds_deferred) — deterministic,
     # mirrored by the serial oracle's priority_aging argument.
     priority_aging: int = 0
+
+
+def _fail_once(fail_dir: str | None, tag: str, pid: int) -> None:
+    """Test-only fault injection (closure-captured on the driver, so it
+    works on real executors too): when ETLPY_FAIL_ONCE_DIR is set, the
+    first attempt of partition 0 in the tagged write stage raises once,
+    forcing a Spark task retry — tests/test_task_retry.py uses it to prove
+    the executor-side external writers are retry-safe (no duplicate rows,
+    bitwise crawl parity)."""
+    if not fail_dir or pid != 0:
+        return
+    sentinel = os.path.join(fail_dir, f"{tag}-failed")
+    if not os.path.exists(sentinel):
+        with open(sentinel, "w") as f:
+            f.write("1")
+        raise RuntimeError(f"injected one-shot task failure ({tag}, pid={pid})")
 
 
 def global_rank(
@@ -181,10 +208,12 @@ class SparkCrawler:
         # write lets parquet dictionary/RLE pages bite — ~35% fewer bytes
         # through the write path for scalable in-partition CPU.
         self.frontier = SnapshotTable(
-            spark, os.path.join(workdir, "frontier"), sort_within=["url"]
+            spark, os.path.join(workdir, "frontier"), sort_within=["url"],
+            encodings=_URL_ENC,
         )
         self.seen = SnapshotTable(
-            spark, os.path.join(workdir, "seen"), sort_within=["url"]
+            spark, os.path.join(workdir, "seen"), sort_within=["url"],
+            encodings=_URL_ENC,
         )
         self.images = SnapshotTable(
             spark, os.path.join(workdir, "images"), compression="uncompressed"
@@ -229,6 +258,20 @@ class SparkCrawler:
             "round": 0, "next_fetch_seq": 0, "next_discovered_seq": 0
         }
 
+    def read_frontier(self) -> DataFrame:
+        """The pending frontier with its expression columns re-derived:
+        host and priority are pure functions of the url (JVM-side
+        expressions), so they are never stored — fewer bytes through every
+        frontier commit for a per-round recompute that is embarrassingly
+        parallel CPU."""
+        from etlpy_spark.sources.synthetic_web import host_expr, priority_expr
+
+        return (
+            self.frontier.read()
+            .withColumn("host", host_expr(F.col("url")))
+            .withColumn("priority", priority_expr(F.col("url"), self.cfg.web.seed))
+        )
+
     def init_from_seeds(self, seeds: list[str]) -> None:
         """Round-0 state: canonicalize seeds in dispatch order, keep-first
         (the reference dispatches in seed order, distributed.py:60-66)."""
@@ -245,22 +288,15 @@ class SparkCrawler:
         raw = spark.createDataFrame(
             seed_pdf, schema="seed_seq long, raw string"
         ).repartition(self.cfg.n_buckets)
-        from etlpy_spark.sources.synthetic_web import host_expr, priority_expr
-
         canon = self._canon_udf()
         df = raw.select("seed_seq", canon(F.col("raw")).alias("url")).filter(
             F.col("url").isNotNull()
         )
         # keep-first per url (min seed_seq) via map-side-combinable agg;
         # dispatch order = seed order (reference distributed.py:60-66).
-        # host/priority are derived JVM-side from the unique urls — they
-        # never ride the shuffle or the Arrow channel.
-        first = (
-            df.groupBy("url")
-            .agg(F.min("seed_seq").alias("seed_seq"))
-            .withColumn("host", host_expr(F.col("url")))
-            .withColumn("priority", priority_expr(F.col("url"), self.cfg.web.seed))
-        )
+        # host/priority are NOT materialized anywhere: they are pure
+        # expressions over the url, re-derived by read_frontier each round.
+        first = df.groupBy("url").agg(F.min("seed_seq").alias("seed_seq"))
         init_caches: list = []
         ranked, n = global_rank(
             first, ["seed_seq"], "discovered_seq", 0, self.cfg.n_buckets,
@@ -268,7 +304,7 @@ class SparkCrawler:
             count=False,
         )
         frontier = ranked.select(
-            "url", "host", "priority", "discovered_seq",
+            "url", "discovered_seq",
             F.lit(0).alias("round"), F.lit(-1).alias("lineage_part"),
         ).cache()
         # seen first: its fused write job materializes the frontier cache
@@ -349,81 +385,91 @@ class SparkCrawler:
 
     def _commit_seen(self, urls_round: DataFrame) -> int:
         """Commit this round's new URLs to the seen table and fold them into
-        the per-shard Blooms in ONE Spark job: each shard group writes its
-        own parquet part file (pyarrow, executor-side) AND returns its
-        ~KB Bloom bitset; the driver ORs bitsets and manifest-commits the
+        the per-shard Blooms in ONE Spark job: each task writes its own
+        parquet part file (pyarrow, executor-side) AND returns its ~KB
+        Bloom bitsets; the driver ORs bitsets and manifest-commits the
         files. Returns the number of URLs committed (from the bitset rows —
-        no separate count job). The r1 version paid three jobs here (JVM
-        parquet append, bloom applyInPandas collect, rank count)."""
+        no separate count job).
+
+        Retry/speculation-safe: each task buffers its partition, sorts by
+        url and writes ONE deterministic ``part-{pid:05d}.parquet`` via tmp
+        + atomic rename — a re-run replaces its own identical row set (the
+        partition's content is a pure function of the round's input)
+        instead of adding a duplicate part file. On disk the rows are the
+        slim (url, round) layout with DELTA_BYTE_ARRAY urls — shard and
+        url_hash are derivable and 8-byte random hashes don't compress, so
+        the r2 4-column layout cost 3.8x the write bytes."""
         cfg = self.cfg
         rows = urls_round.select(
             F.pmod(F.xxhash64("url"), F.lit(cfg.n_shards)).cast("int").alias("shard"),
-            F.xxhash64("url").alias("url_hash"),
             "url",
             "round",
         )
         if not cfg.use_bloom:
-            _, n = self.seen.append_counted(rows)
+            _, n = self.seen.append_counted(rows.drop("shard"))
             return n
         import time as _time
         _t = _time.time()
         self._load_blooms()
         spec = self._filter_geom()
         v, data_dir = self.seen.begin_external()
+        fail_dir = os.environ.get("ETLPY_FAIL_ONCE_DIR")
         _t = _tlog("    seen.load_blooms+begin", _t)
 
         # explicit repartition, NOT groupBy: AQE would coalesce the
         # groupBy shuffle by input bytes and serialize the write+filter
         # stage (key rows are narrow; see _build_shard_blooms). Partial
         # per-shard filters from different partitions OR together on the
-        # driver (idempotent), and shard is a column so mixed-shard part
-        # files are fine.
+        # driver (idempotent), and shards are derivable so mixed-shard
+        # part files are fine.
         def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import uuid
 
             import pyarrow as pa
             import pyarrow.parquet as pq
+            from pyspark import TaskContext
 
             from etlpy_spark.crawl.seen import new_filter as _nf
 
+            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+            parts = [pdf for pdf in batches if len(pdf)]
+            _fail_once(fail_dir, "seen", pid)
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            pdf = pdf.sort_values("url", kind="stable")
+            tbl = pa.Table.from_pandas(
+                pdf[["url", "round"]], preserve_index=False,
+                schema=pa.schema([("url", pa.string()), ("round", pa.int32())]),
+            )
+            tmp = os.path.join(data_dir, f".tmp-{uuid.uuid4().hex}")
+            pq.write_table(
+                tbl, tmp,
+                column_encoding={"url": "DELTA_BYTE_ARRAY"},
+                use_dictionary=["round"],
+            )
+            os.replace(tmp, os.path.join(data_dir, f"part-{pid:05d}.parquet"))
             filters: dict = {}
             counts: dict = {}
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                # sorted layout: URL prefixes compress ~35% better under
-                # parquet dict/RLE (same rationale as SnapshotTable
-                # sort_within; numpy sort is a trivial cost per batch)
-                tbl = pa.Table.from_pandas(
-                    pdf[["shard", "url_hash", "url", "round"]].sort_values("url"),
-                    preserve_index=False,
-                )
-                pq.write_table(
-                    tbl, os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
-                )
-                for s, g in pdf.groupby("shard"):
-                    f = filters.get(int(s))
-                    if f is None:
-                        f = filters[int(s)] = _nf(spec)
-                    f.add_many(g["url"].to_numpy())
-                    counts[int(s)] = counts.get(int(s), 0) + len(g)
-            if filters:
-                yield pd.DataFrame(
-                    {
-                        "shard": list(filters),
-                        "bits": [f.to_bytes() for f in filters.values()],
-                        "n": [counts[s] for s in filters],
-                    }
-                )
+            for s, g in pdf.groupby("shard"):
+                f = filters[int(s)] = _nf(spec)
+                f.add_many(g["url"].to_numpy())
+                counts[int(s)] = len(g)
+            yield pd.DataFrame(
+                {
+                    "shard": list(filters),
+                    "bits": [f.to_bytes() for f in filters.values()],
+                    "n": [counts[s] for s in filters],
+                }
+            )
 
         nb = max(cfg.n_buckets, cfg.n_shards)
         sub = F.pmod(F.xxhash64("url", F.lit(7)), F.lit(max(1, nb // cfg.n_shards)))
         job = rows.repartition(nb, F.col("shard"), sub).mapInPandas(
             write_parts, schema="shard int, bits binary, n long"
         )
-        _t = _tlog("    seen.plan_build", _t)
         parts = job.collect()
-        _t = _tlog("    seen.collect_job", _t)
+        _t = _tlog("    seen.write_job", _t)
         self._merge_shard_blooms(parts)
         self.seen.commit_external(v, data_dir)
         _t = _tlog("    seen.fold+commit", _t)
@@ -434,7 +480,13 @@ class SparkCrawler:
             return self._blooms
         self._blooms = {}
         if self.seen.current_version() is not None:
-            self._merge_shard_blooms(self._build_shard_blooms(self.seen.read()))
+            rows = self.seen.read().select(
+                F.pmod(F.xxhash64("url"), F.lit(self.cfg.n_shards))
+                .cast("int")
+                .alias("shard"),
+                "url",
+            )
+            self._merge_shard_blooms(self._build_shard_blooms(rows))
         return self._blooms
 
     def _load_img_blooms(self) -> dict[int, BloomFilter]:
@@ -508,7 +560,7 @@ class SparkCrawler:
         fetch_base = int(st["next_fetch_seq"])
         seq_base = int(st["next_discovered_seq"])
 
-        frontier = self.frontier.read()
+        frontier = self.read_frontier()
 
         # robots gate: broadcast join + any-prefix match (pure expressions).
         # The annotated frontier is cached ONCE; scheduled+blocked counts,
@@ -639,14 +691,23 @@ class SparkCrawler:
                 yield pd.DataFrame(out)
             if log["fetch_seq"]:
                 n = len(log["fetch_seq"])
+                # sorted by url (unique per round): prefix-delta encoding
+                # collapses the URL bytes AND makes the file content a
+                # deterministic function of the partition's row set —
+                # byte-identical across task re-runs
+                order = sorted(range(n), key=log["url"].__getitem__)
                 tbl = pa.table({
-                    "fetch_seq": pa.array(log["fetch_seq"], pa.int64()),
-                    "url": pa.array(log["url"], pa.string()),
+                    "fetch_seq": pa.array([log["fetch_seq"][i] for i in order], pa.int64()),
+                    "url": pa.array([log["url"][i] for i in order], pa.string()),
                     "round": pa.array([rnd] * n, pa.int32()),
                     "lineage_part": pa.array([part] * n, pa.int32()),
                 })
                 tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
-                pq.write_table(tbl, tmp)
+                pq.write_table(
+                    tbl, tmp,
+                    column_encoding={"url": "DELTA_BYTE_ARRAY"},
+                    use_dictionary=["round", "lineage_part"],
+                )
                 os.replace(tmp, os.path.join(log_dir, f"part-{part:05d}.parquet"))
 
         extracted = buckets.mapInPandas(
@@ -764,6 +825,7 @@ class SparkCrawler:
                 # in the SAME job that writes the bytes.
                 v, data_dir = self.images.begin_external()
                 wspec = self._filter_geom()
+                fail_dir = os.environ.get("ETLPY_FAIL_ONCE_DIR")
 
                 # explicit repartition, NOT groupBy+applyInPandas: this
                 # stage's INPUT is narrow (id, caption) while its work is
@@ -772,14 +834,32 @@ class SparkCrawler:
                 # entire image axis in ONE task (measured 4.5x slower at
                 # 8 cores). repartition(n, cols) pins the partition count;
                 # partial per-shard bitsets OR on the driver as before.
+                #
+                # Retry/speculation safety: a task CANNOT buffer its whole
+                # partition of ~300 KB payloads (memory must not scale with
+                # partition size), so instead of one deterministic file it
+                # writes CHUNK-bounded files into a private attempt dir
+                # under <data>.inprogress/ and, as its last step, atomically
+                # renames the whole dir to part-{pid:05d}/ — first rename
+                # wins, a losing/retried attempt discards its dir, and
+                # commit_external sweeps .inprogress leftovers. Either
+                # attempt's dir holds the same row set (the partition is a
+                # pure function of the round's input).
                 def write_part_imgs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    import shutil
                     import uuid
 
                     import pyarrow as pa
                     import pyarrow.parquet as pq
+                    from pyspark import TaskContext
 
                     from etlpy_spark.crawl.seen import new_filter as _nf
 
+                    pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+                    attempt = os.path.join(
+                        data_dir + ".inprogress", uuid.uuid4().hex
+                    )
+                    os.makedirs(attempt, exist_ok=True)
                     schema = pa.schema([
                         ("image_id", pa.string()), ("bytes", pa.binary()),
                         ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
@@ -788,29 +868,45 @@ class SparkCrawler:
                     ])
                     filters: dict = {}
                     counts: dict = {}
+                    chunk_no = 0
+                    wrote = False
                     for pdf in batches:
                         for lo in range(0, len(pdf), CHUNK):
                             sub = pdf.iloc[lo : lo + CHUNK]
                             if not len(sub):
                                 continue
                             tbl = pa.Table.from_pydict(rows_for(sub), schema=schema)
-                            fn = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
+                            fn = os.path.join(attempt, f"chunk-{chunk_no:05d}.parquet")
+                            chunk_no += 1
                             # bytes are already-compressed image containers
                             pq.write_table(tbl, fn, compression="none")
+                            wrote = True
+                            # injected AFTER a chunk landed: the retry must
+                            # supersede a PARTIALLY-written attempt dir
+                            _fail_once(fail_dir, "images", pid)
                         for s, g in pdf.groupby("__shard__"):
                             f = filters.get(int(s))
                             if f is None:
                                 f = filters[int(s)] = _nf(wspec)
                             f.add_many(g["image_id"].to_numpy())
                             counts[int(s)] = counts.get(int(s), 0) + len(g)
-                    if filters:
-                        yield pd.DataFrame(
-                            {
-                                "shard": list(filters),
-                                "bits": [f.to_bytes() for f in filters.values()],
-                                "n": [counts[s] for s in filters],
-                            }
-                        )
+                    if not wrote:
+                        shutil.rmtree(attempt, ignore_errors=True)
+                        return
+                    final = os.path.join(data_dir, f"part-{pid:05d}")
+                    try:
+                        os.rename(attempt, final)
+                    except OSError:
+                        # another attempt of this partition already
+                        # committed the identical row set — yield to it
+                        shutil.rmtree(attempt, ignore_errors=True)
+                    yield pd.DataFrame(
+                        {
+                            "shard": list(filters),
+                            "bits": [f.to_bytes() for f in filters.values()],
+                            "n": [counts[s] for s in filters],
+                        }
+                    )
 
                 subs = max(1, cfg.n_buckets // cfg.n_shards)
                 if "__shard__" not in refs.columns:
@@ -867,8 +963,6 @@ class SparkCrawler:
             img_future = pool.submit(image_path)
 
         # -- link path: canonicalize, dedup, bloom, anti-join, sequence
-        from etlpy_spark.sources.synthetic_web import host_expr, priority_expr
-
         canon = self._canon_udf()
         links = (
             extracted.filter(F.col("kind") == "link")
@@ -878,14 +972,13 @@ class SparkCrawler:
         # keep-first by (fetch_seq, pos): min over a struct ordered by those
         # fields — a map-side-combinable aggregation, NOT a window sort
         # (shuffle carries one row per unique url, not every occurrence).
-        # host/priority are pure functions of the canonical url — computed
-        # JVM-side on the unique survivors, never shuffled per occurrence.
+        # host/priority are NOT computed here at all: they are pure
+        # functions of the url, re-derived from the stored frontier by
+        # read_frontier — the link path neither shuffles nor stores them.
         links = (
             links.groupBy("url")
             .agg(F.min(F.struct("fetch_seq", "pos", "part")).alias("__f__"))
             .select("url", "__f__.*")
-            .withColumn("host", host_expr(F.col("url")))
-            .withColumn("priority", priority_expr(F.col("url"), cfg.web.seed))
         )
 
         bloom_bcast = None
@@ -900,19 +993,11 @@ class SparkCrawler:
 
             @pandas_udf("boolean")
             def maybe_seen(urls: pd.Series, shards: pd.Series) -> pd.Series:
-                import os as _os
-                import sys as _sys
-                import time as _tm
-
-                _t0 = _tm.time()
                 import numpy as np
 
                 from etlpy_spark.crawl.seen import filter_from_bytes as _fb
 
-                _t1 = _tm.time()
                 _spec, _parts = bb.value
-                if _os.environ.get("ETLPY_UDF_TIMING") == "1":
-                    print(f"UDFT maybe_seen imports={_t1-_t0:.3f} bcast={_tm.time()-_t1:.3f} n={len(urls)} pid={_os.getpid()}", file=_sys.stderr, flush=True)
                 local = {s: _fb(_spec, d) for s, d in _parts.items()}
                 sh = shards.to_numpy()
                 uarr = urls.to_numpy()
@@ -947,7 +1032,7 @@ class SparkCrawler:
             caches=round_caches, count=False,
         )
         new_frontier = ranked_links.select(
-            "url", "host", "priority", "discovered_seq",
+            "url", "discovered_seq",
             F.lit(rnd + 1).alias("round"), F.col("part").alias("lineage_part"),
         ).cache()
         _t = _tlog("links_canon_dedup_rank", _t)
@@ -1000,7 +1085,7 @@ class SparkCrawler:
             )
         else:
             next_frontier = deferred.select(
-                "url", "host", "priority", "discovered_seq", "round", "lineage_part"
+                "url", "discovered_seq", "round", "lineage_part"
             ).unionByName(new_frontier)
             self.frontier.overwrite(next_frontier, meta=state_meta)
         if cfg.write_metrics:
@@ -1065,19 +1150,14 @@ class SparkCrawler:
         lineage is distinguishable from seed (-1) and link parts (≥0).
         Returns the number of URLs enqueued (already-pending ones are
         skipped)."""
-        from etlpy_spark.sources.synthetic_web import host_expr, priority_expr
-
         # list inputs below the threshold take the cheap global-window rank;
         # DataFrame inputs are assumed big → two-phase ranged rank
         is_small = (
             not isinstance(urls, DataFrame) and len(urls) <= self.cfg.rank_threshold
         )
         pending = self.frontier.read()
-        tgt = (
-            self._urls_df(urls)
-            .join(pending.select("url"), on="url", how="left_anti")
-            .withColumn("host", host_expr(F.col("url")))
-            .withColumn("priority", priority_expr(F.col("url"), self.cfg.web.seed))
+        tgt = self._urls_df(urls).join(
+            pending.select("url"), on="url", how="left_anti"
         )
         st = self.state()
         rnd, seq_base = int(st["round"]), int(st["next_discovered_seq"])
@@ -1087,7 +1167,7 @@ class SparkCrawler:
             small=is_small, caches=caches,
         )
         rows = ranked.select(
-            "url", "host", "priority", "discovered_seq",
+            "url", "discovered_seq",
             F.lit(rnd).alias("round"), F.lit(-2).alias("lineage_part"),
         )
         # append-only enqueue (pending rows stay in their files): with
@@ -1109,9 +1189,14 @@ class SparkCrawler:
     def forget(self, urls) -> int:
         """Retract URLs from the seen set so they become *discoverable*
         again through links (domain purge-and-recrawl, takedown-then-allow).
-        The exact table is updated by anti-join overwrite; the in-memory
-        shard filters are invalidated and lazily rebuilt from the updated
-        table by the next round's ``_load_blooms`` (one distributed pass).
+        Retraction is O(changed rows), not O(table): the exact table gets
+        equality-delete TOMBSTONES (``SnapshotTable.append_with_deletes``,
+        the same merge-on-read primitive the frontier commits use) instead
+        of the r2 full anti-join rewrite — at a 10^10-row seen set a
+        rewrite per takedown request is not a thing. Accumulated tombstones
+        auto-compact past the threshold. The in-memory shard filters are
+        invalidated and lazily rebuilt from the updated table by the next
+        round's ``_load_blooms`` (one distributed pass).
 
         The rebuild — not ``CuckooFilter.delete_many`` — is the correct path
         for the SHARED filters: ``add_many``/``merge`` collapse colliding
@@ -1120,12 +1205,19 @@ class SparkCrawler:
         contract forbids. ``delete_many`` stays sound for privately built
         filters that never dedupe. Returns how many seen rows were
         retracted."""
-        tgt = self._urls_df(urls)
+        tgt = self._urls_df(urls).cache()
         seen = self.seen.read()
-        removed = seen.join(tgt, on="url", how="left_semi").count()
+        hits = tgt.join(seen, on="url", how="left_semi")
+        removed = hits.count()
         if removed:
-            self.seen.overwrite(seen.join(tgt, on="url", how="left_anti"))
+            # tombstone exactly the urls that ARE in the table (tombstone
+            # stats drive compaction; phantom keys would skew them)
+            self.seen.append_with_deletes(
+                self.spark.createDataFrame([], SEEN_DDL), hits, key="url",
+                compact_threshold=self.cfg.frontier_compact_threshold,
+            )
             self._blooms = None  # rebuilt distributed, on demand
+        tgt.unpersist()
         return int(removed)
 
     # -- results for parity checks ------------------------------------------

@@ -4,8 +4,10 @@ Generalizes the reference's in-memory seen set (RepeatFT's ``set``,
 reference etl.py:238-247) and CrawlerTF's 100-URL memo (etl.py:454-464) to
 10^10-URL scale:
 
-  - authority = an exact table ``(shard, url_hash, url, round)`` sharded by
-    ``pmod(xxhash64(url), S)`` — membership is an anti-join, which Spark
+  - authority = an exact table stored as slim ``(url, round)`` rows (the
+    shard key ``pmod(xxhash64(url), S)`` and the url hash are derivable
+    expressions, never written — random 8-byte hashes don't compress and
+    doubled the r2 file bytes); membership is an anti-join, which Spark
     executes as a shuffled hash join per shard;
   - fast path = one Bloom bitset per shard (numpy bitarray, double
     hashing). Bloom-negative candidates are *definitely new* and skip the

@@ -184,6 +184,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     n: int = 3,
     threshold: float = 0.6,
+    broadcast_verify_limit: int = 2_000_000,
 ) -> DataFrame:
     """Candidate pairs via LSH banding (b bands × r=k/b rows; a pair lands
     in a bucket iff a whole band of minhashes agrees), then EXACT Jaccard
@@ -282,12 +283,22 @@ def minhash_lsh_pairs(
     )
     # exact verification on the hashed shingle sets (exact up to xxhash64
     # collisions, ~2^-64·|sh| per pair — the same contract as
-    # ngram_jaccard_pairs; jaccard counts come from true set sizes)
-    # candidates are a vanishing fraction of docs — broadcast them so the
-    # two shingle-set lookups are broadcast joins that STREAM the doc scan
-    # (no shuffle/sort of the full shingle table per side)
+    # ngram_jaccard_pairs; jaccard counts come from true set sizes).
+    # Candidates are USUALLY a vanishing fraction of docs — broadcasting
+    # them makes the two shingle-set lookups broadcast joins that STREAM
+    # the doc scan (no shuffle/sort of the full shingle table per side).
+    # But candidate volume is data-dependent: a dup-heavy corpus can emit
+    # candidate sets past driver/broadcast limits, so the hint is gated on
+    # an exact count (pair_ids is persisted, so the count costs nothing
+    # extra — the verify join reads the same cache instead of re-running
+    # the banding plan); above the limit AQE picks the join strategy.
+    pair_ids = pair_ids.persist()
+    n_cand = pair_ids.count()
+    cand_side = (
+        F.broadcast(pair_ids) if n_cand <= broadcast_verify_limit else pair_ids
+    )
     hs = hashed(df)
-    cand = F.broadcast(pair_ids).join(
+    cand = cand_side.join(
         hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
     ).join(hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
@@ -441,7 +452,7 @@ def embedding_near_dup_pairs(
 
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 25, checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph -> (id, cluster_id)
     with cluster_id = min member id. The step a real dedup pipeline runs
@@ -456,23 +467,30 @@ def connected_components(
     runs at any scale; the large-star/small-star variant trades more
     edges per round for O(log n) worst-case rounds — unnecessary here).
     Convergence is detected by a changed-label count hitting zero. Each
-    round's labels are localCheckpoint()ed — iterative self-joins MUST
-    truncate lineage or the logical plan doubles per round and the
-    driver OOMs planning it (at production scale, point
-    ``spark.sparkContext.setCheckpointDir`` at shared storage and swap
-    in ``checkpoint()`` for executor-loss tolerance).
+    round's labels are checkpointed — iterative self-joins MUST truncate
+    lineage or the logical plan doubles per round and the driver OOMs
+    planning it. ``checkpoint_dir=None`` (default) uses
+    ``localCheckpoint()`` — executor-local blocks, right for a single-box
+    run; at production scale pass a SHARED-STORAGE path and each round's
+    labels go through reliable ``checkpoint()`` instead, so an executor
+    loss mid-iteration recomputes from storage rather than restarting the
+    whole algorithm.
     """
-    edges = (
+
+    def ckpt(d: DataFrame) -> DataFrame:
+        return d.checkpoint() if checkpoint_dir else d.localCheckpoint()
+
+    if checkpoint_dir:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    edges = ckpt(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         # min neighbor label per node, joined against current labels
@@ -510,8 +528,8 @@ def connected_components(
                     < F.col("__old__")
                 ).cast("long").alias("__chg__"),
             )
-            .localCheckpoint()
         )
+        new_labels = ckpt(new_labels)
         changed = new_labels.agg(F.sum("__chg__")).first()[0] or 0
         labels = new_labels.drop("__chg__")
         if changed == 0:

@@ -59,11 +59,14 @@ def get_spark(
             b.config("spark.io.compression.codec", codec)
             .config("spark.sql.parquet.compression.codec", codec)
         )
-    if os.environ.get("ETLPY_DAEMON_PRELOAD", "1") == "1":
-        # Fork Python workers from a daemon that has already imported
-        # numpy/pandas/pyarrow: a freshly forked worker otherwise pays
-        # ~0.4 s of imports before its first Arrow batch (measured; see
-        # etlpy_spark/spark_daemon.py docstring).
+    if os.environ.get("ETLPY_DAEMON_PRELOAD", "0") == "1":
+        # OPT-IN: fork Python workers from a daemon that has already
+        # imported numpy/pandas/pyarrow. Measured NIL locally (the Arrow
+        # serializer imports pandas before any UDF body runs) — it only
+        # shaves first-wave latency on a real cluster, and on a cluster
+        # where the package ships solely via --py-files the preload module
+        # may not be importable at daemon launch, failing workers with an
+        # obscure daemon error. Hence default-off.
         b = b.config("spark.python.daemon.module", "etlpy_spark.spark_daemon")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

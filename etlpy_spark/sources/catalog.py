@@ -29,6 +29,101 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Spark DDL simple-string → pyarrow type, for the executor-side writer
+# (covers the narrow bookkeeping tables that opt into per-column encodings)
+def _pa_types() -> dict:
+    import pyarrow as pa
+
+    return {
+        "string": pa.string(),
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "smallint": pa.int16(),
+        "tinyint": pa.int8(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+    }
+
+
+class _LazyPaTypes:
+    def __getitem__(self, key: str):
+        try:
+            return _pa_types()[key]
+        except KeyError:
+            raise KeyError(
+                f"no pyarrow mapping for Spark type {key!r}; extend _pa_types "
+                "or drop `encodings` for this table"
+            ) from None
+
+
+_PA_TYPES = _LazyPaTypes()
+
+
+def write_parquet_parts(
+    df: DataFrame,
+    data_dir: str,
+    pa_schema,
+    sort_cols: list[str],
+    column_encoding: dict[str, str] | None,
+    no_dict_cols: list[str] | None,
+) -> list[int]:
+    """Write one deterministic ``part-{pid:05d}.parquet`` per task into
+    ``data_dir`` (pyarrow, executor-side) and return the per-task row
+    counts. Retry/speculation-safe: each task buffers its whole partition,
+    sorts, writes to a uuid tmp name and atomically renames to its
+    partition-id name — a re-run of the same partition replaces its own
+    output (same row set) instead of adding a duplicate part file. Columns
+    named in ``column_encoding`` are written without dictionary so the
+    encoding (e.g. DELTA_BYTE_ARRAY for sorted URLs) actually applies."""
+    names = [f.name for f in pa_schema]
+    dict_cols = [c for c in names if c not in (no_dict_cols or [])]
+
+    def write(batches):
+        import uuid
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        if sort_cols:
+            pdf = pdf.sort_values(sort_cols, kind="stable")
+        tbl = pa.Table.from_pandas(pdf[names], schema=pa_schema, preserve_index=False)
+        tmp = os.path.join(data_dir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(
+            tbl, tmp,
+            column_encoding=column_encoding or None,
+            use_dictionary=dict_cols,
+        )
+        os.replace(tmp, os.path.join(data_dir, f"part-{pid:05d}.parquet"))
+        yield pd.DataFrame({"n": [len(pdf)]})
+
+    return [int(r["n"]) for r in df.mapInPandas(write, schema="n long").collect()]
+
+
+def parquet_files(data_dir: str) -> list[str]:
+    """All committed parquet files under a data dir, recursively (external
+    writers may commit whole per-partition directories), skipping tmp/
+    hidden entries (.tmp-*, _*) that a killed straggler may leave behind."""
+    out: list[str] = []
+    for root, dirs, files in os.walk(data_dir):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    return sorted(out)
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -58,6 +153,7 @@ class SnapshotTable:
         path: str,
         compression: str | None = None,
         sort_within: list[str] | None = None,
+        encodings: dict[str, str] | None = None,
     ):
         # manifests (snapshots/, _current) are written with local os I/O
         # while the data dirs go through the Spark writer — a URI-scheme
@@ -86,6 +182,17 @@ class SnapshotTable:
         # perfectly scalable in-partition CPU). No shuffle: partitioning
         # is untouched, only the order inside each task's output file.
         self.sort_within = sort_within
+        # per-column parquet encodings (e.g. {"url": "DELTA_BYTE_ARRAY"}):
+        # sorted crawl URLs prefix-delta to ~5 B/row vs ~15 B dict+snappy
+        # (measured 17 -> 9 MB on a 2M-row sorted URL table; 34.5 MB for
+        # the round-2 4-column layout). The Spark parquet writer exposes no
+        # per-column encoding control, so tables that set this write their
+        # data dirs through an executor-side pyarrow writer (deterministic
+        # part names + atomic rename — retry/speculation-safe; see
+        # _write_data_dir). Bytes through the write path are the
+        # non-scaling resource on a shared bus / shared disk — trading them
+        # for in-partition CPU is the scaling win (BENCH/BASELINE.md).
+        self.encodings = encodings
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
@@ -122,15 +229,47 @@ class SnapshotTable:
 
     # -- commits
 
+    def _write_data_dir(self, df: DataFrame, data_dir: str) -> None:
+        """Write ``df``'s rows as parquet under ``data_dir`` — the Spark
+        writer by default, or (when per-column ``encodings`` are set) an
+        executor-side pyarrow writer: each task buffers its partition,
+        sorts by ``sort_within``, and writes ONE deterministic
+        ``part-{pid:05d}.parquet`` via tmp + atomic rename, so a retried or
+        speculated task replaces its own identical output instead of
+        duplicating rows."""
+        if not self.encodings:
+            if self.sort_within and all(c in df.columns for c in self.sort_within):
+                df = df.sortWithinPartitions(*self.sort_within)
+            w = df.write.mode("overwrite")
+            if self.compression:
+                w = w.option("compression", self.compression)
+            w.parquet(data_dir)
+            return
+        os.makedirs(data_dir, exist_ok=True)
+        import pyarrow as pa
+
+        pa_schema = pa.schema(
+            [(f.name, _PA_TYPES[f.dataType.simpleString()]) for f in df.schema.fields]
+        )
+        sort_cols = [c for c in (self.sort_within or []) if c in df.columns]
+        enc = {k: v for k, v in self.encodings.items() if k in df.columns}
+        no_dict = [c for c in enc] or None
+        counts = write_parquet_parts(
+            df, data_dir, pa_schema, sort_cols, enc, no_dict
+        )
+        if not counts:
+            # an empty snapshot must still be readable with its schema
+            # (spark.read.parquet cannot infer from zero files)
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa_schema.empty_table(), os.path.join(data_dir, "part-empty.parquet")
+            )
+
     def _commit(self, df: DataFrame, mode: str, meta: dict | None) -> int:
         v = (self.current_version() or 0) + 1
         data_dir = os.path.join(self.path, "data", f"v{v:06d}")
-        if self.sort_within and all(c in df.columns for c in self.sort_within):
-            df = df.sortWithinPartitions(*self.sort_within)
-        w = df.write.mode("overwrite")
-        if self.compression:
-            w = w.option("compression", self.compression)
-        w.parquet(data_dir)
+        self._write_data_dir(df, data_dir)
         snap = {"version": v, "mode": mode, "data_dirs": [data_dir], "meta": meta or {}}
         if mode == "append" and (prev := self.current_version()):
             ps = self.snapshot(prev)
@@ -163,14 +302,7 @@ class SnapshotTable:
         than caching the input just to count it (matters when rows carry
         image bytes)."""
         v = self._commit(df, "append", meta)
-        data_dir = self.snapshot(v).data_dirs[-1]
-        import pyarrow.parquet as pq
-
-        n = 0
-        for f in os.listdir(data_dir):
-            if f.endswith(".parquet"):
-                n += pq.read_metadata(os.path.join(data_dir, f)).num_rows
-        return v, n
+        return v, self._footer_rows(self.snapshot(v).data_dirs[-1])
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(df, "overwrite", meta)
@@ -192,19 +324,37 @@ class SnapshotTable:
     ) -> tuple[int, int]:
         """Manifest-commit part files already present in ``data_dir``;
         returns (version, row count from parquet footers). If no files were
-        written the reservation is abandoned (table state unchanged). NB a
-        retried/speculated task could leave duplicate part files — real
-        Iceberg fences this with per-task commit metadata; the sandbox
-        crawler runs without retries."""
-        import pyarrow.parquet as pq
+        written the reservation is abandoned (table state unchanged).
 
-        files = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+        Retry/speculation safety is the WRITER protocol's job (the moral
+        equivalent of Iceberg's per-task commit metadata): every external
+        writer in the engine emits deterministic per-partition names via
+        atomic rename — single ``part-{pid:05d}.parquet`` files, or whole
+        ``part-{pid:05d}/`` chunk directories committed by a first-rename-
+        wins directory swap — so a retried or speculated task replaces /
+        yields to its partition's output instead of duplicating rows
+        (tests/test_task_retry.py forces a mid-write task failure and
+        asserts bitwise crawl parity). This commit still fences the
+        leftovers: in-progress attempt dirs are swept, tmp/hidden files are
+        excluded from the manifest count, and a duplicate partition id
+        (two committed entries for one pid — impossible under the rename
+        protocol) fails the commit rather than double-counting."""
+        import shutil
+
+        shutil.rmtree(data_dir + ".inprogress", ignore_errors=True)
+        files = parquet_files(data_dir)
         if not files:
-            os.rmdir(data_dir)
+            shutil.rmtree(data_dir, ignore_errors=True)
             return self.current_version() or 0, 0
-        n = sum(
-            pq.read_metadata(os.path.join(data_dir, f)).num_rows for f in files
-        )
+        top = {
+            os.path.relpath(f, data_dir).split(os.sep)[0] for f in files
+        }
+        pids = [t.split("-")[1].split(".")[0] for t in top if t.startswith("part-")]
+        if len(pids) != len(set(pids)):
+            raise RuntimeError(
+                f"duplicate partition outputs in {data_dir}: {sorted(top)}"
+            )
+        n = self._footer_rows(data_dir)
         snap = {"version": version, "mode": mode, "data_dirs": [data_dir],
                 "meta": meta or {}}
         if mode == "append" and (prev := self.current_version()):
@@ -238,13 +388,14 @@ class SnapshotTable:
         v = (self.current_version() or 0) + 1
         data_dir = os.path.join(self.path, "data", f"v{v:06d}")
         del_dir = os.path.join(self.path, "data", f"v{v:06d}.del")
-        if self.sort_within and all(c in df.columns for c in self.sort_within):
-            df = df.sortWithinPartitions(*self.sort_within)
-        w = df.write.mode("overwrite")
-        if self.compression:
-            w = w.option("compression", self.compression)
-        w.parquet(data_dir)
-        delete_keys.select(key).write.mode("overwrite").parquet(del_dir)
+        self._write_data_dir(df, data_dir)
+        # tombstones are URL-heavy too: route them through the same writer
+        # so they get the sorted layout + delta encoding byte cut
+        saved, self.sort_within = self.sort_within, [key]
+        try:
+            self._write_data_dir(delete_keys.select(key), del_dir)
+        finally:
+            self.sort_within = saved
         prev = self.current_version()
         psnap = self.snapshot(prev) if prev else None
         if psnap and psnap.delete_key not in (None, key):
@@ -293,11 +444,7 @@ class SnapshotTable:
     def _footer_rows(self, data_dir: str) -> int:
         import pyarrow.parquet as pq
 
-        n = 0
-        for f in os.listdir(data_dir):
-            if f.endswith(".parquet"):
-                n += pq.read_metadata(os.path.join(data_dir, f)).num_rows
-        return n
+        return sum(pq.read_metadata(f).num_rows for f in parquet_files(data_dir))
 
     def merge_upsert(self, df: DataFrame, key: str, prefer_new: bool = False,
                      meta: dict | None = None) -> int:
@@ -325,9 +472,14 @@ class SnapshotTable:
         if v is None:
             raise FileNotFoundError(f"table {self.path} has no snapshots")
         snap = self.snapshot(v)
+        # recursiveFileLookup: external writers may commit whole
+        # per-partition chunk DIRECTORIES (the image writer's atomic
+        # directory-rename protocol); hidden/tmp names are skipped by
+        # Spark's file index already
+        rd = self.spark.read.option("recursiveFileLookup", "true")
         if not snap.delete_dirs:
             dirs = [d for d in snap.data_dirs if os.path.exists(d)]
-            return self.spark.read.parquet(*dirs)
+            return rd.parquet(*dirs)
         # sequence-aware tombstones: data dir i is deleted-from only by
         # tombstones with upto > i. Group data dirs sharing the same
         # applicable-tombstone set -> one anti-join per group (group
@@ -342,9 +494,9 @@ class SnapshotTable:
             groups.setdefault(applicable, []).append(d)
         out = None
         for applicable, ds in groups.items():
-            df = self.spark.read.parquet(*ds)
+            df = rd.parquet(*ds)
             if applicable:
-                tomb = self.spark.read.parquet(*applicable).select(
+                tomb = rd.parquet(*applicable).select(
                     snap.delete_key
                 ).distinct()
                 df = df.join(tomb, on=snap.delete_key, how="left_anti")

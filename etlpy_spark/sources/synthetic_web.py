@@ -146,10 +146,15 @@ def page(url: str, cfg: WebConfig) -> dict:
         for i in range(n_img)
     ]
     captions = [caption_for(i, cfg.seed) for i in image_ids]
+    # attribute values are XML-escaped (quoteattr) so the markup is
+    # well-formed for ANY future caption/url vocabulary — today's values
+    # are XML-clean, so the escape is byte-identity and parity-neutral
+    from xml.sax.saxutils import quoteattr
+
     body = "".join(
-        [f'<a href="{l}">l</a>' for l in links]
+        [f"<a href={quoteattr(l)}>l</a>" for l in links]
         + [
-            f'<img src="{i}" alt="{cap}" />'
+            f"<img src={quoteattr(i)} alt={quoteattr(cap)} />"
             for i, cap in zip(image_ids, captions)
         ]
     )
@@ -179,7 +184,12 @@ def parse_page(html: str) -> dict:
         return {"links": [], "image_ids": [], "captions": []}
     import xml.etree.ElementTree as ET
 
-    root = ET.fromstring(html)
+    try:
+        root = ET.fromstring(html)
+    except ET.ParseError:
+        # a malformed page must not kill the whole fetch task — skip it,
+        # like crawler_fetcher below (real spiders tolerate bad markup)
+        return {"links": [], "image_ids": [], "captions": []}
     links = [a.attrib["href"] for a in root.iter("a")]
     image_ids, captions = [], []
     for img in root.iter("img"):

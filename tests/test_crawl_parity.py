@@ -152,6 +152,10 @@ def test_rollback_time_travel(spark):
         old = cr.frontier.read(version=v1)
         assert cr.frontier.snapshot(v1).meta["round"] == 1
         assert old.count() > 0
-        assert {"url", "host", "priority", "discovered_seq"} <= set(old.columns)
+        # storage schema is derivable-column-free; read_frontier re-derives
+        assert {"url", "discovered_seq", "round", "lineage_part"} == set(old.columns)
+        assert {"url", "host", "priority", "discovered_seq"} <= set(
+            cr.read_frontier().columns
+        )
     finally:
         shutil.rmtree(wd, ignore_errors=True)

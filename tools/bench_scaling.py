@@ -141,6 +141,9 @@ def worker(cpus: int, workload: str) -> None:
         out = {
             "cpus": cpus,
             "workload": workload,
+            # workload-size knob recorded so mismatched runs are detectable
+            # (IMAGES_NPH/FRONTIER_NPH changes resize the round)
+            "nph": n_per_host,
             "seeds": len(seeds),
             "init_s": round(t_init, 2),
             "total_s": round(total, 2),

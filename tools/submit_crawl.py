@@ -54,7 +54,12 @@ def main() -> None:
     ap.add_argument("--verify-oracle", action="store_true",
                     help="after the run, replay the serial reference-semantics "
                          "oracle on the driver and assert crawl-order + "
-                         "URL-seen-set parity (synthetic web, fresh runs only)")
+                         "URL-seen-set + image-row parity (synthetic web, "
+                         "fresh runs only)")
+    ap.add_argument("--master", default=None,
+                    help="standalone-python convenience (e.g. local[4,2] to "
+                         "run with task retries); under spark-submit leave "
+                         "unset — the session carries the cluster config")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -64,7 +69,10 @@ def main() -> None:
 
     # under spark-submit the session already carries the cluster config;
     # standalone python gets sane local defaults from getOrCreate()
-    spark = SparkSession.builder.appName("etlpy-spark-crawl").getOrCreate()
+    b = SparkSession.builder.appName("etlpy-spark-crawl")
+    if args.master:
+        b = b.master(args.master)
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buckets = args.buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
@@ -91,8 +99,21 @@ def main() -> None:
             raise SystemExit("PARITY FAILED: crawl order diverges from serial oracle")
         if cr.seen_urls_list() != set(orc.seen):
             raise SystemExit("PARITY FAILED: URL-seen set diverges from serial oracle")
-        print(f"PARITY OK: crawl order ({len(orc.crawl_log)} fetches) and "
-              f"seen set ({len(orc.seen)} URLs) match the serial oracle")
+        got_imgs = [
+            (r.image_id, r.caption, r.phash)
+            for r in cr.images.read().select("image_id", "caption", "phash").collect()
+        ]
+        exp_imgs = {
+            (i["image_id"], i["caption"], i["phash"]) for i in orc.images.values()
+        }
+        if len(got_imgs) != len(exp_imgs) or set(got_imgs) != exp_imgs:
+            raise SystemExit(
+                f"PARITY FAILED: image rows diverge from serial oracle "
+                f"({len(got_imgs)} rows vs {len(exp_imgs)} expected distinct)"
+            )
+        print(f"PARITY OK: crawl order ({len(orc.crawl_log)} fetches), "
+              f"seen set ({len(orc.seen)} URLs) and image rows "
+              f"({len(exp_imgs)}) match the serial oracle")
 
 
 if __name__ == "__main__":
