@@ -133,17 +133,26 @@ def q_repeat_ft_dedup(spark, sf_dir):
 
 
 def q_column_ops_chain(spark, sf_dir):
-    """AutoIndexTF + AddNewTF + RenameTF + DeleteTF on region."""
-    df = _orded(_t(spark, sf_dir, "region"), "r_regionkey")
+    """AutoIndexTF + AddNewTF + RenameTF + DeleteTF + TrimTF + StrExtractTF
+    in ONE chain on customer (round-3 driver-slot consolidation; every
+    stage is load-bearing for the oracle hash)."""
+    df = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("padded", F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" \t")))
+        .withColumn("wrapped", F.concat(F.lit("<<"), F.col("c_mktsegment"), F.lit(">>")))
+    )
+    df = _orded(df, "c_custkey")
     stages = [
-        Stage("AutoIndexTF", {"Column": "r_name", "NewColumn": "idx"}),
+        Stage("TrimTF", {"Column": "padded", "NewColumn": "seg1"}),
+        Stage("StrExtractTF", {"Column": "wrapped", "Former": "<<", "End": ">>", "NewColumn": "seg2"}),
+        Stage("AutoIndexTF", {"Column": "c_mktsegment", "NewColumn": "idx"}),
         Stage("AddNewTF", {"NewValue": "const", "NewColumn": "tag"}),
         Stage("AddNewTF", {"NewValue": "temp", "NewColumn": "tmp"}),
-        Stage("RenameTF", {"Column": "r_name", "NewColumn": "name"}),
+        Stage("RenameTF", {"Column": "c_mktsegment", "NewColumn": "name"}),
         Stage("DeleteTF", {"Column": "tmp"}),
     ]
     out = compile_stages(_ctx(spark, sf_dir), stages, df)
-    return finalize(out).select("r_regionkey", "idx", "tag", "name")
+    return finalize(out).select("c_custkey", "idx", "tag", "name", "seg1", "seg2")
 
 
 def q_regex_ops_chain(spark, sf_dir):
@@ -170,22 +179,6 @@ def q_split_ops_chain(spark, sf_dir):
     ]
     out = compile_stages(_ctx(spark, sf_dir), stages, df)
     return finalize(out).select("o_orderkey", "prio_tail", "prio_word")
-
-
-def q_trim_extract_tf(spark, sf_dir):
-    """TrimTF + StrExtractTF on customer."""
-    df = (
-        _t(spark, sf_dir, "customer")
-        .withColumn("padded", F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" \t")))
-        .withColumn("wrapped", F.concat(F.lit("<<"), F.col("c_mktsegment"), F.lit(">>")))
-    )
-    df = _orded(df, "c_custkey")
-    stages = [
-        Stage("TrimTF", {"Column": "padded", "NewColumn": "seg1"}),
-        Stage("StrExtractTF", {"Column": "wrapped", "Former": "<<", "End": ">>", "NewColumn": "seg2"}),
-    ]
-    out = compile_stages(_ctx(spark, sf_dir), stages, df)
-    return finalize(out).select("c_custkey", "seg1", "seg2")
 
 
 def q_encode_ops_chain(spark, sf_dir):
@@ -307,7 +300,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_ops_chain": q_column_ops_chain,
         "regex_ops_chain": q_regex_ops_chain,
         "split_ops_chain": q_split_ops_chain,
-        "trim_extract_tf": q_trim_extract_tf,
         "encode_ops_chain": q_encode_ops_chain,
         "python_merge_tf": q_python_merge_tf,
         "dict_time_tf": q_dict_time_tf,
@@ -349,9 +341,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, min(o_orderkey) AS o_orderkey FROM orders GROUP BY o_custkey
         """,
         "column_ops_chain": """
-            SELECT r_regionkey, row_number() OVER (ORDER BY r_regionkey) AS idx,
-                   'const' AS tag, r_name AS name
-            FROM region
+            SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS idx,
+                   'const' AS tag, c_mktsegment AS name,
+                   c_mktsegment AS seg1, c_mktsegment AS seg2
+            FROM customer
         """,
         "regex_ops_chain": """
             SELECT o_orderkey,
@@ -368,9 +361,6 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_split_to_array(o_orderpriority, '-')[2]
                         ELSE o_orderpriority END AS prio_word
             FROM orders
-        """,
-        "trim_extract_tf": """
-            SELECT c_custkey, c_mktsegment AS seg1, c_mktsegment AS seg2 FROM customer
         """,
         "encode_ops_chain": """
             SELECT p_partkey,

@@ -394,9 +394,12 @@ def q_parallel_map_reduce(spark, sf_dir):
 # markers / stream ops
 
 
-def q_markers_range_tf(spark, sf_dir):
-    """ToListTF/DelayTF/TransTF/NlpTF markers (row-preserving) chained with
-    RangeTF offset/limit over the ordered stream."""
+def q_markers_repeat_tf(spark, sf_dir):
+    """One chain covering the stream markers AND the repeat pair (round-3
+    driver-slot consolidation; every stage is load-bearing for the hash):
+    ToListTF/DelayTF/TransTF/NlpTF markers (row-preserving) → RangeTF
+    offset/limit over the ordered stream → RepeatTF (×3 fan-out) →
+    MergeRepeatTF (dedup by key + count, so cnt proves the fan-out ran)."""
     df = _orded(_t(spark, sf_dir, "orders"), "o_orderkey")
     stages = [
         Stage("ToListTF", {}),
@@ -404,19 +407,33 @@ def q_markers_range_tf(spark, sf_dir):
         Stage("TransTF", {}),
         Stage("NlpTF", {}),
         Stage("RangeTF", {"Skip": 10, "Take": 5}),
-    ]
-    return finalize(compile_stages(_ctx(spark, sf_dir), stages, df)).select("o_orderkey")
-
-
-def q_repeat_merge_repeat_tf(spark, sf_dir):
-    """RepeatTF (×3 fan-out) then MergeRepeatTF (dedup by key + count)."""
-    df = _orded(_t(spark, sf_dir, "nation"), "n_nationkey")
-    stages = [
         Stage("RepeatTF", {"RepeatCount": 3}),
-        Stage("MergeRepeatTF", {"Column": "n_nationkey", "NewColumn": "cnt"}),
+        Stage("MergeRepeatTF", {"Column": "o_orderkey", "NewColumn": "cnt"}),
     ]
     out = finalize(compile_stages(_ctx(spark, sf_dir), stages, df))
-    return out.select("n_nationkey", "cnt")
+    return out.select("o_orderkey", "cnt")
+
+
+def q_crawl_seen_cuckoo(spark, sf_dir):
+    """The SAME crawl with the cuckoo seen-filter backend (north_star:
+    "sharded Bloom/cuckoo-filter URL-seen set") — must produce the
+    identical URL-seen set as the Bloom run and the serial oracle: the
+    fast path only short-circuits definite negatives; the exact table is
+    the authority either way."""
+    from etlpy_spark.crawl.frontier import CrawlConfig, SparkCrawler
+    from etlpy_spark.sources.catalog import SnapshotTable
+    from etlpy_spark.sources.synthetic_web import WebConfig, seed_urls
+
+    key = "crawl_cuckoo"
+    wd = _CRAWL_MEMO.get(key)
+    if not (wd and os.path.exists(os.path.join(wd, "seen", "_current"))):
+        web = WebConfig(**_CRAWLER_WEB)
+        wd = tempfile.mkdtemp(prefix="entry_crawl_ck_")
+        cr = SparkCrawler(spark, wd, CrawlConfig(web=web, seen_filter="cuckoo"))
+        cr.run(seed_urls(web, n_per_host=2), max_rounds=_CRAWL_ROUNDS)
+        _CRAWL_MEMO[key] = wd
+    seen = SnapshotTable(spark, os.path.join(wd, "seen")).read()
+    return seen.select("url")
 
 
 # --------------------------------------------------------------------------
@@ -425,17 +442,19 @@ def q_repeat_merge_repeat_tf(spark, sf_dir):
 
 def q_spider_helpers(spark, sf_dir):
     """Para2Dict (reference spider.py:263-273) + HTTPItem.PraseURL
-    (spider.py:109-113) in one (id, k, v) stream — pure Column exprs."""
+    (spider.py:109-113) in one (id, k, v) stream — via the PACKAGED
+    functions (etlpy_spark/functions/url.py), generic over query-string
+    keys: the template's [param] placeholders are discovered from the
+    template itself, exactly like the reference's generic loop."""
+    from etlpy_spark.functions.url import para2dict, prase_url
+
     df = spark.createDataFrame(_PARA_ROWS, "id string, headers string")
-    m = F.str_to_map(F.col("headers"), F.lit("\n"), F.lit(": "))
-    para = df.select("id", F.explode(m).alias("k", "v"))
+    para = df.select("id", F.explode(para2dict("headers")).alias("k", "v"))
 
     base = spark.createDataFrame([("u1", _PRASE_BASE)], "id string, base string")
-    params = F.str_to_map(F.substring_index(F.col("base"), "?", -1), F.lit("&"), F.lit("="))
-    out = F.lit(_PRASE_TPL)
-    for key in ("cat", "page"):
-        out = F.replace(out, F.lit(f"[{key}]"), F.element_at(params, key))
-    prase = base.select("id", F.lit("url").alias("k"), out.alias("v"))
+    prase = base.select(
+        "id", F.lit("url").alias("k"), prase_url("base", _PRASE_TPL).alias("v")
+    )
     return para.unionByName(prase)
 
 
@@ -557,8 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_tf_sub": q_etl_tf_sub,
         "etl_ex_count": q_etl_ex_count,
         "parallel_map_reduce": q_parallel_map_reduce,
-        "markers_range_tf": q_markers_range_tf,
-        "repeat_merge_repeat_tf": q_repeat_merge_repeat_tf,
+        "markers_repeat_tf": q_markers_repeat_tf,
+        "crawl_seen_cuckoo": q_crawl_seen_cuckoo,
         "spider_helpers": q_spider_helpers,
     }
 
@@ -596,7 +615,10 @@ def oracle_sql() -> dict[str, str]:
         "etl_tf_sub": "SELECT i AS n, i AS m, i + i AS d FROM generate_series(1, 5) s(i)",
         "etl_ex_count": tbl([("evens", 4)], "sub, n_rows"),
         "parallel_map_reduce": "SELECT i AS seed, i * i AS sq FROM generate_series(1, 8) s(i)",
-        "markers_range_tf": "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5 OFFSET 10",
-        "repeat_merge_repeat_tf": "SELECT n_nationkey, 3::BIGINT AS cnt FROM nation",
+        "markers_repeat_tf": """
+            SELECT o_orderkey, 3::BIGINT AS cnt FROM orders
+            ORDER BY o_orderkey LIMIT 5 OFFSET 10
+        """,
+        "crawl_seen_cuckoo": _crawl_seen_oracle(),
         "spider_helpers": _spider_helpers_oracle(),
     }

@@ -115,6 +115,28 @@ def q_image_pipeline(spark, sf_dir):
     return orig.unionByName(thumb)
 
 
+def q_phash_near_dup(spark, sf_dir):
+    """Image near-duplicate pairs by pHash Hamming distance (banded with a
+    pigeonhole-exact radius guarantee, never all-pairs). The corpus is the
+    synthetic image table plus one bit-flipped variant per image (a
+    deterministic Column-expr XOR), so every (img, v-img) pair sits at
+    Hamming distance 1; the oracle is a brute-force serial replica."""
+    imgs = mm.synthetic_images_df(spark, n=120)
+    feats = mm.decode_image_features(imgs).select("image_id", "phash")
+    # flip bit (i % 60) of image i's phash (DataFrame-API shiftleft only
+    # takes a literal shift, so the column-shift goes through expr)
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), "
+        "pmod(CAST(regexp_extract(image_id, '(\\\\d+)$', 1) AS INT), 60))"
+    )
+    variants = feats.select(
+        F.concat(F.lit("v-"), F.col("image_id")).alias("image_id"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"),
+    )
+    both = feats.unionByName(variants)
+    return mm.phash_near_dup_pairs(both, max_hamming=3)
+
+
 def q_video_frames_fake(spark, sf_dir):
     import pandas as pd
 
@@ -366,6 +388,29 @@ def _image_pipeline_oracle(n: int = 200, size: int = 16) -> str:
     return _values(rows, "image_id, stage, w, h, fmt, phash")
 
 
+def _phash_near_dup_oracle(n: int = 120, max_hamming: int = 3) -> str:
+    """Brute-force serial replica of q_phash_near_dup over the same
+    deterministic corpus: all O(n²) pairs checked exactly (trivial at
+    oracle size; the Spark operator is the one that must never go n²)."""
+    from etlpy_spark.functions.imagecodec import decode, image_bytes, phash64
+
+    rows = []
+    for i in range(n):
+        iid = f"img-{i:012d}"
+        ph = phash64(decode(image_bytes(iid)))
+        rows.append((iid, ph))
+        rows.append((f"v-{iid}", ph ^ (1 << (i % 60))))
+    pairs = []
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            (ia, pa), (ib, pb) = rows[a], rows[b]
+            d = bin((pa ^ pb) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                x, y = sorted((ia, ib))
+                pairs.append((x, y, d))
+    return _values(pairs, "id_a, id_b, hamming")
+
+
 def _video_frames_oracle() -> str:
     rows = [(f"vid-{i:04d}", idx) for i in range(8) for idx in (0, 5, 10)]
     return _values(rows, "video_id, frame_idx")
@@ -382,6 +427,7 @@ def queries():
         "ann_ivf": q_ann_ivf,
         "text_suite": q_text_suite,
         "image_pipeline": q_image_pipeline,
+        "phash_near_dup": q_phash_near_dup,
         "video_frames_fake": q_video_frames_fake,
     }
 
@@ -414,5 +460,6 @@ def oracle_sql():
         "ann_ivf": _ann_ivf_oracle(),
         "text_suite": _text_suite_sql(),
         "image_pipeline": _image_pipeline_oracle(),
+        "phash_near_dup": _phash_near_dup_oracle(),
         "video_frames_fake": _video_frames_oracle(),
     }

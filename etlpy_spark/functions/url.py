@@ -118,3 +118,51 @@ def url_hash(col: Column | str) -> Column:
     """64-bit identity of a canonical URL (Spark builtin xxhash64, JVM-side)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.xxhash64(c)
+
+
+# ---------------------------------------------------------------------------
+# spider-layer helpers (reference spider.py), packaged as reusable Column
+# functions so crawler templates can declare them — generic over keys, not
+# hand-inlined per query
+
+
+def query_params(col: Column | str) -> Column:
+    """Query string of a URL as ``map<string,string>`` (the dict the
+    reference's ``PraseURL`` builds from ``urlparse(base).query``,
+    spider.py:109-111) — pure Column expressions, no UDF. A URL without a
+    '?' yields an empty-ish map (its own path keyed to '')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.str_to_map(
+        F.substring_index(c, "?", -1), F.lit("&"), F.lit("=")
+    )
+
+
+_PARAM_RE = re.compile(r"\[([A-Za-z0-9_]+)\]")
+
+
+def prase_url(base: Column | str, template: str) -> Column:
+    """Reference ``HTTPItem.PraseURL`` (spider.py:109-113): substitute every
+    ``[param]`` placeholder in ``template`` with that parameter's value from
+    the base URL's query string. Generic over the template's keys — they
+    are parsed out of the template at plan-build time, so any crawler URL
+    template works without per-query hand-wiring. Placeholders whose key is
+    absent from the base query stay literal (the reference only replaces
+    params it finds). The misspelling is the reference's own API name."""
+    params = query_params(base)
+    out: Column = F.lit(template)
+    for key in dict.fromkeys(_PARAM_RE.findall(template)):
+        out = F.replace(
+            out,
+            F.lit(f"[{key}]"),
+            F.coalesce(F.element_at(params, F.lit(key)), F.lit(f"[{key}]")),
+        )
+    return out
+
+
+def para2dict(col: Column | str, pair_sep: str = "\n", kv_sep: str = ": ") -> Column:
+    """Reference ``Para2Dict`` (spider.py:263-273): a pasted key-value
+    paragraph (e.g. browser-copied HTTP headers) as ``map<string,string>``.
+    Separators are parameters like the reference's, defaulting to its
+    header shape."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.str_to_map(c, F.lit(pair_sep), F.lit(kv_sep))

@@ -63,6 +63,46 @@ def test_cc_chain_requires_propagation(spark):
     assert got == {i: 0 for i in range(41)}
 
 
+def test_cc_large_path_graph_pointer_jumping(spark):
+    """~10^5-edge path-shaped graph — the worst case for plain min-label
+    propagation (rounds = graph diameter; 25k-long paths would need 25k
+    rounds). Pointer jumping must converge within the default max_iter=25
+    (O(log n) rounds). Assertions aggregate IN SPARK — no 10^5-row driver
+    collect."""
+    P, L = 4, 25_000  # 4 disjoint paths, 25k edges each -> 100k edges
+    L1 = L + 1
+    edges = (
+        spark.range(P * L)
+        .select(
+            (F.floor(F.col("id") / L) * L1 + F.col("id") % L).alias("id_a")
+        )
+        .withColumn("id_b", F.col("id_a") + 1)
+    )
+    labels = connected_components(edges)
+    clusters = {
+        int(r.cluster_id): int(r.n)
+        for r in labels.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert clusters == {p * L1: L1 for p in range(P)}
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir routes lineage truncation through reliable
+    checkpoint() files (executor-loss tolerance at cluster scale) — same
+    results, and the checkpoint dir actually receives RDD state."""
+    import os
+
+    chain = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(chain, schema="id_a long, id_b long")
+    ckdir = str(tmp_path / "cc_ckpt")
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(df, checkpoint_dir=ckdir).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
+    assert any(os.scandir(ckdir)), "reliable checkpoint dir unused"
+
+
 def test_dedup_by_pairs_keeps_one_survivor_per_cluster(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(10)], schema="doc_id long, text string"
@@ -75,6 +115,33 @@ def test_dedup_by_pairs_keeps_one_survivor_per_cluster(spark):
         r.doc_id for r in dedup_by_pairs(docs, pairs).collect()
     )
     assert kept == [0, 3, 4, 5, 7, 8, 9]
+
+
+def test_minhash_dup_heavy_no_broadcast_path(spark):
+    """Dup-heavy corpus (50% exact copies -> every copy pair is a
+    candidate): the verify stage's broadcast hint is gated on the exact
+    candidate count, so with a tiny limit the same query must run through
+    the AQE-chosen join and return the identical pair set."""
+    from etlpy_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = []
+    for i in range(200):
+        text = f"document number {i} with some shared boilerplate words " * 3
+        rows.append((i, text))
+        rows.append((1000 + i, text))  # exact copy -> guaranteed candidate
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    bcast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    shuffled = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.8, broadcast_verify_limit=0
+        ).collect()
+    }
+    assert bcast == shuffled
+    assert {(i, 1000 + i) for i in range(200)} <= {(a, b) for a, b, _ in bcast}
 
 
 def test_pipeline_minhash_to_survivors(spark):

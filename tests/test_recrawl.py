@@ -72,6 +72,12 @@ def test_forget_then_recrawl_rediscovers(spark, drained):
     assert cr.forget([link]) == 1
     assert link not in cr.seen_urls_list()
     assert cr._blooms is None  # filters invalidated → distributed rebuild
+    # retraction is O(changed): an equality-delete tombstone commit
+    # (merge-on-read), never a full-table rewrite
+    snap = cr.seen.snapshot(cr.seen.current_version())
+    assert snap.delete_dirs and snap.delete_key == "url", (
+        "forget must retract via MoR tombstones"
+    )
 
     assert cr.recrawl([parent]) == 1
     rnd = int(cr.state()["round"])

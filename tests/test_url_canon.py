@@ -124,3 +124,38 @@ def test_host_priority_exprs_match_python(spark):
     for r in rows:
         assert r.h == url_host_of(r.url), r.url
         assert r.p == h64("prio|" + r.url, web.seed) % 100, r.url
+
+
+def test_prase_url_and_para2dict_packaged(spark):
+    """The packaged spider helpers (functions/url.py) are generic over
+    query-string keys: placeholders come from the TEMPLATE, values from the
+    base URL's query; missing params stay literal (reference
+    spider.py:109-113 PraseURL / 263-273 Para2Dict semantics)."""
+    from pyspark.sql import functions as F
+
+    from etlpy_spark.functions.url import para2dict, prase_url
+
+    df = spark.createDataFrame(
+        [
+            ("http://s.example/list?cat=shoes&page=7&q=red",),
+            ("http://s.example/list?cat=hats",),
+            ("http://s.example/plain",),
+        ],
+        "base string",
+    )
+    tpl = "http://s.example/view/[cat]/p[page]?hl=[q]"
+    got = [r.u for r in df.select(prase_url("base", tpl).alias("u")).collect()]
+    assert got == [
+        "http://s.example/view/shoes/p7?hl=red",
+        "http://s.example/view/hats/p[page]?hl=[q]",  # missing keys literal
+        "http://s.example/view/[cat]/p[page]?hl=[q]",  # no query at all
+    ]
+
+    hdr = spark.createDataFrame(
+        [("Accept: text/html\nHost: example.com",)], "headers string"
+    )
+    m = {
+        r.k: r.v
+        for r in hdr.select(F.explode(para2dict("headers")).alias("k", "v")).collect()
+    }
+    assert m == {"Accept": "text/html", "Host": "example.com"}
