@@ -563,22 +563,16 @@ class SparkCrawler:
         frontier = self.read_frontier()
 
         # robots gate: broadcast join + any-prefix match (pure expressions).
-        # The annotated frontier is cached ONCE; scheduled+blocked counts,
-        # the politeness ranking and the fetch ranking all read the cache —
-        # one materializing agg instead of separate stats jobs (each driver
-        # action is a full Spark job; round fixed cost is what caps URLs/s).
+        # The robots-annotated frontier is cached ONCE; the scheduled +
+        # blocked counts, the politeness window, the fetch ranking and the
+        # MoR tombstones all read the cache (each driver action is a full
+        # Spark job; round fixed cost is what caps URLs/s).
         robots = self._robots_df()
         path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]+(/.*)$", 1)
         blocked_pred = F.exists(
             F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
             lambda d: path.startswith(d),
         )
-        # politeness rank fused into the same cached pass: the per-host
-        # window orders blocked rows LAST, so row_number over allowed rows
-        # is identical to ranking the allowed subset alone — one shuffle +
-        # one cache + ONE stats agg replaces the r1 stats job + separate
-        # politeness/rank materialization (each driver action is a full
-        # Spark job; round fixed cost is what caps URLs/s).
         # per-host round budget: K scaled down by the host's robots
         # Crawl-delay (host_round_budget rule — identical expression in the
         # serial oracle), JVM-side from the broadcast robots row
@@ -601,49 +595,56 @@ class SparkCrawler:
             ).cast("int")
         else:
             eprio = F.col("priority")
-        wh = Window.partitionBy("host").orderBy(
-            F.col("__blocked__").asc(), "__eprio__", "discovered_seq"
-        )
-        annotated = (
+        base = (
             frontier.join(F.broadcast(robots), on="host", how="left")
             .withColumn("__blocked__", blocked_pred)
             .withColumn("__budget__", budget)
             .withColumn("__eprio__", eprio)
             .drop("disallow", "crawl_delay")
-            .withColumn("__hk__", F.row_number().over(wh))
             .cache()
         )
-        sel_pred = (~F.col("__blocked__")) & (F.col("__hk__") <= F.col("__budget__"))
         import time as _time
 
         _t = _time.time()
-        stats = annotated.agg(
+        stats = base.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum(F.col("__blocked__").cast("long")), F.lit(0)).alias("blk"),
-            F.coalesce(F.sum(sel_pred.cast("long")), F.lit(0)).alias("nsel"),
         ).first()
         scheduled, robots_blocked = int(stats["n"]), int(stats["blk"])
-        n_selected = int(stats["nsel"])
         _t = _tlog("robots+politeness_stats", _t)
         if scheduled == 0:
-            annotated.unpersist()
+            base.unpersist()
             return {"round": rnd, "fetched": 0, "scheduled": 0}
-        selected = annotated.filter(sel_pred).drop("__blocked__", "__hk__", "__budget__")
-        deferred = annotated.filter(
-            (~F.col("__blocked__")) & (F.col("__hk__") > F.col("__budget__"))
-        ).drop("__blocked__", "__hk__", "__budget__", "__eprio__")
+        # politeness selection: per-host top-budget by (eprio, seq). The
+        # rank filter leads with the LITERAL bound K so Catalyst's
+        # InferWindowGroupLimit inserts a WindowGroupLimit on BOTH sides of
+        # the window shuffle (map-side partial top-K per host) — at a
+        # BACKLOGGED frontier (pending ≫ hosts×K, the steady state of a
+        # 10^10-URL crawl) the politeness shuffle then carries O(hosts×K)
+        # rows instead of O(pending). The data-dependent Crawl-delay budget
+        # (≤ K by construction) filters exactly after the prune.
+        wh = Window.partitionBy("host").orderBy("__eprio__", "discovered_seq")
+        cand = base.filter(~F.col("__blocked__"))
+        ranked_cand = cand.withColumn("__hk__", F.row_number().over(wh))
+        selected = ranked_cand.filter(
+            (F.col("__hk__") <= F.lit(K)) & (F.col("__hk__") <= F.col("__budget__"))
+        ).drop("__blocked__", "__hk__", "__budget__")
+        deferred = ranked_cand.filter(F.col("__hk__") > F.col("__budget__")).drop(
+            "__blocked__", "__hk__", "__budget__", "__eprio__"
+        )
 
-        # global fetch order (total: priority, discovered_seq unique);
-        # count comes from the stats agg above — no second job
+        # global fetch order (total: priority, discovered_seq unique). The
+        # selected-row count is NOT aggregated up front (that would force a
+        # full un-pruned window pass): the large rank path counts as a side
+        # effect of its partition-offset collect, and the small path's
+        # count arrives free from the crawl-log commit's parquet footers.
         round_caches: list = []
-        selected, _n = global_rank(
+        selected, n_selected = global_rank(
             selected, ["__eprio__", "discovered_seq"], "fetch_seq", fetch_base,
             cfg.n_buckets, small=scheduled <= cfg.rank_threshold,
             caches=round_caches, count=False,
         )
         selected = selected.drop("__eprio__")
-        if _n >= 0:
-            n_selected = _n
         _t = _tlog("fetch_rank", _t)
 
         # fetch inside politeness buckets (salted by host hash)
@@ -716,8 +717,9 @@ class SparkCrawler:
         )
         extracted = extracted.cache()
         # every selected row is fetched exactly once, so fetched ==
-        # n_selected — no count job; the log commit happens after the
-        # seen-commit job below has materialized the fetch cache.
+        # n_selected. The large rank path already knows it; the small path
+        # (n_selected == -1) gets it free from the crawl-log commit's
+        # parquet footers below — never a dedicated count job.
         fetched = n_selected
 
         # the log append above materialized the `extracted` cache, so the
@@ -1047,8 +1049,12 @@ class SparkCrawler:
         if n_new < 0:
             n_new = n_committed
         # the seen-commit job consumed every partition of the fetch cache,
-        # so all per-bucket log part files exist — manifest-commit them
-        self.log.commit_external(v_log, log_dir, meta={"round": rnd})
+        # so all per-bucket log part files exist — manifest-commit them.
+        # The footer row count IS the fetched count (every selected row is
+        # logged exactly once) — the small-rank path's n_selected source.
+        _, n_logged = self.log.commit_external(v_log, log_dir, meta={"round": rnd})
+        if fetched < 0:
+            fetched = n_logged
         _t = _tlog("seen_commit+log", _t)
         if overlap:
             n_new_images = img_future.result()
@@ -1078,7 +1084,9 @@ class SparkCrawler:
             # overwrite path rewrote every deferred row every round, which
             # WAS the per-round commit cost at scale. Tombstones compact
             # automatically past the threshold (one distributed rewrite).
-            removed = annotated.filter(sel_pred | F.col("__blocked__")).select("url")
+            removed = selected.select("url").unionByName(
+                base.filter(F.col("__blocked__")).select("url")
+            )
             self.frontier.append_with_deletes(
                 new_frontier, removed, key="url", meta=state_meta,
                 compact_threshold=cfg.frontier_compact_threshold,
@@ -1093,7 +1101,7 @@ class SparkCrawler:
         _t = _tlog("seen+frontier+metrics_commit", _t)
         extracted.unpersist()
         new_frontier.unpersist()
-        annotated.unpersist()
+        base.unpersist()
         for c in round_caches:
             c.unpersist()
         if bloom_bcast is not None:
