@@ -288,9 +288,14 @@ class SparkCrawler:
         raw = spark.createDataFrame(
             seed_pdf, schema="seed_seq long, raw string"
         ).repartition(self.cfg.n_buckets)
-        canon = self._canon_udf()
-        df = raw.select("seed_seq", canon(F.col("raw")).alias("url")).filter(
-            F.col("url").isNotNull()
+        from etlpy_spark.functions.url import canonicalize_split
+
+        # already-canonical seeds stay JVM-side; only dirty ones enter the
+        # canon UDF (see canonicalize_split — a when() would not prune)
+        df = (
+            canonicalize_split(raw, "raw", "url")
+            .select("seed_seq", "url")
+            .filter(F.col("url").isNotNull())
         )
         # keep-first per url (min seed_seq) via map-side-combinable agg;
         # dispatch order = seed order (reference distributed.py:60-66).
@@ -964,11 +969,18 @@ class SparkCrawler:
             pool = ThreadPoolExecutor(max_workers=1)
             img_future = pool.submit(image_path)
 
-        # -- link path: canonicalize, dedup, bloom, anti-join, sequence
-        canon = self._canon_udf()
+        # -- link path: canonicalize, dedup, bloom, anti-join, sequence.
+        # Extracted links are well-formed, so the JVM rlike fast path keeps
+        # ~the whole multi-GB link stream out of the Python UDF entirely —
+        # no Arrow round-trip for rows that are already canonical.
+        from etlpy_spark.functions.url import canonicalize_split
+
+        raw_links = extracted.filter(F.col("kind") == "link").select(
+            "fetch_seq", "pos", "part", "value"
+        )
         links = (
-            extracted.filter(F.col("kind") == "link")
-            .select("fetch_seq", "pos", "part", canon(F.col("value")).alias("url"))
+            canonicalize_split(raw_links, "value", "url")
+            .select("fetch_seq", "pos", "part", "url")
             .filter(F.col("url").isNotNull())
         )
         # keep-first by (fetch_seq, pos): min over a struct ordered by those

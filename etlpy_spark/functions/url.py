@@ -120,6 +120,30 @@ def url_hash(col: Column | str) -> Column:
     return F.xxhash64(c)
 
 
+def canonicalize_split(df, raw: str, out: str):
+    """Canonicalize ``raw`` into ``out`` with the fast path JVM-SIDE: rows
+    already full-matching FAST_CANONICAL_RE (a fixed point of
+    canonicalize_url — the overwhelming majority in a steady crawl, since
+    extracted links are well-formed) pass through as pure Column
+    expressions and NEVER enter the Python UDF. Only irregular rows pay
+    the Arrow round-trip + per-row canonicalization.
+
+    Why a split + union instead of when(fast, col).otherwise(udf(col)):
+    ArrowEvalPython evaluates a Python UDF for EVERY input row before the
+    projection branches — a conditional does not prune UDF evaluation, so
+    the whole column would still ship Python→JVM and back. The split keeps
+    the multi-GB link stream entirely JVM-side (at 8 saturated cores the
+    Arrow round-trip is memory-bus traffic, the non-scaling resource)."""
+    from pyspark.sql import functions as F
+
+    pat = f"^(?:{FAST_CANONICAL_RE})$"
+    fast = df.filter(F.col(raw).rlike(pat)).withColumn(out, F.col(raw))
+    slow = df.filter(~F.coalesce(F.col(raw).rlike(pat), F.lit(False))).withColumn(
+        out, canonicalize_url_expr(F.col(raw))
+    )
+    return fast.unionByName(slow)
+
+
 # ---------------------------------------------------------------------------
 # spider-layer helpers (reference spider.py), packaged as reusable Column
 # functions so crawler templates can declare them — generic over keys, not

@@ -159,3 +159,35 @@ def test_prase_url_and_para2dict_packaged(spark):
         for r in hdr.select(F.explode(para2dict("headers")).alias("k", "v")).collect()
     }
     assert m == {"Accept": "text/html", "Host": "example.com"}
+
+
+def test_canonicalize_split_matches_pure(spark):
+    """The JVM-rlike fast path (canonicalize_split) must agree with the
+    pure-Python canonicalizer row-for-row — including urls straddling the
+    fast-canonical boundary (uppercase, ports, dot-segments, %-escapes,
+    unicode, trailing slash) — so Java-regex vs pandas-fullmatch dialect
+    drift would fail here."""
+    from etlpy_spark.functions.url import canonicalize_split, canonicalize_url
+
+    urls = [
+        "http://host1.example/cat1/p3",               # fast fixed point
+        "http://host1.example/cat1/",                 # trailing slash
+        "http://host1.example/",                      # root
+        "HTTP://HoSt1.example/cat1/p3",               # case
+        "http://host1.example:80/cat1/p3",            # default port
+        "http://host1.example/x/../cat1/p3",          # dot segments
+        "http://host1.example/%70age",                # unreserved escape
+        "http://host1.example/cat1/p3?",              # empty query
+        "http://host1.example/cat1/p3?a=1&b=2",       # query kept
+        "http://host7.example/éx",                    # non-ASCII
+        "https://host1.example/cat1/p3",              # https not in fast re
+        "not a url",
+        "",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, raw string")
+    got = {
+        r.i: r.url
+        for r in canonicalize_split(df, "raw", "url").select("i", "url").collect()
+    }
+    for i, u in enumerate(urls):
+        assert got.get(i) == canonicalize_url(u), (u, got.get(i))
