@@ -137,25 +137,93 @@ def q_phash_near_dup(spark, sf_dir):
     return mm.phash_near_dup_pairs(both, max_hamming=3)
 
 
-def q_video_frames_fake(spark, sf_dir):
+def _media_video_frames(i: int):
+    """Video i = 10 deterministic frames: one procedural base image
+    (FIXTURES.md F1) panned by np.roll per frame (a video's frames must
+    share one geometry; render_pixels sizes vary per image id)."""
+    import numpy as np
+
+    from etlpy_spark.functions.imagecodec import render_pixels
+
+    base = render_pixels(f"img-{i:012d}")
+    return [np.roll(base, 3 * j, axis=1) for j in range(10)]
+
+
+def _media_wav_pcm(i: int):
+    """Clip i = seeded sine+noise int16 PCM; rate and channel count vary
+    per clip so the WAV parser's header fields are all load-bearing."""
+    import numpy as np
+
+    rate = (8000, 16000, 22050, 44100)[i % 4]
+    n = 1000 + 400 * i
+    t = np.arange(n, dtype=np.float64)
+    sig = 0.5 * np.sin(2 * np.pi * 220.0 * (i + 1) * t / rate)
+    sig += 0.05 * np.random.default_rng(1234 + i).standard_normal(n)
+    pcm = np.clip(np.rint(sig * 32767), -32768, 32767).astype("<i2")
+    return (np.stack([pcm, -pcm], axis=1) if i % 2 else pcm[:, None]), rate
+
+
+def q_media_decode_suite(spark, sf_dir):
+    """Real A/V container decode, distributed: 6 YUV4MPEG2 videos are
+    demuxed (every-4th-frame sampling seeks over skipped frames) and each
+    sampled frame is pHashed; 4 WAV clips (varying rate/width/channels)
+    are parsed for real by the RIFF chunk walker. Output rows:
+    video → (vid, 'video', k=frame_idx, m1=phash, m2=w*h, v=mean_lum);
+    audio → (clip, 'audio', k=n_channels, m1=n_samples, m2=zero_crossings,
+    v=rms). Oracle = serial numpy replica (computed VALUES), the
+    image_pipeline pattern."""
     import pandas as pd
 
-    def gen(batches):
-        from etlpy_spark.functions.imagecodec import encode_raw, render_pixels
+    def gen_vids(batches):
+        from etlpy_spark.functions.mediacodec import encode_y4m
 
         for pdf in batches:
-            vids, blobs = [], []
-            for i in pdf["id"]:
-                frames = [
-                    encode_raw(render_pixels(f"img-{int(i) * 50 + j:012d}"))
-                    for j in range(12)
-                ]
-                vids.append(f"vid-{int(i):04d}")
-                blobs.append(b"".join(frames))
-            yield pd.DataFrame({"video_id": vids, "bytes": blobs})
+            ids = [f"vid-{int(i):04d}" for i in pdf["id"]]
+            yield pd.DataFrame({
+                "video_id": ids,
+                "bytes": [
+                    encode_y4m(_media_video_frames(int(i)), colorspace="C444")
+                    for i in pdf["id"]
+                ],
+            })
 
-    vids = spark.range(0, 8, 1, 4).mapInPandas(gen, schema="video_id string, bytes binary")
-    return mm.sample_video_frames(vids, every_n=5, _fake=True).select("video_id", "frame_idx")
+    def gen_clips(batches):
+        from etlpy_spark.functions.mediacodec import encode_wav
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                pcm, rate = _media_wav_pcm(int(i))
+                ids.append(f"clip-{int(i):04d}")
+                blobs.append(encode_wav(pcm, rate))
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    vids = spark.range(0, 6, 1, 3).mapInPandas(gen_vids, schema="video_id string, bytes binary")
+    frames = mm.sample_video_frames(vids, every_n=4)
+    vfeats = mm.decode_image_features(
+        frames.select(
+            F.concat_ws("#", "video_id", "frame_idx").alias("image_id"), "bytes"
+        )
+    )
+    vrows = vfeats.select(
+        F.split("image_id", "#")[0].alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.split("image_id", "#")[1].cast("int").alias("k"),
+        F.col("phash").alias("m1"),
+        (F.col("w").cast("long") * F.col("h")).alias("m2"),
+        F.col("mean_lum").alias("v"),
+    )
+    clips = spark.range(0, 4, 1, 2).mapInPandas(gen_clips, schema="clip_id string, bytes binary")
+    afeats = mm.decode_audio_features(clips)
+    arows = afeats.select(
+        F.col("clip_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.col("n_channels").alias("k"),
+        F.col("n_samples").alias("m1"),
+        F.col("zero_crossings").alias("m2"),
+        F.col("rms").alias("v"),
+    )
+    return vrows.unionByName(arows)
 
 
 # ---------------------------------------------------------------------------
@@ -411,9 +479,35 @@ def _phash_near_dup_oracle(n: int = 120, max_hamming: int = 3) -> str:
     return _values(pairs, "id_a, id_b, hamming")
 
 
-def _video_frames_oracle() -> str:
-    rows = [(f"vid-{i:04d}", idx) for i in range(8) for idx in (0, 5, 10)]
-    return _values(rows, "video_id, frame_idx")
+def _media_suite_oracle() -> str:
+    """Serial replica of q_media_decode_suite: same numpy codecs, no Spark."""
+    import numpy as np
+
+    from etlpy_spark.functions.imagecodec import phash64
+    from etlpy_spark.functions.mediacodec import (
+        decode_wav, encode_wav, encode_y4m, iter_y4m_frames, wav_float,
+    )
+
+    rows = []
+    for i in range(6):
+        blob = encode_y4m(_media_video_frames(i), colorspace="C444")
+        for idx, px in iter_y4m_frames(blob, every_n=4):
+            rows.append((
+                f"vid-{i:04d}", "video", idx, phash64(px),
+                px.shape[0] * px.shape[1],
+                float(np.round(px.astype(np.float64).mean(), 4)),
+            ))
+    for i in range(4):
+        pcm, rate = _media_wav_pcm(i)
+        samples, _ = decode_wav(encode_wav(pcm, rate))
+        f = wav_float(samples)
+        mono = f.mean(axis=1)
+        rows.append((
+            f"clip-{i:04d}", "audio", samples.shape[1], samples.shape[0],
+            int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))),
+            float(np.round(np.sqrt((f**2).mean()), 6)),
+        ))
+    return _values(rows, "media_id, kind, k, m1, m2, v")
 
 
 def queries():
@@ -428,7 +522,7 @@ def queries():
         "text_suite": q_text_suite,
         "image_pipeline": q_image_pipeline,
         "phash_near_dup": q_phash_near_dup,
-        "video_frames_fake": q_video_frames_fake,
+        "media_decode_suite": q_media_decode_suite,
     }
 
 
@@ -461,5 +555,5 @@ def oracle_sql():
         "text_suite": _text_suite_sql(),
         "image_pipeline": _image_pipeline_oracle(),
         "phash_near_dup": _phash_near_dup_oracle(),
-        "video_frames_fake": _video_frames_oracle(),
+        "media_decode_suite": _media_suite_oracle(),
     }

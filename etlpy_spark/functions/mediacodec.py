@@ -1,0 +1,237 @@
+"""Audio/video container codecs, numpy-only (no codec libraries in the
+environment — so the formats are the *uncompressed* real-world ones).
+
+The reference engine sniffs downloaded media by magic bytes and treats the
+payload as an opaque blob (reference spider.py:303-314 GetImageFormat); we
+go further and actually decode the two container formats that need no
+entropy codec:
+
+- **WAV** (RIFF/WAVE, PCM): canonical chunked RIFF parse — ``fmt `` +
+  ``data`` chunks, unknown chunks (LIST/fact/cue) skipped with odd-size
+  padding, 8/16/32-bit integer PCM, any channel count. Round-trips
+  bit-exactly.
+- **Y4M** (YUV4MPEG2): the standard raw-video interchange format (what
+  ``ffmpeg -f yuv4mpeg2`` emits). Plain-text header, ``FRAME`` markers,
+  planar YUV payloads; C444 and C420/C420jpeg/C420mpeg2/C420paldv layouts.
+  Color transform is BT.601 full-range (JFIF) both ways. Because frame
+  size is fixed per stream, frame *sampling* seeks over skipped frames in
+  O(1) — only sampled frames pay the YUV→RGB conversion (the property the
+  frame-sample operator relies on at scale).
+
+Compressed formats (MP3/AAC/H.264/...) genuinely need external codec
+libraries and still raise ``NotImplementedError`` upstream.
+
+Everything operates on numpy arrays and is called from Arrow-batched
+pandas UDFs (operators/multimodal.py) — zero per-row Python at the plan
+level.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE integer PCM)
+
+_WAV_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Interleaved integer-PCM WAV. ``pcm``: (n,) or (n, channels), dtype
+    uint8 / int16 / int32."""
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, ch = pcm.shape
+    bits = pcm.dtype.itemsize * 8
+    if bits not in _WAV_DTYPES:
+        raise ValueError(f"unsupported PCM width {bits}")
+    data = np.ascontiguousarray(pcm.astype(_WAV_DTYPES[bits], copy=False)).tobytes()
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """→ (samples shaped (n, channels), sample_rate). Bit-exact inverse of
+    ``encode_wav``; tolerant chunk walk (skips LIST/fact/... with RIFF's
+    odd-size pad byte)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, 8 + struct.unpack("<I", data[4:8])[0]
+    end = min(end, len(data))
+    fmt = raw = None
+    while pos + 8 <= end:
+        cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        payload = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[:16])
+        elif cid == b"data":
+            raw = payload
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"only integer PCM supported (format {audio_format})")
+    dt = _WAV_DTYPES.get(bits)
+    if dt is None:
+        raise ValueError(f"unsupported PCM width {bits}")
+    width = np.dtype(dt).itemsize
+    usable = len(raw) // (width * ch) * (width * ch)
+    samples = np.frombuffer(raw[:usable], dtype=dt).reshape(-1, ch)
+    return samples, rate
+
+
+def wav_float(samples: np.ndarray) -> np.ndarray:
+    """Normalize integer PCM to [-1, 1) float64 (uint8 is offset-binary)."""
+    if samples.dtype == np.uint8:
+        return (samples.astype(np.float64) - 128.0) / 128.0
+    bits = samples.dtype.itemsize * 8
+    return samples.astype(np.float64) / float(1 << (bits - 1))
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — BT.601 full-range (JFIF) both directions
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def _rgb_to_yuv(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    v = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.rint(np.stack([y, u, v], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _yuv_to_rgb(yuv: np.ndarray) -> np.ndarray:
+    y = yuv[..., 0].astype(np.float64)
+    u = yuv[..., 1].astype(np.float64) - 128.0
+    v = yuv[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _frame_planes(w: int, h: int, colorspace: str) -> tuple[int, int]:
+    """→ (chroma_w, chroma_h) for the stream's colorspace token."""
+    if colorspace == "C444":
+        return w, h
+    if colorspace in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
+        if w % 2 or h % 2:
+            raise ValueError("4:2:0 needs even dimensions")
+        return w // 2, h // 2
+    raise ValueError(f"unsupported colorspace {colorspace}")
+
+
+def encode_y4m(frames: list[np.ndarray], fps: tuple[int, int] = (30, 1),
+               colorspace: str = "C444") -> bytes:
+    """Encode RGB uint8 frames (all h×w×3, same shape) as a YUV4MPEG2
+    stream. C444 round-trips within ±2 LSB (PSNR ≥ 40 dB); C420* performs
+    real 2×2 chroma subsampling (box filter)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    cw, chh = _frame_planes(w, h, colorspace)
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n"
+    parts = [head.encode("ascii")]
+    for px in frames:
+        if px.shape[:2] != (h, w):
+            raise ValueError("all frames must share one geometry")
+        yuv = _rgb_to_yuv(px)
+        y = yuv[..., 0]
+        if cw == w:
+            u, v = yuv[..., 1], yuv[..., 2]
+        else:  # 4:2:0 box subsample
+            u = np.rint(
+                yuv[..., 1].astype(np.float64).reshape(chh, 2, cw, 2).mean(axis=(1, 3))
+            ).astype(np.uint8)
+            v = np.rint(
+                yuv[..., 2].astype(np.float64).reshape(chh, 2, cw, 2).mean(axis=(1, 3))
+            ).astype(np.uint8)
+        parts.append(b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes())
+    return b"".join(parts)
+
+
+def parse_y4m_header(data: bytes) -> tuple[dict, int]:
+    """→ (stream params, offset of the first FRAME marker)."""
+    if not data.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    params: dict = {"colorspace": "C420jpeg"}  # spec default
+    for tok in data[len(_Y4M_MAGIC) : nl].split():
+        t = tok.decode("ascii")
+        if t[0] == "W":
+            params["w"] = int(t[1:])
+        elif t[0] == "H":
+            params["h"] = int(t[1:])
+        elif t[0] == "F":
+            n, d = t[1:].split(":")
+            params["fps"] = (int(n), int(d))
+        elif t[0] == "C":
+            params["colorspace"] = t
+    if "w" not in params or "h" not in params:
+        raise ValueError("Y4M header missing W/H")
+    cw, chh = _frame_planes(params["w"], params["h"], params["colorspace"])
+    params["frame_bytes"] = params["w"] * params["h"] + 2 * cw * chh
+    return params, nl + 1
+
+
+def iter_y4m_frames(data: bytes, every_n: int = 1):
+    """Yield (frame_idx, rgb_frame) for every ``every_n``-th frame.
+
+    Skipped frames are *seeked over* (fixed frame size), so sampling 1-in-N
+    costs O(total/N) decode work — the property the distributed
+    frame-sample operator relies on.
+    """
+    params, pos = parse_y4m_header(data)
+    w, h, fb = params["w"], params["h"], params["frame_bytes"]
+    cw, chh = _frame_planes(w, h, params["colorspace"])
+    idx = 0
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        nl = data.index(b"\n", pos)  # FRAME may carry parameters
+        body = nl + 1
+        if body + fb > len(data):
+            break  # truncated tail frame
+        if idx % every_n == 0:
+            y = np.frombuffer(data[body : body + w * h], dtype=np.uint8).reshape(h, w)
+            u = np.frombuffer(
+                data[body + w * h : body + w * h + cw * chh], dtype=np.uint8
+            ).reshape(chh, cw)
+            v = np.frombuffer(
+                data[body + w * h + cw * chh : body + fb], dtype=np.uint8
+            ).reshape(chh, cw)
+            if cw != w:  # 4:2:0 nearest upsample
+                u = u.repeat(2, axis=0).repeat(2, axis=1)
+                v = v.repeat(2, axis=0).repeat(2, axis=1)
+            yield idx, _yuv_to_rgb(np.stack([y, u, v], axis=-1))
+        pos = body + fb
+        idx += 1
+
+
+def decode_y4m(data: bytes) -> tuple[list[np.ndarray], dict]:
+    """→ (RGB frames, stream params)."""
+    params, _ = parse_y4m_header(data)
+    return [f for _, f in iter_y4m_frames(data)], params
+
+
+def sniff_media(data: bytes) -> str:
+    """Magic-byte container sniff (the reference's GetImageFormat idea,
+    spider.py:303-314, extended to A/V containers)."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if data[:9] == _Y4M_MAGIC:
+        return "y4m"
+    if data[:4] == b"RAW0":
+        return "rawcat"
+    return "unknown"

@@ -5,9 +5,11 @@ metadata; decode / feature-extract / resize / frame-sample run as Arrow-
 batched pandas UDFs over ``mapInPandas``. The Spark-side plumbing — schema,
 partitioning, UDF signatures, batch shapes — is real and tested; the *image*
 path is fully real (our numpy raw/PPM/PNG codecs + DCT pHash,
-functions/imagecodec.py). Audio decode and video frame-sampling need codec
-libraries this container doesn't ship, so those kernels are stubbed behind
-``NotImplementedError`` with a deterministic fake for plumbing tests.
+functions/imagecodec.py), and so are audio/video for the uncompressed
+container formats: WAV integer PCM and YUV4MPEG2 are decoded natively
+(functions/mediacodec.py). Only entropy-coded formats (MP3/H.264/...)
+still need codec libraries this container doesn't ship and raise
+``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -133,68 +135,112 @@ def phash_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
-# stubbed modalities (no audio/video codecs in this container)
+# audio / video — real decode for the uncompressed container formats
+# (WAV integer-PCM, YUV4MPEG2; functions/mediacodec.py). Compressed codecs
+# (MP3/H.264/...) need libraries this container doesn't ship and raise.
 
-AUDIO_META_DDL = "clip_id string, n_samples long, sample_rate int, rms double"
+AUDIO_META_DDL = (
+    "clip_id string, n_samples long, sample_rate int, n_channels int, "
+    "duration_s double, rms double, zero_crossings long"
+)
 FRAME_DDL = "video_id string, frame_idx int, bytes binary"
 
 
 def decode_audio_features(df: DataFrame, id_col: str = "clip_id",
                           bytes_col: str = "bytes", _fake: bool = False) -> DataFrame:
-    """Audio decode → (n_samples, sample_rate, rms). STUB: real decoding
-    needs an audio codec library not present here; ``_fake=True`` runs a
-    deterministic fake (bytes interpreted as int16 PCM) to exercise the
-    plumbing."""
+    """Audio decode → (n_samples, sample_rate, n_channels, duration_s,
+    rms, zero_crossings). WAV (RIFF integer PCM, any width/channels) is
+    decoded for real via the chunk-walking parser in
+    functions/mediacodec.py; ``_fake=True`` additionally accepts headerless
+    blobs as 16 kHz mono int16 PCM (plumbing tests). rms is computed on
+    full-scale-normalized samples, so it is comparable across PCM widths;
+    zero_crossings counts sign changes of the channel-mean signal."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from etlpy_spark.functions.mediacodec import decode_wav, sniff_media, wav_float
+
+        cols = ("clip_id", "n_samples", "sample_rate", "n_channels",
+                "duration_s", "rms", "zero_crossings")
         for pdf in batches:
-            if not _fake:
-                raise NotImplementedError(
-                    "audio decode requires a codec library (e.g. soundfile/ffmpeg) "
-                    "not available in this environment; pass _fake=True for the "
-                    "deterministic PCM interpretation"
-                )
-            out = {k: [] for k in ("clip_id", "n_samples", "sample_rate", "rms")}
+            out = {k: [] for k in cols}
             for cid, data in zip(pdf[id_col], pdf[bytes_col]):
-                pcm = np.frombuffer(bytes(data)[: len(bytes(data)) // 2 * 2], dtype="<i2").astype(np.float64)
+                b = bytes(data)
+                kind = sniff_media(b)
+                if kind == "wav":
+                    samples, rate = decode_wav(b)
+                elif _fake:
+                    samples = np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2").reshape(-1, 1)
+                    rate = 16000
+                else:
+                    raise NotImplementedError(
+                        "compressed audio needs a codec library (e.g. "
+                        "soundfile/ffmpeg) not available in this environment; "
+                        "WAV integer PCM is decoded natively"
+                    )
+                f = wav_float(samples)
+                mono = f.mean(axis=1)
                 out["clip_id"].append(cid)
-                out["n_samples"].append(len(pcm))
-                out["sample_rate"].append(16000)
-                out["rms"].append(float(np.round(np.sqrt((pcm**2).mean() if len(pcm) else 0.0), 4)))
+                out["n_samples"].append(samples.shape[0])
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(samples.shape[1])
+                out["duration_s"].append(
+                    float(np.round(samples.shape[0] / rate, 6)) if rate else 0.0
+                )
+                out["rms"].append(
+                    float(np.round(np.sqrt((f**2).mean()) if f.size else 0.0, 6))
+                )
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                )
             yield pd.DataFrame(out)
 
     return df.select(id_col, bytes_col).mapInPandas(run, schema=AUDIO_META_DDL)
 
 
 def sample_video_frames(df: DataFrame, every_n: int = 10, id_col: str = "video_id",
-                        bytes_col: str = "bytes", _fake: bool = False) -> DataFrame:
-    """Video frame sampling. STUB: real demuxing needs ffmpeg; the fake
-    treats the payload as a concatenation of our raw-format images and
-    samples every Nth — same output schema, partitioning and batch shape
-    as the real kernel."""
+                        bytes_col: str = "bytes") -> DataFrame:
+    """Every-Nth video frame sampling → RAW0 RGB frames (which flow
+    straight into decode_image_features / resize_images / pHash).
+
+    Containers are sniffed per row: YUV4MPEG2 streams are demuxed for real
+    (functions/mediacodec.py — skipped frames are seeked over in O(1), so
+    1-in-N sampling pays decode for only the sampled frames), and RAW0
+    concatenations are sliced. Inter-frame-compressed formats need ffmpeg
+    and raise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
+        from etlpy_spark.functions.imagecodec import encode_raw
+        from etlpy_spark.functions.mediacodec import iter_y4m_frames, sniff_media
+
         for pdf in batches:
-            if not _fake:
-                raise NotImplementedError(
-                    "video frame sampling requires ffmpeg, not available here; "
-                    "pass _fake=True for the raw-concat interpretation"
-                )
             out = {k: [] for k in ("video_id", "frame_idx", "bytes")}
             for vid, data in zip(pdf[id_col], pdf[bytes_col]):
-                blob, pos, idx = bytes(data), 0, 0
-                while pos + 12 <= len(blob) and blob[pos : pos + 4] == b"RAW0":
-                    w, h = struct.unpack(">II", blob[pos + 4 : pos + 12])
-                    end = pos + 12 + w * h * 3
-                    if idx % every_n == 0:
+                blob = bytes(data)
+                kind = sniff_media(blob)
+                if kind == "y4m":
+                    for idx, px in iter_y4m_frames(blob, every_n=every_n):
                         out["video_id"].append(vid)
                         out["frame_idx"].append(idx)
-                        out["bytes"].append(blob[pos:end])
-                    pos, idx = end, idx + 1
+                        out["bytes"].append(encode_raw(px))
+                elif kind == "rawcat":
+                    pos, idx = 0, 0
+                    while pos + 12 <= len(blob) and blob[pos : pos + 4] == b"RAW0":
+                        w, h = struct.unpack(">II", blob[pos + 4 : pos + 12])
+                        end = pos + 12 + w * h * 3
+                        if idx % every_n == 0:
+                            out["video_id"].append(vid)
+                            out["frame_idx"].append(idx)
+                            out["bytes"].append(blob[pos:end])
+                        pos, idx = end, idx + 1
+                else:
+                    raise NotImplementedError(
+                        "inter-frame-compressed video needs ffmpeg, not available "
+                        "here; YUV4MPEG2 and RAW0-concat streams are demuxed natively"
+                    )
             yield pd.DataFrame(out)
 
     return df.select(id_col, bytes_col).mapInPandas(run, schema=FRAME_DDL)

@@ -1,0 +1,123 @@
+"""Unit tests for the numpy-only WAV / Y4M codecs (functions/mediacodec.py)."""
+
+import numpy as np
+import pytest
+
+from etlpy_spark.functions.imagecodec import psnr, render_pixels
+from etlpy_spark.functions.mediacodec import (
+    decode_wav,
+    decode_y4m,
+    encode_wav,
+    encode_y4m,
+    iter_y4m_frames,
+    parse_y4m_header,
+    sniff_media,
+    wav_float,
+)
+
+
+def _pcm16(n=1000, seed=7):
+    return (np.random.default_rng(seed).standard_normal(n) * 12000).astype("<i2")
+
+
+def _frames(n, base_id="img-000000000000"):
+    """n same-geometry RGB frames: one procedural base image panned per
+    frame (cropped to even dims so 4:2:0 layouts are encodable)."""
+    base = render_pixels(base_id)
+    h, w = base.shape[0] & ~1, base.shape[1] & ~1
+    base = base[:h, :w]
+    return [np.roll(base, 3 * j, axis=1) for j in range(n)]
+
+
+def test_wav_roundtrip_bit_exact_mono_stereo():
+    mono = _pcm16()
+    s, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and s.shape == (1000, 1)
+    assert np.array_equal(s[:, 0], mono)
+
+    stereo = np.stack([mono, -mono], axis=1)
+    s2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and s2.shape == (1000, 2)
+    assert np.array_equal(s2, stereo)
+
+
+def test_wav_widths_8_and_32_bit():
+    u8 = (np.arange(501) % 256).astype(np.uint8)
+    s, _ = decode_wav(encode_wav(u8, 8000))
+    assert s.dtype == np.uint8 and np.array_equal(s[:, 0], u8)
+    assert abs(float(wav_float(s).mean())) < 0.05  # offset-binary centered
+
+    i32 = (np.random.default_rng(3).standard_normal(200) * 2**30).astype("<i4")
+    s2, _ = decode_wav(encode_wav(i32, 48000))
+    assert np.array_equal(s2[:, 0], i32)
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    import struct
+
+    pcm = _pcm16(64)
+    wav = bytearray(encode_wav(pcm, 16000))
+    # splice a LIST chunk with an ODD payload size between fmt and data:
+    # RIFF pads odd chunks to word alignment, which the walker must honor
+    data_at = bytes(wav).index(b"data")
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = bytes(wav[:data_at]) + junk + bytes(wav[data_at:])
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    s, rate = decode_wav(spliced)
+    assert rate == 16000 and np.array_equal(s[:, 0], pcm)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")
+
+
+def test_y4m_header_and_seek_sampling():
+    frames = _frames(9)
+    blob = encode_y4m(frames, fps=(25, 1), colorspace="C444")
+    params, off = parse_y4m_header(blob)
+    assert (params["w"], params["h"]) == (frames[0].shape[1], frames[0].shape[0])
+    assert params["fps"] == (25, 1) and params["colorspace"] == "C444"
+    assert blob[off : off + 5] == b"FRAME"
+    sampled = list(iter_y4m_frames(blob, every_n=4))
+    assert [i for i, _ in sampled] == [0, 4, 8]
+
+
+def test_y4m_c444_roundtrip_psnr_40():
+    frames = _frames(3)
+    out, params = decode_y4m(encode_y4m(frames, colorspace="C444"))
+    assert len(out) == 3 and params["colorspace"] == "C444"
+    for a, b in zip(out, frames):
+        assert psnr(a, b) >= 40.0  # rounding-only loss
+
+
+def test_y4m_c420_real_subsampling():
+    frames = _frames(2)
+    blob = encode_y4m(frames, colorspace="C420jpeg")
+    params, _ = parse_y4m_header(blob)
+    h, w = frames[0].shape[:2]
+    assert params["frame_bytes"] == w * h + 2 * (w // 2) * (h // 2)
+    out, _ = decode_y4m(blob)
+    for a, b in zip(out, frames):
+        # luma survives exactly (Y plane is full-res); chroma is box-filtered
+        assert psnr(a, b) >= 25.0
+    # 4:2:0 stream is smaller than 4:4:4 by the chroma half
+    assert len(blob) < len(encode_y4m(frames, colorspace="C444"))
+
+
+def test_y4m_default_colorspace_is_420():
+    # a header with no C token means C420jpeg per spec
+    frames = [render_pixels("img-000000000001")]
+    blob = encode_y4m(frames, colorspace="C420jpeg")
+    stripped = blob.replace(b" C420jpeg", b"", 1)
+    params, _ = parse_y4m_header(stripped)
+    assert params["colorspace"] == "C420jpeg"
+    out, _ = decode_y4m(stripped)
+    assert out[0].shape == frames[0].shape
+
+
+def test_sniff_media():
+    assert sniff_media(encode_wav(_pcm16(8), 8000)) == "wav"
+    assert sniff_media(encode_y4m([render_pixels("img-000000000000")])) == "y4m"
+    assert sniff_media(b"RAW0\x00\x00\x00\x01\x00\x00\x00\x01xxx") == "rawcat"
+    assert sniff_media(b"\xff\xd8\xff") == "unknown"

@@ -83,23 +83,56 @@ def test_image_resize_shape_and_content(spark):
         assert px.shape == (16, 16, 3)
 
 
-def test_audio_stub_raises_without_fake(spark):
+def test_audio_compressed_raises_wav_decodes(spark):
+    import numpy as np
+
+    from etlpy_spark.functions.mediacodec import encode_wav
+
+    # headerless blob: still raises unless the PCM interpretation is opted in
     df = spark.createDataFrame([("c0", b"\x01\x02\x03\x04")], "clip_id string, bytes binary")
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         mm.decode_audio_features(df).collect()
     rows = mm.decode_audio_features(df, _fake=True).collect()
     assert rows[0].n_samples == 2 and rows[0].sample_rate == 16000
 
+    # real WAV: stereo int16 at 22050 Hz decodes natively
+    pcm = (np.sin(np.arange(800) / 7.0) * 20000).astype("<i2")
+    wav = encode_wav(np.stack([pcm, -pcm], axis=1), 22050)
+    df2 = spark.createDataFrame([("c1", wav)], "clip_id string, bytes binary")
+    r = mm.decode_audio_features(df2).collect()[0]
+    assert (r.n_samples, r.sample_rate, r.n_channels) == (800, 22050, 2)
+    assert r.duration_s == pytest.approx(800 / 22050, abs=1e-6)
+    assert 0.3 < r.rms < 0.6  # ~0.43 for a 20000/32768-amplitude sine
 
-def test_video_stub_fake_sampling(spark):
-    from etlpy_spark.functions.imagecodec import encode_raw, render_pixels
 
-    frames = [encode_raw(render_pixels(f"img-{j:012d}")) for j in range(12)]
-    df = spark.createDataFrame([("v0", b"".join(frames))], "video_id string, bytes binary")
+def test_video_sampling_rawcat_and_y4m(spark):
+    from etlpy_spark.functions.imagecodec import decode, encode_raw, psnr, render_pixels
+    from etlpy_spark.functions.mediacodec import encode_y4m
+
+    import numpy as np
+
+    base = render_pixels("img-000000000000")
+    src = [np.roll(base, 3 * j, axis=1) for j in range(12)]
+    rawcat = b"".join(encode_raw(px) for px in src)
+    y4m = encode_y4m(src, colorspace="C444")
+    df = spark.createDataFrame(
+        [("v-raw", rawcat), ("v-y4m", y4m), ("v-bad", b"\x00\x01\x02")],
+        "video_id string, bytes binary",
+    )
+    # unknown container still raises
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
-        mm.sample_video_frames(df).collect()
-    rows = mm.sample_video_frames(df, every_n=5, _fake=True).collect()
-    assert sorted(r.frame_idx for r in rows) == [0, 5, 10]
+        mm.sample_video_frames(df, every_n=5).collect()
+    rows = mm.sample_video_frames(df.filter("video_id != 'v-bad'"), every_n=5).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.video_id, {})[r.frame_idx] = bytes(r.bytes)
+    assert sorted(by_vid["v-raw"]) == [0, 5, 10]
+    assert sorted(by_vid["v-y4m"]) == [0, 5, 10]
+    for idx in (0, 5, 10):
+        assert decode(by_vid["v-raw"][idx]).tobytes() == src[idx].tobytes()
+        # YUV444 round-trip is lossy only by integer rounding: PSNR >= 40 dB
+        # (the north rule's lossy-format invariant)
+        assert psnr(decode(by_vid["v-y4m"][idx]), src[idx]) >= 40.0
 
 
 def test_exact_dedup_keep_first(spark):
