@@ -3,9 +3,14 @@
 The reference downloads image files and classifies jpg/png/gif by magic
 bytes (reference spider.py:73-78 GetImage, spider.py:303-314
 GetImageFormat). Our image table stores decoded-verifiable bytes in three
-formats (FIXTURES.md F1): ``raw`` (private header + RGB), ``ppm`` (P6), and
-``png`` (real zlib PNG, 8-bit RGB, filter 0). All lossless here, so the
-per-row invariant vs the oracle is exact pixel equality (PSNR=inf ≥ 40 dB).
+default formats (FIXTURES.md F1): ``raw`` (private header + RGB), ``ppm``
+(P6), and ``png`` (real zlib PNG, 8-bit RGB, filter 0) — all lossless, so
+the per-row invariant vs the oracle is exact pixel equality (PSNR=inf).
+A fourth, genuinely LOSSY format exercises the north rule's PSNR branch:
+``y4m`` = single-frame YUV4MPEG2 in C444 (BT.601 round-trip rounding loss,
+measured ≥ 52 dB on the fixture images — over the ≥ 40 dB gate). It is
+opt-in via ``force_fmt='y4m'`` so the recorded bench/scaling workloads
+keep their historical format mix.
 
 Everything operates on numpy arrays and is called from Arrow-batched pandas
 UDFs — zero per-row Python at the plan level; per-image numpy is the decode
@@ -171,7 +176,29 @@ def decode_png(data: bytes) -> np.ndarray:
     return px
 
 
-_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png}
+def encode_y4m_image(px: np.ndarray) -> bytes:
+    """The suite's lossy image container: one-frame YUV4MPEG2, C444.
+    RGB→BT.601→RGB integer rounding is the (only) loss — measured
+    PSNR ≥ 52 dB on the fixture images, so the north rule's ≥ 40 dB
+    lossy-format invariant holds against the *original* pixels, not just
+    against an identical decoder. (C420 chroma subsampling measures
+    ~27 dB on these high-chroma-frequency procedural images, under the
+    gate — video streams may use it; the image table does not.)"""
+    from etlpy_spark.functions.mediacodec import encode_y4m
+
+    return encode_y4m([px], colorspace="C444")
+
+
+def decode_y4m_image(data: bytes) -> np.ndarray:
+    from etlpy_spark.functions.mediacodec import iter_y4m_frames
+
+    for _, px in iter_y4m_frames(data, every_n=1):
+        return px
+    raise ValueError("Y4M stream contains no frames")
+
+
+_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png,
+        "y4m": encode_y4m_image}
 
 
 def encode(px: np.ndarray, fmt: str) -> bytes:
@@ -186,6 +213,8 @@ def decode(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
+    if data[:9] == b"YUV4MPEG2":
+        return decode_y4m_image(data)
     raise ValueError("unknown image format")
 
 
@@ -196,6 +225,8 @@ def sniff_format(data: bytes) -> str:
         return "ppm"
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if data[:9] == b"YUV4MPEG2":
+        return "y4m"
     return "unknown"
 
 

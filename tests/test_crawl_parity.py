@@ -135,6 +135,41 @@ def test_cuckoo_seen_filter_parity(spark, oracle):
         shutil.rmtree(wd, ignore_errors=True)
 
 
+def test_lossy_format_crawl_psnr_gate(spark):
+    """North-rule lossy branch: with the web serving the genuinely lossy
+    ``y4m`` image container (single-frame YUV4MPEG2 C444 — BT.601 rounding
+    loss), the crawl must still match the serial oracle bitwise (same
+    decoder both sides), AND every stored image must decode to within
+    PSNR ≥ 40 dB of the ORIGINAL rendered pixels, with caption equality."""
+    from etlpy_spark.functions.imagecodec import caption_for, render_pixels
+
+    web = WebConfig(
+        n_hosts=4, n_cats=2, pages_per_cat=10, politeness_budget=2,
+        skew_host0=2, force_fmt="y4m",
+    )
+    orc = crawl_oracle(seed_urls(web, n_per_host=2), web, max_rounds=2)
+    wd = tempfile.mkdtemp(prefix="crawl_lossy_")
+    try:
+        cr = SparkCrawler(spark, wd, CrawlConfig(web=web))
+        cr.run(seed_urls(web, n_per_host=2), max_rounds=2)
+        assert cr.crawl_log_list() == orc.crawl_log
+        rows = {r.image_id: r for r in cr.images.read().collect()}
+        assert rows and set(rows) == set(orc.images)
+        for iid, got in rows.items():
+            exp = orc.images[iid]
+            assert got.fmt == "y4m" == exp["fmt"]
+            assert got.caption == exp["caption"] == caption_for(iid, web.seed)
+            assert bytes(got.bytes) == exp["bytes"]  # same decoder → bitwise
+            px = decode(bytes(got.bytes))
+            orig = render_pixels(iid, web.seed, web.dim_scale)
+            assert px.shape == orig.shape
+            p = psnr(px, orig)
+            assert p != float("inf") and p >= 40.0  # lossy, over the gate
+            assert got.phash == exp["phash"]
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 def test_rollback_time_travel(spark):
     """Snapshot tables support time travel: after 3 rounds, the round-1
     frontier is still readable (per-round lineage, north_rule)."""
