@@ -116,6 +116,91 @@ def test_y4m_default_colorspace_is_420():
     assert out[0].shape == frames[0].shape
 
 
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): the codecs must hold for ARBITRARY payloads,
+# not just the fixtures — same derandomized settings as the combinator suite
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow], derandomize=True,
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(1, 400),
+    ch=st.integers(1, 4),
+    bits=st.sampled_from([8, 16, 32]),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_prop_wav_roundtrip_any_shape(n, ch, bits, rate, seed):
+    rng = np.random.default_rng(seed)
+    if bits == 8:
+        pcm = rng.integers(0, 256, size=(n, ch), dtype=np.uint8)
+    else:
+        info = np.iinfo(f"int{bits}")
+        pcm = rng.integers(info.min, info.max + 1, size=(n, ch)).astype(f"<i{bits // 8}")
+    blob = encode_wav(pcm, rate)
+    assert sniff_media(blob) == "wav"
+    s, r = decode_wav(blob)
+    assert r == rate and s.shape == (n, ch) and np.array_equal(s, pcm)
+    f = wav_float(s)
+    assert f.min() >= -1.0 and f.max() < 1.0 + 1e-12
+
+
+@settings(**_SETTINGS)
+@given(
+    n_junk=st.integers(1, 4),
+    sizes=st.lists(st.integers(0, 9), min_size=4, max_size=4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_prop_wav_chunk_walk_arbitrary_junk(n_junk, sizes, seed):
+    import struct
+
+    rng = np.random.default_rng(seed)
+    pcm = _pcm16(32, seed=seed % 1000)
+    wav = encode_wav(pcm, 16000)
+    data_at = wav.index(b"data")
+    junk = b""
+    for j in range(n_junk):
+        size = sizes[j % 4]
+        cid = bytes(rng.integers(97, 123, size=4, dtype=np.uint8))  # a-z tag
+        junk += cid + struct.pack("<I", size) + bytes(size) + (b"\x00" if size & 1 else b"")
+    spliced = wav[:data_at] + junk + wav[data_at:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    s, rate = decode_wav(spliced)
+    assert rate == 16000 and np.array_equal(s[:, 0], pcm)
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(2, 24).map(lambda v: v * 2),  # even dims: C420-encodable
+    h=st.integers(2, 24).map(lambda v: v * 2),
+    n=st.integers(1, 6),
+    every_n=st.integers(1, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_prop_y4m_roundtrip_and_sampling(w, h, n, every_n, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n)]
+    blob = encode_y4m(frames, colorspace="C444")
+    assert sniff_media(blob) == "y4m"
+    params, _ = parse_y4m_header(blob)
+    assert (params["w"], params["h"]) == (w, h)
+    sampled = list(iter_y4m_frames(blob, every_n=every_n))
+    assert [i for i, _ in sampled] == list(range(0, n, every_n))
+    for i, px in sampled:
+        # uniform-noise worst case: BT.601 C444 is rounding-only loss
+        assert px.shape == (h, w, 3) and psnr(px, frames[i]) >= 40.0
+    # C420 stays parseable with the right frame size even on noise
+    p420, _ = parse_y4m_header(encode_y4m(frames, colorspace="C420jpeg"))
+    assert p420["frame_bytes"] == w * h + 2 * (w // 2) * (h // 2)
+
+
 def test_sniff_media():
     assert sniff_media(encode_wav(_pcm16(8), 8000)) == "wav"
     assert sniff_media(encode_y4m([render_pixels("img-000000000000")])) == "y4m"
