@@ -185,13 +185,30 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.6,
     broadcast_verify_limit: int = 2_000_000,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Candidate pairs via LSH banding (b bands × r=k/b rows; a pair lands
     in a bucket iff a whole band of minhashes agrees), then EXACT Jaccard
     verification of candidates only. With r=2, b=32 the detect probability
     at j=0.6 is 1-(1-0.36)^32 ≈ 1-6e-7 — misses are negligible and false
     candidates are removed by verification, so the output matches the exact
-    operator with near-certainty while touching ~candidate pairs only."""
+    operator with near-certainty while touching ~candidate pairs only.
+
+    ``max_bucket`` bounds the mega-bucket failure mode: boilerplate-heavy
+    corpora put millions of near-identical docs into ONE band bucket, where
+    unbounded ``collect_list`` OOMs the aggregating task before the O(b²)
+    pair expansion even starts. Buckets at or under the cap expand
+    all-pairs (exact candidates, the normal case — at the default 4096 the
+    largest in-array state is ~32 KB/bucket). Buckets over the cap emit
+    STAR candidates instead — every member paired with the bucket's min
+    id — O(b) rows, still exact-Jaccard-verified like any candidate, so
+    over-cap output is connectivity-preserving through the hub (exact
+    duplicates collide in every band and verify at j=1.0, so
+    ``dedup_by_pairs`` clustering is unaffected) rather than
+    pair-exhaustive. An over-cap bucket means ≥ max_bucket² candidate
+    pairs from ONE band collision — at that density exhaustive pair output
+    is the wrong contract at any scale. Set ``max_bucket=None`` to force
+    pair-exhaustive expansion regardless of bucket size."""
     r = k // bands
 
     def hashed(src: DataFrame) -> DataFrame:
@@ -266,21 +283,45 @@ def minhash_lsh_pairs(
     # bucket). Per-bucket expansion is quadratic in bucket size — exactly
     # the same pair count the self-join would shuffle, without the second
     # signature pass.
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    # distinct BEFORE the shingle join-back: a pair colliding in m bands
-    # would otherwise verify (and emit) m times
-    pair_ids = (
-        _expand_pairs(buckets, "ids")
-        .select(
+    if max_bucket is None:
+        buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        raw_pairs = _expand_pairs(buckets, "ids").select(
             F.least("__x__", "__y__").alias("id_a"),
             F.greatest("__x__", "__y__").alias("id_b"),
         )
-        .distinct()
-    )
+    else:
+        # bucket sizes first (count + min — never an array), then the array
+        # aggregation runs only where it is provably small. One EXPLICIT
+        # repartition on the bucket key feeds both the size agg and the
+        # size join-back, so the expensive signature pass is computed and
+        # shuffled ONCE (identical exchange subplans → ReusedExchange;
+        # without it each branch would re-run sig_bands from the scan).
+        banded = banded.repartition("band", "bucket")
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__n__"), F.min("id").alias("__min__")
+        )
+        tagged = banded.join(sizes.filter(F.col("__n__") > 1), on=["band", "bucket"])
+        small = (
+            tagged.filter(F.col("__n__") <= max_bucket)
+            .groupBy("band", "bucket")
+            .agg(F.collect_list("id").alias("ids"))
+        )
+        small_pairs = _expand_pairs(small, "ids").select(
+            F.least("__x__", "__y__").alias("id_a"),
+            F.greatest("__x__", "__y__").alias("id_b"),
+        )
+        # over-cap: star edges to the bucket's min id — O(bucket), no array
+        big_pairs = tagged.filter(
+            (F.col("__n__") > max_bucket) & (F.col("id") != F.col("__min__"))
+        ).select(F.col("__min__").alias("id_a"), F.col("id").alias("id_b"))
+        raw_pairs = small_pairs.unionByName(big_pairs)
+    # distinct BEFORE the shingle join-back: a pair colliding in m bands
+    # would otherwise verify (and emit) m times
+    pair_ids = raw_pairs.distinct()
     # exact verification on the hashed shingle sets (exact up to xxhash64
     # collisions, ~2^-64·|sh| per pair — the same contract as
     # ngram_jaccard_pairs; jaccard counts come from true set sizes).

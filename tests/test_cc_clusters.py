@@ -142,6 +142,35 @@ def test_minhash_dup_heavy_no_broadcast_path(spark):
     }
     assert bcast == shuffled
     assert {(i, 1000 + i) for i in range(200)} <= {(a, b) for a, b, _ in bcast}
+    # the default bucket cap (4096) is above every bucket here, so the
+    # capped path must be pair-for-pair identical to the exhaustive one
+    uncapped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.8, max_bucket=None).collect()
+    }
+    assert bcast == uncapped
+
+
+def test_minhash_mega_bucket_star_path(spark):
+    """Over-cap LSH buckets (boilerplate floods: one bucket holding the
+    whole corpus) must not build unbounded arrays — with a tiny
+    max_bucket the miner emits star candidates to the bucket hub, every
+    copy still exact-verifies at j=1.0 against the hub, and cluster
+    dedup keeps exactly one survivor per copy family."""
+    from etlpy_spark.operators.dedup import dedup_by_pairs, minhash_lsh_pairs
+
+    rows = [(i, "identical boilerplate page body repeated across mirrors " * 4)
+            for i in range(30)]
+    rows += [(100 + i, f"genuinely unique document {i} about topic {i * 7} "
+                       f"with its own particular words {i * 13}") for i in range(5)]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, max_bucket=2)
+    got = pairs.collect()
+    # star shape: every candidate pair involves the hub (min id = 0)
+    assert got and all(r.id_a == 0 and r.jaccard == 1.0 for r in got)
+    assert {r.id_b for r in got} == set(range(1, 30))
+    kept = sorted(r.doc_id for r in dedup_by_pairs(docs, pairs).collect())
+    assert kept == [0, 100, 101, 102, 103, 104]
 
 
 def test_pipeline_minhash_to_survivors(spark):
