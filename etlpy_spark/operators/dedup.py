@@ -44,6 +44,59 @@ def _expand_pairs(grouped: DataFrame, arr_col: str) -> DataFrame:
     )
 
 
+def _capped_bucket_pairs(
+    banded: DataFrame,
+    group_cols: tuple[str, ...],
+    elem_col: str,
+    key_of,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Per-bucket unordered candidate pairs (``__x__``/``__y__``) with the
+    mega-bucket failure mode bounded (shared by every banded LSH miner).
+
+    ``max_bucket=None``: plain collect_list + all-pairs expansion — exact
+    candidates, but array state and pair count are unbounded in bucket
+    size (a boilerplate flood puts millions of members in ONE bucket:
+    the aggregating task OOMs, then the expansion is O(b²)).
+
+    With a cap: bucket sizes are counted FIRST (count + min_by — plain
+    map-side-combinable aggregates, never an array). Buckets within the
+    cap expand all-pairs exactly as before; larger buckets emit STAR
+    candidates to the bucket's minimum-key member — O(b) rows, bounded
+    task memory, connectivity-preserving through the hub once the caller
+    verifies candidates exactly. One explicit repartition on the bucket
+    key feeds both the size agg and the join-back, so the (expensive)
+    banding stage is computed and shuffled once (ReusedExchange).
+
+    ``key_of``: Column→Column total-orderable identity of an element
+    (identity for plain id columns; ``e.id`` for struct payloads).
+    """
+    e = F.col(elem_col)
+    if max_bucket is None:
+        posts = (
+            banded.groupBy(*group_cols)
+            .agg(F.collect_list(e).alias("__es__"))
+            .filter(F.size("__es__") > 1)
+        )
+        return _expand_pairs(posts, "__es__")
+    banded = banded.repartition(*group_cols)
+    sizes = banded.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.min_by(e, key_of(e)).alias("__hub__"),
+    )
+    tagged = banded.join(sizes.filter(F.col("__n__") > 1), on=list(group_cols))
+    small = (
+        tagged.filter(F.col("__n__") <= max_bucket)
+        .groupBy(*group_cols)
+        .agg(F.collect_list(e).alias("__es__"))
+    )
+    small_pairs = _expand_pairs(small, "__es__")
+    big_pairs = tagged.filter(
+        (F.col("__n__") > max_bucket) & (key_of(e) != key_of(F.col("__hub__")))
+    ).select(F.col("__hub__").alias("__x__"), e.alias("__y__"))
+    return small_pairs.unionByName(big_pairs)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to the session's parallelism when the upstream scan
     is narrower (a small parquet file = 1-2 partitions under the default
@@ -283,42 +336,12 @@ def minhash_lsh_pairs(
     # bucket). Per-bucket expansion is quadratic in bucket size — exactly
     # the same pair count the self-join would shuffle, without the second
     # signature pass.
-    if max_bucket is None:
-        buckets = (
-            banded.groupBy("band", "bucket")
-            .agg(F.collect_list("id").alias("ids"))
-            .filter(F.size("ids") > 1)
-        )
-        raw_pairs = _expand_pairs(buckets, "ids").select(
-            F.least("__x__", "__y__").alias("id_a"),
-            F.greatest("__x__", "__y__").alias("id_b"),
-        )
-    else:
-        # bucket sizes first (count + min — never an array), then the array
-        # aggregation runs only where it is provably small. One EXPLICIT
-        # repartition on the bucket key feeds both the size agg and the
-        # size join-back, so the expensive signature pass is computed and
-        # shuffled ONCE (identical exchange subplans → ReusedExchange;
-        # without it each branch would re-run sig_bands from the scan).
-        banded = banded.repartition("band", "bucket")
-        sizes = banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("__n__"), F.min("id").alias("__min__")
-        )
-        tagged = banded.join(sizes.filter(F.col("__n__") > 1), on=["band", "bucket"])
-        small = (
-            tagged.filter(F.col("__n__") <= max_bucket)
-            .groupBy("band", "bucket")
-            .agg(F.collect_list("id").alias("ids"))
-        )
-        small_pairs = _expand_pairs(small, "ids").select(
-            F.least("__x__", "__y__").alias("id_a"),
-            F.greatest("__x__", "__y__").alias("id_b"),
-        )
-        # over-cap: star edges to the bucket's min id — O(bucket), no array
-        big_pairs = tagged.filter(
-            (F.col("__n__") > max_bucket) & (F.col("id") != F.col("__min__"))
-        ).select(F.col("__min__").alias("id_a"), F.col("id").alias("id_b"))
-        raw_pairs = small_pairs.unionByName(big_pairs)
+    raw_pairs = _capped_bucket_pairs(
+        banded, ("band", "bucket"), "id", lambda c: c, max_bucket
+    ).select(
+        F.least("__x__", "__y__").alias("id_a"),
+        F.greatest("__x__", "__y__").alias("id_b"),
+    )
     # distinct BEFORE the shingle join-back: a pair colliding in m bands
     # would otherwise verify (and emit) m times
     pair_ids = raw_pairs.distinct()
@@ -419,6 +442,7 @@ def embedding_near_dup_pairs(
     planes_per_band: int = 8,
     bands: int = 16,
     seed: int = 7,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Cosine near-dup pairs via random-hyperplane LSH banding + exact
     cosine verification.
@@ -433,6 +457,13 @@ def embedding_near_dup_pairs(
     Projections are one Arrow-batched numpy matmul per batch (V @ H.T —
     the vectorized-UDF case: 128 per-element fold expressions would run
     interpreted); candidates then verify with the exact JVM-side cosine.
+
+    ``max_bucket`` bounds mega-buckets (embedding floods: zero vectors,
+    deduplicated-content re-embeddings) the same way as
+    ``minhash_lsh_pairs``: over-cap buckets emit exact-verified star
+    candidates to the bucket's min id instead of all-pairs — bounded task
+    memory and O(b) rows, connectivity-preserving; ``None`` restores
+    unconditional all-pairs expansion.
     """
     import numpy as np
 
@@ -464,13 +495,8 @@ def embedding_near_dup_pairs(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     banded = v.select("id", F.explode(band_buckets(F.col("v"))).alias("bucket"))
-    posts = (
-        banded.groupBy("bucket")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
     pair_ids = (
-        _expand_pairs(posts, "ids")
+        _capped_bucket_pairs(banded, ("bucket",), "id", lambda c: c, max_bucket)
         .select(
             F.least("__x__", "__y__").alias("id_a"),
             F.greatest("__x__", "__y__").alias("id_b"),

@@ -84,6 +84,7 @@ def phash_near_dup_pairs(
     phash_col: str = "phash",
     id_col: str = "image_id",
     max_hamming: int = 3,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Image near-duplicate pairs by perceptual-hash Hamming distance —
     EXACT for the given radius, no cross join.
@@ -96,8 +97,15 @@ def phash_near_dup_pairs(
     not n²), and candidates verify with the exact JVM-side
     bit_count(xor) — pure Column expressions end to end.
 
+    ``max_bucket`` bounds mega-buckets (a web crawl's solid-color
+    thumbnails / placeholder images share ONE pHash by the million):
+    over-cap (band, value) buckets emit Hamming-verified star candidates
+    to the bucket's min id instead of all-pairs — bounded task memory,
+    O(b) rows, connectivity-preserving for identical images (hamming 0
+    through the hub); ``None`` restores pair-exhaustive expansion.
+
     Returns (id_a, id_b, hamming) with id_a < id_b."""
-    from etlpy_spark.operators.dedup import _expand_pairs
+    from etlpy_spark.operators.dedup import _capped_bucket_pairs
 
     bands = max_hamming + 1
     w = 64 // bands
@@ -110,16 +118,11 @@ def phash_near_dup_pairs(
         F.struct(F.col(id_col).alias("id"), h.alias("ph")).alias("e"),
         F.posexplode(band_vals).alias("band", "val"),
     )
-    posts = (
-        banded.groupBy("band", "val")
-        .agg(F.collect_list("e").alias("es"))
-        .filter(F.size("es") > 1)
-    )
     x, y = F.col("__x__"), F.col("__y__")
     a = F.when(x["id"] < y["id"], x).otherwise(y)
     b = F.when(x["id"] < y["id"], y).otherwise(x)
     pairs = (
-        _expand_pairs(posts, "es")
+        _capped_bucket_pairs(banded, ("band", "val"), "e", lambda c: c["id"], max_bucket)
         .filter(x["id"] != y["id"])
         .select(
             a["id"].alias("id_a"),

@@ -207,3 +207,37 @@ def test_phash_near_dup_pairs(spark):
         for r in phash_near_dup_pairs(df, max_hamming=3).collect()
     }
     assert got == expected and len(expected) >= 10
+    # uncapped expansion must agree (every bucket here is under the cap)
+    got_uncapped = {
+        (r.id_a, r.id_b)
+        for r in phash_near_dup_pairs(df, max_hamming=3, max_bucket=None).collect()
+    }
+    assert got_uncapped == expected
+
+
+def test_phash_mega_bucket_star_path(spark):
+    """Placeholder-image flood: thousands of rows sharing ONE pHash land in
+    the same bucket in every band — with a tiny cap the miner must emit
+    hub-star pairs only (bounded state), all at hamming 0."""
+    from etlpy_spark.operators.multimodal import phash_near_dup_pairs
+
+    rows = [(f"ph{i:04d}", 0x1234_5678_9ABC_DEF0) for i in range(50)]
+    rows += [("solo", 0x0FED_CBA9_8765_4321)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = phash_near_dup_pairs(df, max_hamming=3, max_bucket=4).collect()
+    assert got and all(r.id_a == "ph0000" and r.hamming == 0 for r in got)
+    assert {r.id_b for r in got} == {f"ph{i:04d}" for i in range(1, 50)}
+
+
+def test_embedding_mega_bucket_star_path(spark):
+    """Identical embeddings collide in every hyperplane band; with a tiny
+    cap the miner emits exact-verified star pairs to the min id."""
+    from etlpy_spark.operators import dedup as dd
+
+    vec = [float((i * 37 % 19) - 9) for i in range(32)]
+    rows = [(i, vec) for i in range(40)]
+    rows.append((999, [float(-x) for x in vec]))  # antipode: never a pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = dd.embedding_near_dup_pairs(df, threshold=0.95, max_bucket=3).collect()
+    assert got and all(r.id_a == 0 and r.cos == 1.0 for r in got)
+    assert {r.id_b for r in got} == set(range(1, 40))
