@@ -151,7 +151,16 @@ def ngram_jaccard_pairs(
     shingles, self-join on shingle, count shared shingles per id pair,
     jaccard = shared / (|A| + |B| - shared). Returns (id_a, id_b, jaccard)
     with id_a < id_b. No cross join anywhere — the shuffle key is the
-    shingle, so cost tracks shared content, not n²."""
+    shingle, so cost tracks shared content, not n².
+
+    Scale note: this is the EXACT miner, so its output (and therefore its
+    cost) is provably Ω(true pair count) — a boilerplate flood of d
+    near-identical docs genuinely HAS d² qualifying pairs, and capping
+    posting lists would silently undercount shared shingles (wrong
+    jaccard), unlike the LSH miners' verified star fallback. For
+    dup-heavy corpora at scale, mine with ``minhash_lsh_pairs``
+    (mega-bucket-capped) and reserve this operator for corpora where the
+    qualifying pair count is known to be tractable."""
     # filter on the cheap word count, NOT on size(shingles): a predicate
     # containing the higher-order shingle expression gets pushed below the
     # projection and re-evaluated interpreted per row (measured 7x the
