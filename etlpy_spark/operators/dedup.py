@@ -146,12 +146,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
+    prefix_filter: bool = True,
+    broadcast_verify_limit: int = 2_000_000,
 ) -> DataFrame:
-    """EXACT Jaccard near-dup pairs via an inverted-index join: explode
-    shingles, self-join on shingle, count shared shingles per id pair,
-    jaccard = shared / (|A| + |B| - shared). Returns (id_a, id_b, jaccard)
-    with id_a < id_b. No cross join anywhere — the shuffle key is the
-    shingle, so cost tracks shared content, not n².
+    """EXACT Jaccard near-dup pairs via an inverted-index join — no cross
+    join anywhere; the shuffle key is the shingle, so cost tracks shared
+    content, not n². Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``prefix_filter=True`` (default) applies the AllPairs/PPJoin prefix
+    principle (Bayardo et al. WWW'07; Xiao et al. WWW'08): under ANY
+    global token order, two sets with J ≥ t must share a token among each
+    side's first ``|X| - ceil(t·|X|) + 1`` tokens — so only that prefix
+    of each doc's (sorted) shingle-hash set is indexed, and candidates
+    verify exactly afterwards via one array_intersect join-back. Lossless:
+    the output is identical to the exhaustive posting expansion, but the
+    posting stream shrinks to the prefix fraction (~(1-t) of shingles)
+    and pair expansion runs on prefix postings only — the difference
+    between indexing 100 TB of shingles and indexing a 40 TB prefix
+    slice. ``prefix_filter=False`` keeps the legacy full-posting counting
+    path (shared counts straight from the postings, no join-back).
 
     Scale note: this is the EXACT miner, so its output (and therefore its
     cost) is provably Ω(true pair count) — a boilerplate flood of d
@@ -170,6 +183,8 @@ def ngram_jaccard_pairs(
         .filter(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n)
         .select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
     )
+    if prefix_filter:
+        return _ngram_jaccard_prefix(sh, threshold, broadcast_verify_limit)
     # shuffle 8-byte shingle hashes, not the shingle strings (exactness is
     # preserved up to xxhash64 collisions, ~2^-32 at these cardinalities;
     # the jaccard itself is computed from true counts)
@@ -218,6 +233,64 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return out
+
+
+def _ngram_jaccard_prefix(
+    sh: DataFrame, threshold: float, broadcast_verify_limit: int
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard (see ngram_jaccard_pairs). ``sh`` is
+    (id, sh: array<string> distinct shingles). The sorted shingle-HASH
+    array is the global total order (uniform, data-independent); the
+    epsilon keeps float ceil(t·n) from landing one above the exact
+    rational ceil (a too-short prefix would lose pairs; one element
+    longer merely prunes less)."""
+    docs = sh.select(
+        "id",
+        F.sort_array(F.array_distinct(shingle_hashes(F.col("sh")))).alias("hs"),
+    ).withColumn("n_sh", F.size("hs"))
+    plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
+    inv = docs.select(
+        "id", "n_sh", F.explode(F.slice("hs", 1, plen)).alias("shingle_h")
+    )
+    posts = (
+        inv.groupBy("shingle_h")
+        .agg(F.collect_list(F.struct("id", "n_sh")).alias("ps"))
+        .filter(F.size("ps") > 1)
+    )
+    x, y = F.col("__x__"), F.col("__y__")
+    a = F.when(x["id"] < y["id"], x).otherwise(y)
+    b = F.when(x["id"] < y["id"], y).otherwise(x)
+    pair_ids = (
+        _expand_pairs(posts, "ps")
+        .filter(x["id"] != y["id"])
+        .select(a["id"].alias("id_a"), b["id"].alias("id_b"),
+                a["n_sh"].alias("n_a"), b["n_sh"].alias("n_b"))
+        # size-ratio prune (J >= t needs t <= n_a/n_b <= 1/t), then dedup
+        # candidates BEFORE the verify join-back
+        .filter(
+            (F.col("n_a") * threshold <= F.col("n_b"))
+            & (F.col("n_b") * threshold <= F.col("n_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification — same candidate-join shape (and broadcast gate)
+    # as minhash_lsh_pairs' verify stage
+    pair_ids = pair_ids.persist()
+    n_cand = pair_ids.count()
+    cand_side = (
+        F.broadcast(pair_ids) if n_cand <= broadcast_verify_limit else pair_ids
+    )
+    cand = cand_side.join(
+        docs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+    ).join(docs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -151,6 +151,54 @@ def test_minhash_dup_heavy_no_broadcast_path(spark):
     assert bcast == uncapped
 
 
+def test_ngram_prefix_filter_is_lossless(spark):
+    """The prefix-filtered path (AllPairs/PPJoin principle) must return
+    EXACTLY the legacy full-posting result — which itself must equal the
+    brute-force Jaccard over python sets — across thresholds including
+    the float-ceil boundary cases (t·n landing on an integer)."""
+    import itertools
+    import random
+
+    from etlpy_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        base = rng.choices(vocab, k=rng.randint(3, 18))
+        rows.append((i, " ".join(base)))
+        if i % 3 == 0:  # near-copy: perturb one word
+            mut = list(base)
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((100 + i, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(text, n=3):
+        ws = text.split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in rows if len(t.split()) >= 3}
+    for t in (0.5, 0.6, 0.75, 1.0):
+        brute = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            u = len(sets[a] | sets[b])
+            if u and len(sets[a] & sets[b]) / u >= t:
+                brute.add((a, b))
+        got_prefix = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        got_legacy = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(docs, threshold=t, prefix_filter=False).collect()
+        }
+        assert got_prefix == got_legacy == brute, f"threshold {t}"
+    assert brute or True  # thresholds checked above; fixture sanity below
+    assert any(
+        len(sets[a] & sets[b]) for a, b in itertools.combinations(sorted(sets), 2)
+    )
+
+
 def test_minhash_mega_bucket_star_path(spark):
     """Over-cap LSH buckets (boilerplate floods: one bucket holding the
     whole corpus) must not build unbounded arrays — with a tiny
