@@ -193,6 +193,12 @@ def test_ngram_prefix_filter_is_lossless(spark):
             for r in ngram_jaccard_pairs(docs, threshold=t, prefix_filter=False).collect()
         }
         assert got_prefix == got_legacy == brute, f"threshold {t}"
+    # verify-stage broadcast gate: the AQE-chosen join must agree
+    got_shuffle = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=t, broadcast_verify_limit=0).collect()
+    }
+    assert got_shuffle == got_prefix
     assert brute or True  # thresholds checked above; fixture sanity below
     assert any(
         len(sets[a] & sets[b]) for a, b in itertools.combinations(sorted(sets), 2)
