@@ -393,11 +393,14 @@ def _ann_ivf_oracle(k: int = 10, n_cells: int = 16, nprobe: int = 4, sample: int
     """Serial replica of ivf_topk with Spark's exact fold ordering:
     left-fold accumulation for distances and cosines so the IEEE results
     are bit-identical to the JVM aggregate exprs."""
+    from etlpy_spark.functions.hashing import xxhash64_long
     from etlpy_spark.operators.similarity import _kmeans_lite
 
     rows = _load_driver_embeddings()
     q = rows[0][1]  # vec_id == 0
-    C = _kmeans_lite([v for _, v in rows[:sample]], n_cells)
+    # mirror ivf_topk's hash-spread sample: orderBy(xxhash64(id), id)
+    spread = sorted(rows, key=lambda t: (xxhash64_long(t[0]), t[0]))[:sample]
+    C = _kmeans_lite([v for _, v in spread], n_cells)
 
     def sqdist(v, c):
         s = 0.0

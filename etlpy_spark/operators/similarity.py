@@ -81,13 +81,17 @@ def ivf_topk(
     gate lives in tests (vs brute force)."""
     import numpy as np
 
-    # order-stable sample (TakeOrderedAndProject — a top-k, not a full
-    # sort): limit() alone takes whatever partitions answer first, which
-    # would make the trained quantizer (and thus the probed cells)
-    # nondeterministic across runs/cluster sizes
+    # hash-spread, order-stable sample (TakeOrderedAndProject — a top-k,
+    # not a full sort): limit() alone takes whatever partitions answer
+    # first (nondeterministic across runs/cluster sizes), and ordering by
+    # raw id takes the LOWEST ids — at corpus scale that is one ingest/
+    # content slice, a biased quantizer. Ordering by xxhash64(id) walks a
+    # uniform pseudo-random permutation of the corpus, deterministic for
+    # any partitioning (serial replica: functions/hashing.xxhash64_long,
+    # proven bit-identical to the builtin in tests/test_hashing.py).
     rows = (
         df.select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
-        .orderBy("id")
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
         .limit(sample)
         .collect()
     )
