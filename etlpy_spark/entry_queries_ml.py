@@ -390,45 +390,28 @@ def _load_driver_embeddings() -> list[tuple[int, list[float]]]:
 
 
 def _ann_ivf_oracle(k: int = 10, n_cells: int = 16, nprobe: int = 4, sample: int = 512) -> str:
-    """Serial replica of ivf_topk with Spark's exact fold ordering:
-    left-fold accumulation for distances and cosines so the IEEE results
-    are bit-identical to the JVM aggregate exprs."""
+    """Serial replica of ivf_topk through the SAME numpy kernel
+    (similarity._ivf_math — batch-size-invariant reductions, so one
+    whole-table call here reproduces the engine's Arrow-batched calls
+    bit-for-bit) and the same hash-spread sample order
+    (functions/hashing.xxhash64_long ≡ Spark's builtin)."""
+    import numpy as np
+
     from etlpy_spark.functions.hashing import xxhash64_long
-    from etlpy_spark.operators.similarity import _kmeans_lite
+    from etlpy_spark.operators.similarity import _ivf_math, _kmeans_lite
 
     rows = _load_driver_embeddings()
-    q = rows[0][1]  # vec_id == 0
+    q = np.asarray(rows[0][1], dtype=np.float64)  # vec_id == 0
     # mirror ivf_topk's hash-spread sample: orderBy(xxhash64(id), id)
     spread = sorted(rows, key=lambda t: (xxhash64_long(t[0]), t[0]))[:sample]
     C = _kmeans_lite([v for _, v in spread], n_cells)
+    probe = set(np.argsort(((C - q) ** 2).sum(1))[:nprobe].tolist())
 
-    def sqdist(v, c):
-        s = 0.0
-        for a, b in zip(v, c):
-            s += (a - b) * (a - b)
-        return s
-
-    def cos(v, c):
-        dot = 0.0
-        na = 0.0
-        nb = 0.0
-        for a, b in zip(v, c):
-            dot += a * b
-        for a in v:
-            na += a * a
-        for b in c:
-            nb += b * b
-        return dot / ((na ** 0.5) * (nb ** 0.5))
-
-    cents = [list(map(float, c)) for c in C]
-    probe = sorted(range(len(cents)), key=lambda j: sqdist(q, cents[j]))[:nprobe]
-    probe_set = set(probe)
-    scored = []
-    for vid, v in rows:
-        ds = [sqdist(v, c) for c in cents]
-        cell = ds.index(min(ds))
-        if cell in probe_set:
-            scored.append((vid, cos(v, q)))
+    V = np.asarray([v for _, v in rows], dtype=np.float64)
+    cell, cos = _ivf_math(V, C, q)
+    scored = [
+        (vid, c) for (vid, _), ce, c in zip(rows, cell, cos) if int(ce) in probe
+    ]
     scored.sort(key=lambda t: (-t[1], t[0]))
     return _values([(vid, r + 1) for r, (vid, _) in enumerate(scored[:k])], "vec_id, rank")
 
