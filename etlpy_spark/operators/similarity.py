@@ -11,12 +11,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etlpy_spark.operators.dedup import cosine
-
-
 def _vec(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("array<double>")
+
+
+def _cos_math(V, q):
+    """Cosine of each row of a (n, dim) float64 batch vs q —
+    batch-size-invariant (sum(axis=1) reductions only, no BLAS gemm; see
+    _ivf_math) so serial replicas reproduce Arrow-batched runs exactly."""
+    import numpy as np
+
+    dot = (V * q).sum(axis=1)
+    norms = np.sqrt((V * V).sum(axis=1)) * np.sqrt((q * q).sum())
+    return dot / norms
 
 
 def brute_force_topk(
@@ -26,12 +34,36 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact cosine top-k against a literal query vector. The dot product is
-    a JVM-side aggregate over zip_with — no UDF, stays in codegen."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
-        F.col(id_col).alias("vec_id"),
-        cosine(_vec(vec_col), q).alias("cos"),
+    """Exact cosine top-k against a literal query vector. Scoring runs as
+    one Arrow-batched numpy pass (a zip_with/aggregate expression version
+    evaluates as INTERPRETED higher-order lambdas per row — the measured-8x
+    pitfall; at the exact baseline's full-corpus scan that tax is paid on
+    every row). The global top-k itself never materializes a sort: each
+    partition feeds k rows into TakeOrderedAndProject (plan pinned by
+    tools/plan_audit.py)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["id"].to_numpy(), "cos": _cos_math(V, q)}
+            )
+
+    from etlpy_spark.operators.dedup import _spread
+
+    scored = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
+        .mapInPandas(score, schema=f"vec_id {id_type}, cos double")
     )
     w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -76,10 +108,7 @@ def _ivf_math(V, C, q):
     import numpy as np
 
     d = np.stack([((V - c) ** 2).sum(axis=1) for c in C], axis=1)
-    cell = d.argmin(axis=1)
-    dot = (V * q).sum(axis=1)
-    norms = np.sqrt((V * V).sum(axis=1)) * np.sqrt((q * q).sum())
-    return cell, dot / norms
+    return d.argmin(axis=1), _cos_math(V, q)
 
 
 def ivf_topk(
