@@ -33,38 +33,59 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    vectorized: bool | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k against a literal query vector. Scoring runs as
-    one Arrow-batched numpy pass (a zip_with/aggregate expression version
-    evaluates as INTERPRETED higher-order lambdas per row — the measured-8x
-    pitfall; at the exact baseline's full-corpus scan that tax is paid on
-    every row). The global top-k itself never materializes a sort: each
-    partition feeds k rows into TakeOrderedAndProject (plan pinned by
+    """Exact cosine top-k against a literal query vector. Two scoring
+    paths, same results, measured crossover (interleaved A/B, local[32]):
+
+    - expression path (default): one zip_with/aggregate fold per row.
+      Higher-order lambdas evaluate INTERPRETED, but the whole plan stays
+      JVM-side with no Python workers — fastest below ~10^5 rows
+      (sf0.1's 6k embeddings: 0.42 s vs 0.70 s for the kernel, whose
+      fixed Arrow round-trip dominates tiny inputs).
+    - ``vectorized=True``: the shared Arrow-batched numpy kernel
+      (_cos_math). One ~200-interpreted-evals/row fold vs one vectorized
+      batch: the kernel wins once rows ≫ the worker round-trip — at a
+      100 TB corpus scan this is the only sane path (the same tradeoff
+      measured the other way on ivf_topk, whose 16-cell assignment is
+      heavy enough that numpy already wins at 6k rows).
+
+    Either way the global top-k never materializes a sort: each partition
+    feeds k rows into TakeOrderedAndProject (plan pinned by
     tools/plan_audit.py)."""
-    import numpy as np
-
-    q = np.asarray(query_vec, dtype=np.float64)
-    id_type = df.schema[id_col].dataType.simpleString()
-
-    def score(batches):
+    if vectorized:
         import numpy as np
-        import pandas as pd
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            yield pd.DataFrame(
-                {"vec_id": pdf["id"].to_numpy(), "cos": _cos_math(V, q)}
-            )
+        q = np.asarray(query_vec, dtype=np.float64)
+        id_type = df.schema[id_col].dataType.simpleString()
 
-    from etlpy_spark.operators.dedup import _spread
+        def score(batches):
+            import numpy as np
+            import pandas as pd
 
-    scored = (
-        _spread(df)
-        .select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
-        .mapInPandas(score, schema=f"vec_id {id_type}, cos double")
-    )
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["id"].to_numpy(), "cos": _cos_math(V, q)}
+                )
+
+        from etlpy_spark.operators.dedup import _spread
+
+        scored = (
+            _spread(df)
+            .select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
+            .mapInPandas(score, schema=f"vec_id {id_type}, cos double")
+        )
+    else:
+        from etlpy_spark.operators.dedup import cosine
+
+        qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+        scored = df.select(
+            F.col(id_col).alias("vec_id"),
+            cosine(_vec(vec_col), qlit).alias("cos"),
+        )
     w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -42,6 +42,14 @@ def test_ann_ivf_recall(spark, embeddings):
     recall = len(set(exact) & set(approx)) / 10
     assert exact[0] == 0  # the query vector itself is its own 1-NN
     assert recall >= 0.7  # nprobe=4/8 cells: generous bound, deterministic
+    # the vectorized (Arrow numpy kernel) scoring path must rank identically
+    vec = [
+        r.vec_id
+        for r in sim.brute_force_topk(embeddings, qv, k=10, vectorized=True)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert vec == exact
 
 def test_simhash_hamming_locality(spark, docs):
     near = docs.unionByName(
