@@ -688,14 +688,16 @@ def connected_components(
 
 def dedup_by_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-    id_a: str = "id_a", id_b: str = "id_b",
+    id_a: str = "id_a", id_b: str = "id_b", checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Keep one survivor per near-dup cluster (the min id — deterministic),
     passing through every row not in any pair. Composes with any pair
     miner above: minhash_lsh_pairs / ngram_jaccard_pairs /
     embedding_near_dup_pairs / phash banding. One broadcast-or-shuffle
     join against the (small: only clustered ids) component map."""
-    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    comp = connected_components(
+        pairs, id_a=id_a, id_b=id_b, checkpoint_dir=checkpoint_dir
+    )
     survivors_in_clusters = comp.filter(F.col("id") == F.col("cluster_id"))
     clustered_ids = comp.select(F.col("id").alias(id_col))
     keep_clustered = df.join(
@@ -704,3 +706,44 @@ def dedup_by_pairs(
     )
     untouched = df.join(clustered_ids, on=id_col, how="left_anti")
     return untouched.unionByName(keep_clustered)
+
+
+def dedup_documents(
+    df: DataFrame,
+    strategy: str = "minhash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float | None = None,
+    checkpoint_dir: str | None = None,
+    **miner_kwargs,
+) -> DataFrame:
+    """One-call training-corpus dedup: mine near-dup pairs with the chosen
+    strategy, cluster them (connected components), keep one survivor per
+    cluster. The convenience composition of the primitives above — each
+    stays available for pipelines that need the pairs or clusters.
+
+    strategy: ``exact`` (hash identity, no pair mining), ``minhash``
+    (LSH + exact-Jaccard verify — the corpus-scale default), ``ngram``
+    (exhaustive exact Jaccard), or ``embedding`` (hyperplane LSH + exact
+    cosine; pass ``vec_col``/thresholds through ``miner_kwargs``).
+    ``threshold=None`` uses each miner's default. ``checkpoint_dir`` is
+    forwarded to the clustering iteration (shared storage at production
+    scale; executor-local otherwise)."""
+    if strategy == "exact":
+        return exact_dedup(df, text_col=text_col, id_col=id_col)
+    if strategy == "minhash":
+        miner = minhash_lsh_pairs
+    elif strategy == "ngram":
+        miner = ngram_jaccard_pairs
+    elif strategy == "embedding":
+        miner = embedding_near_dup_pairs
+    else:
+        raise ValueError(f"unknown dedup strategy {strategy!r}")
+    if strategy == "embedding":
+        kw = dict(id_col=id_col, **miner_kwargs)
+    else:
+        kw = dict(text_col=text_col, id_col=id_col, **miner_kwargs)
+    if threshold is not None:
+        kw["threshold"] = threshold
+    pairs = miner(df, **kw)
+    return dedup_by_pairs(df, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir)

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from etlpy_spark.operators.dedup import (
@@ -149,6 +150,27 @@ def test_minhash_dup_heavy_no_broadcast_path(spark):
         for r in minhash_lsh_pairs(docs, threshold=0.8, max_bucket=None).collect()
     }
     assert bcast == uncapped
+
+
+def test_dedup_documents_one_call(spark):
+    """The one-call pipeline must compose miner -> clusters -> survivors:
+    a 4-copy family collapses to its min id under every text strategy,
+    and unique docs pass through untouched."""
+    from etlpy_spark.operators.dedup import dedup_documents
+
+    fam = "the quick brown fox jumps over the lazy dog again and again " * 2
+    rows = [(i, fam) for i in range(4)]
+    rows += [(10 + i, f"entirely different document number {i} "
+                      f"about subject {i * 3} with unrelated words {i * 7}")
+             for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for strategy in ("exact", "minhash", "ngram"):
+        kept = sorted(
+            r.doc_id for r in dedup_documents(docs, strategy=strategy).collect()
+        )
+        assert kept == [0, 10, 11, 12], strategy
+    with pytest.raises(ValueError):
+        dedup_documents(docs, strategy="nope")
 
 
 def test_ngram_prefix_filter_is_lossless(spark):
