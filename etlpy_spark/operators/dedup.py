@@ -505,6 +505,31 @@ def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return sums.select(F.col("id"), acc.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit SimHash signatures + banded-Hamming
+    candidate mining — the SAME pigeonhole-exact machinery as the image
+    pHash miner (multimodal.phash_near_dup_pairs): split the signature
+    into max_hamming+1 bands, a pair within the radius must match at
+    least one band exactly, candidates verify with bit_count(xor).
+    Returns (id_a, id_b, hamming) with id_a < id_b — exact for the radius
+    GIVEN the signatures (SimHash locality itself is approximate: Hamming
+    distance tracks, but does not equal, content similarity — that
+    tradeoff is the operator's contract, unlike the Jaccard miners)."""
+    from etlpy_spark.operators.multimodal import phash_near_dup_pairs
+
+    sigs = simhash_bits(df, text_col=text_col, id_col=id_col)
+    return phash_near_dup_pairs(
+        sigs, phash_col="simhash", id_col="id",
+        max_hamming=max_hamming, max_bucket=max_bucket,
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 

@@ -152,6 +152,38 @@ def test_minhash_dup_heavy_no_broadcast_path(spark):
     assert bcast == uncapped
 
 
+def test_simhash_near_dup_pairs_matches_bruteforce(spark):
+    """Banded-Hamming SimHash mining must equal the brute-force O(n²)
+    answer over the signatures (pigeonhole banding is exact for the
+    radius); near-copies land within it, distinct docs outside."""
+    import itertools
+
+    from etlpy_spark.operators.dedup import simhash_bits, simhash_near_dup_pairs
+
+    rng = random.Random(5)
+    vocab = [f"tok{i}" for i in range(400)]
+    rows = []
+    for i in range(40):
+        words = rng.choices(vocab, k=40)
+        rows.append((i, " ".join(words)))
+        if i % 3 == 0:  # near-copy: flip one word
+            mut = list(words)
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((100 + i, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.id: r.simhash for r in simhash_bits(docs).collect()}
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == expected and expected  # fixture must contain near pairs
+
+
 def test_dedup_documents_one_call(spark):
     """The one-call pipeline must compose miner -> clusters -> survivors:
     a 4-copy family collapses to its min id under every text strategy,
