@@ -249,27 +249,48 @@ def _ngram_jaccard_prefix(
         F.sort_array(F.array_distinct(shingle_hashes(F.col("sh")))).alias("hs"),
     ).withColumn("n_sh", F.size("hs"))
     plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
+    # pos (0-based index in the sorted set) rides along for the POSITIONAL
+    # filter below: a token at position p leaves only n_sh-1-p tokens after
+    # it in this doc's sorted order
     inv = docs.select(
-        "id", "n_sh", F.explode(F.slice("hs", 1, plen)).alias("shingle_h")
+        "id", "n_sh", F.posexplode(F.slice("hs", 1, plen)).alias("pos", "shingle_h")
     )
     posts = (
         inv.groupBy("shingle_h")
-        .agg(F.collect_list(F.struct("id", "n_sh")).alias("ps"))
+        .agg(F.collect_list(F.struct("id", "n_sh", "pos")).alias("ps"))
         .filter(F.size("ps") > 1)
     )
     x, y = F.col("__x__"), F.col("__y__")
     a = F.when(x["id"] < y["id"], x).otherwise(y)
     b = F.when(x["id"] < y["id"], y).otherwise(x)
+    # positional filter (PPJoin): matching at sorted positions (pa, pb)
+    # bounds the overlap by 1 + min(tokens after pa, tokens after pb); the
+    # FIRST common token gives the largest bound, so a pair is dropped
+    # only when even its best collision cannot reach
+    # minoverlap = ceil(t/(1+t)·(n_a+n_b)) ⟺ J ≥ t — still lossless.
     pair_ids = (
         _expand_pairs(posts, "ps")
         .filter(x["id"] != y["id"])
         .select(a["id"].alias("id_a"), b["id"].alias("id_b"),
-                a["n_sh"].alias("n_a"), b["n_sh"].alias("n_b"))
-        # size-ratio prune (J >= t needs t <= n_a/n_b <= 1/t), then dedup
-        # candidates BEFORE the verify join-back
+                a["n_sh"].alias("n_a"), b["n_sh"].alias("n_b"),
+                a["pos"].alias("pos_a"), b["pos"].alias("pos_b"))
+        # size-ratio prune (J >= t needs t <= n_a/n_b <= 1/t), then the
+        # positional bound, then dedup candidates BEFORE the join-back
         .filter(
             (F.col("n_a") * threshold <= F.col("n_b"))
             & (F.col("n_b") * threshold <= F.col("n_a"))
+        )
+        .filter(
+            1
+            + F.least(
+                F.col("n_a") - 1 - F.col("pos_a"),
+                F.col("n_b") - 1 - F.col("pos_b"),
+            )
+            >= F.ceil(
+                F.lit(threshold / (1.0 + threshold))
+                * (F.col("n_a") + F.col("n_b"))
+                - F.lit(1e-9)
+            )
         )
         .select("id_a", "id_b")
         .distinct()
