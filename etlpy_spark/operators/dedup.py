@@ -526,6 +526,75 @@ def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return sums.select(F.col("id"), acc.alias("simhash"))
 
 
+def mark_contaminated(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bench_text_col: str = "text",
+    broadcast_limit: int = 5_000_000,
+) -> DataFrame:
+    """Benchmark decontamination marking: annotate every training doc with
+    the number of benchmark word n-grams it contains (``contaminated_ngrams``,
+    0 = clean). The standard LLM-training hygiene step (GPT-3 used 13-gram,
+    Llama 10-gram overlap removal); n=8 default.
+
+    Shape at scale: the benchmark side collapses to DISTINCT 8-byte shingle
+    hashes — benchmarks are small (10^4-10^6 items), so that set broadcasts
+    (gated on an exact count, like the LSH verify stages) and the training
+    corpus streams through one semi-join-shaped hash probe without
+    shuffling the corpus. Above the gate the join falls back to AQE's
+    choice, keyed by the 8-byte hash either way."""
+    bench_sh = (
+        _spread(benchmark)
+        .filter(F.size(F.split(F.trim(F.col(bench_text_col)), r"\s+")) >= n)
+        .select(
+            F.explode(
+                shingle_hashes(word_shingles(bench_text_col, n))
+            ).alias("__bh__")
+        )
+        .distinct()
+        .persist()
+    )
+    n_bench = bench_sh.count()
+    bench_side = F.broadcast(bench_sh) if n_bench <= broadcast_limit else bench_sh
+    doc_sh = df.select(
+        F.col(id_col).alias("__did__"),
+        F.explode_outer(shingle_hashes(word_shingles(text_col, n))).alias("__bh__"),
+    )
+    hits = (
+        doc_sh.join(bench_side, on="__bh__", how="inner")
+        .groupBy("__did__")
+        .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
+    )
+    return df.join(
+        hits.select(F.col("__did__").alias(id_col), "contaminated_ngrams"),
+        on=id_col, how="left",
+    ).withColumn(
+        "contaminated_ngrams", F.coalesce("contaminated_ngrams", F.lit(0))
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Drop every training doc sharing at least one benchmark word n-gram
+    (see mark_contaminated); returns df's original columns."""
+    marked = mark_contaminated(
+        df, benchmark, text_col=text_col, id_col=id_col, n=n,
+        bench_text_col=bench_text_col,
+    )
+    return marked.filter(F.col("contaminated_ngrams") == 0).drop(
+        "contaminated_ngrams"
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -152,6 +152,38 @@ def test_minhash_dup_heavy_no_broadcast_path(spark):
     assert bcast == uncapped
 
 
+def test_decontaminate_benchmark_ngrams(spark):
+    """Docs embedding a benchmark item's 8-gram are flagged with the right
+    overlap count and dropped; clean docs and sub-n benchmark rows are
+    inert. Differential vs python-set n-gram intersection."""
+    from etlpy_spark.operators.dedup import decontaminate, mark_contaminated
+
+    bench_sent = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, f"intro text then {bench_sent} and a conclusion"),     # contaminated
+        (1, "a perfectly clean document about something else entirely "
+            "with plenty of its own words to shingle"),
+        (2, bench_sent),                                           # verbatim
+        (3, "quick brown fox jumps over the lazy"),                # only 7 words < n
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(bench_sent,), ("short row",)], "text string"
+    )
+
+    def grams(t, n=8):
+        ws = t.split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    bset = grams(bench_sent)
+    marked = {r.doc_id: r.contaminated_ngrams
+              for r in mark_contaminated(docs, bench).collect()}
+    for i, t in rows:
+        assert marked[i] == len(grams(t) & bset), i
+    kept = sorted(r.doc_id for r in decontaminate(docs, bench).collect())
+    assert kept == [1, 3]
+
+
 def test_simhash_near_dup_pairs_matches_bruteforce(spark):
     """Banded-Hamming SimHash mining must equal the brute-force O(n²)
     answer over the signatures (pigeonhole banding is exact for the
