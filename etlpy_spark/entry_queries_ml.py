@@ -163,15 +163,40 @@ def _media_wav_pcm(i: int):
     return (np.stack([pcm, -pcm], axis=1) if i % 2 else pcm[:, None]), rate
 
 
+def _media_jpeg_row(i: int):
+    """One JPEG suite row, shared by the Spark UDF and the serial oracle
+    (same kernel both sides → bit-exact parity): encode fixture image i
+    with the from-scratch T.81 codec (quality varies; odd i adds the
+    restart markers real encoders emit), decode, score PSNR vs the
+    ORIGINAL pixels."""
+    import numpy as np
+
+    from etlpy_spark.functions.imagecodec import phash64, psnr, render_pixels
+    from etlpy_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    iid = f"jimg-{i:04d}"
+    quality = (80, 92, 96)[i % 3]
+    px = render_pixels(iid, 42, 1)
+    blob = encode_jpeg(px, quality=quality, restart_interval=8 if i % 2 else 0)
+    dec = decode_jpeg(blob)
+    return (iid, quality, phash64(dec), len(blob),
+            float(np.round(psnr(px, dec), 4)))
+
+
 def q_media_decode_suite(spark, sf_dir):
     """Real A/V container decode, distributed: 6 YUV4MPEG2 videos are
     demuxed (every-4th-frame sampling seeks over skipped frames) and each
     sampled frame is pHashed; 4 WAV clips (varying rate/width/channels)
-    are parsed for real by the RIFF chunk walker. Output rows:
+    are parsed for real by the RIFF chunk walker; 8 fixture images go
+    through the from-scratch baseline JPEG codec (functions/jpegcodec.py
+    — varying quality, with and without restart markers) and the decoded
+    pixels are PSNR-scored against the originals (the north rule's lossy
+    invariant). Output rows:
     video → (vid, 'video', k=frame_idx, m1=phash, m2=w*h, v=mean_lum);
     audio → (clip, 'audio', k=n_channels, m1=n_samples, m2=zero_crossings,
-    v=rms). Oracle = serial numpy replica (computed VALUES), the
-    image_pipeline pattern."""
+    v=rms); jpeg → (img, 'jpeg', k=quality, m1=phash(decoded),
+    m2=encoded_bytes, v=psnr). Oracle = serial numpy replica (computed
+    VALUES), the image_pipeline pattern."""
     import pandas as pd
 
     def gen_vids(batches):
@@ -223,7 +248,24 @@ def q_media_decode_suite(spark, sf_dir):
         F.col("zero_crossings").alias("m2"),
         F.col("rms").alias("v"),
     )
-    return vrows.unionByName(arows)
+
+    def gen_jpeg(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "k", "m1", "m2", "v")}
+            for i in pdf["id"]:
+                iid, kq, m1, m2, v = _media_jpeg_row(int(i))
+                out["media_id"].append(iid)
+                out["kind"].append("jpeg")
+                out["k"].append(kq)
+                out["m1"].append(m1)
+                out["m2"].append(m2)
+                out["v"].append(v)
+            yield pd.DataFrame(out)
+
+    jrows = spark.range(0, 8, 1, 2).mapInPandas(
+        gen_jpeg, schema="media_id string, kind string, k int, m1 long, m2 long, v double"
+    )
+    return vrows.unionByName(arows).unionByName(jrows)
 
 
 # ---------------------------------------------------------------------------
@@ -493,6 +535,9 @@ def _media_suite_oracle() -> str:
             int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))),
             float(np.round(np.sqrt((f**2).mean()), 6)),
         ))
+    for i in range(8):
+        iid, quality, m1, m2, v = _media_jpeg_row(i)
+        rows.append((iid, "jpeg", quality, m1, m2, v))
     return _values(rows, "media_id, kind, k, m1, m2, v")
 
 

@@ -6,11 +6,15 @@ GetImageFormat). Our image table stores decoded-verifiable bytes in three
 default formats (FIXTURES.md F1): ``raw`` (private header + RGB), ``ppm``
 (P6), and ``png`` (real zlib PNG, 8-bit RGB, filter 0) — all lossless, so
 the per-row invariant vs the oracle is exact pixel equality (PSNR=inf).
-A fourth, genuinely LOSSY format exercises the north rule's PSNR branch:
+Two genuinely LOSSY formats exercise the north rule's PSNR branch:
 ``y4m`` = single-frame YUV4MPEG2 in C444 (BT.601 round-trip rounding loss,
-measured ≥ 52 dB on the fixture images — over the ≥ 40 dB gate). It is
-opt-in via ``force_fmt='y4m'`` so the recorded bench/scaling workloads
-keep their historical format mix.
+measured ≥ 52 dB on the fixture images — over the ≥ 40 dB gate) and
+``jpg`` = real baseline JFIF (from-scratch T.81 codec, functions/
+jpegcodec.py; quality 96 measures ≥ 42 dB worst-case on the fixtures, so
+the gate runs against genuine quantized-DCT loss in the format a real
+image crawl overwhelmingly sees — reference spider.py:303-314 sniffs jpg
+first). Both are opt-in via ``force_fmt`` so the recorded bench/scaling
+workloads keep their historical format mix.
 
 Everything operates on numpy arrays and is called from Arrow-batched pandas
 UDFs — zero per-row Python at the plan level; per-image numpy is the decode
@@ -197,8 +201,25 @@ def decode_y4m_image(data: bytes) -> np.ndarray:
     raise ValueError("Y4M stream contains no frames")
 
 
+def encode_jpg_image(px: np.ndarray) -> bytes:
+    """Real baseline JPEG (functions/jpegcodec.py — from-scratch T.81).
+    Quality 96 keeps the worst fixture image ≥ 42 dB (q92 measures 37.6
+    on the highest-frequency one, UNDER the 40 dB gate — the procedural
+    sine patterns are hostile to DCT quantization), with the restart
+    markers real encoders emit."""
+    from etlpy_spark.functions.jpegcodec import encode_jpeg
+
+    return encode_jpeg(px, quality=96, restart_interval=64)
+
+
+def decode_jpg_image(data: bytes) -> np.ndarray:
+    from etlpy_spark.functions.jpegcodec import decode_jpeg
+
+    return decode_jpeg(data)
+
+
 _ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png,
-        "y4m": encode_y4m_image}
+        "y4m": encode_y4m_image, "jpg": encode_jpg_image}
 
 
 def encode(px: np.ndarray, fmt: str) -> bytes:
@@ -215,6 +236,8 @@ def decode(data: bytes) -> np.ndarray:
         return decode_png(data)
     if data[:9] == b"YUV4MPEG2":
         return decode_y4m_image(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpg_image(data)
     raise ValueError("unknown image format")
 
 
@@ -227,6 +250,8 @@ def sniff_format(data: bytes) -> str:
         return "png"
     if data[:9] == b"YUV4MPEG2":
         return "y4m"
+    if data[:2] == b"\xff\xd8":
+        return "jpg"
     return "unknown"
 
 

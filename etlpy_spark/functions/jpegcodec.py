@@ -1,0 +1,578 @@
+"""Baseline JFIF/JPEG codec, numpy-only (no libjpeg/PIL in the environment).
+
+The reference crawler downloads real web images and sniffs jpg/png/gif by
+magic bytes (reference spider.py:303-314 GetImageFormat); jpg is the format
+an actual image crawl overwhelmingly sees, and the north rule's per-row
+invariant is "decoded-pixel allclose, PSNR>=40 dB for lossy formats". The
+y4m path exercises that branch with chroma-rounding loss only; this module
+adds the real thing: a from-scratch baseline sequential DCT JPEG
+(ITU-T T.81) encoder + decoder so the PSNR gate runs against genuine
+quantized-DCT loss in the file format the rule is about.
+
+Scope (honest limits, all checked with clear errors):
+  * encoder: baseline sequential, 8-bit, YCbCr 4:4:4 (no subsampling so a
+    quality>=90 encode stays over the 40 dB gate on sharp synthetic
+    fixtures), standard Annex K quantization tables scaled by the libjpeg
+    quality formula, standard Annex K Huffman tables, JFIF APP0 header.
+  * decoder: baseline sequential (SOF0) 8-bit, 1- or 3-component, any
+    sampling factors declared in SOF0 as long as they are 1x1 (4:4:4) --
+    subsampled streams raise NotImplementedError rather than mis-decode.
+    Restart markers (DRI/RSTn) are supported because real encoders emit
+    them; progressive (SOF2) and arithmetic coding are rejected.
+
+All the block math (DCT, quantize, zigzag, color transform) is vectorized
+numpy over every 8x8 block at once; only the entropy coding loop is
+per-symbol Python, which is the correct trade at test scale and is isolated
+behind encode_jpeg/decode_jpeg so a libjpeg drop-in keeps the same surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constant tables (ITU-T T.81 Annex K)
+
+# K.1 -- luminance / chrominance quantization tables, natural (row) order
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+# zigzag scan: _ZIGZAG[k] = flat (row-major) index of the k-th zigzag coeff
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+_UNZZ = np.argsort(_ZZ)  # natural index -> zigzag position
+
+# K.3 -- standard Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) by the canonical construction (T.81 C.2)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_ENC_DC = (_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+           _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+_ENC_AC = (_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+           _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)
+    m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 16.0) * 0.5
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT8 = _dct_matrix()
+
+
+def quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex K tables scaled by the libjpeg quality formula (1..100)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for t in (_QUANT_LUMA, _QUANT_CHROMA):
+        s = (t * scale + 50) // 100
+        out.append(np.clip(s, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+# ---------------------------------------------------------------------------
+# block helpers (vectorized over all blocks of a component)
+
+
+def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(h, w) float plane -> (n_blocks, 8, 8), edge-replicated to 8k x 8k."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = plane.shape
+    by, bx = hh // 8, ww // 8
+    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return blocks, by, bx
+
+
+def _from_blocks(blocks: np.ndarray, by: int, bx: int, h: int, w: int) -> np.ndarray:
+    plane = blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return plane[:h, :w]
+
+
+def _fdct_quant(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """plane -> (n_blocks, 64) int32 quantized coefficients in ZIGZAG order."""
+    blocks, _, _ = _to_blocks(plane.astype(np.float64) - 128.0)
+    coef = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8, optimize=True)
+    q = np.round(coef / qt).astype(np.int32)
+    return q.reshape(-1, 64)[:, _ZZ]
+
+
+def _dequant_idct(zz: np.ndarray, qt: np.ndarray, by: int, bx: int,
+                  h: int, w: int) -> np.ndarray:
+    coef = np.zeros((zz.shape[0], 64), dtype=np.float64)
+    coef[:, _ZZ] = zz * qt.reshape(64)[_ZZ]
+    blocks = coef.reshape(-1, 8, 8)
+    px = np.einsum("ji,njk,kl->nil", _DCT8, blocks, _DCT8, optimize=True) + 128.0
+    return _from_blocks(px, by, bx, h, w)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# entropy coding
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+
+    def put_marker(self, byte: int) -> None:
+        """Raw marker bytes (RSTn) — bypass stuffing, must be byte-aligned."""
+        self.pad_to_byte()
+        self.buf += bytes((0xFF, byte))
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    cat = _category(diff)
+    code, ln = dc_codes[cat]
+    w.put(code, ln)
+    if cat:
+        w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            code, ln = ac_codes[0x00]  # EOB
+            w.put(code, ln)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        w.put(code, ln)
+        w.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    return dc
+
+
+class _HuffTable:
+    """Decode table: one 8-bit first-level LUT (covers nearly every symbol
+    of the Annex K tables) + a (length, code) dict for 9..16-bit codes."""
+
+    __slots__ = ("lut", "long")
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.lut: list[tuple[int, int] | None] = [None] * 256
+        self.long: dict[tuple[int, int], int] = {}
+        for sym, (code, ln) in _canonical_codes(bits, vals).items():
+            if ln <= 8:
+                base = code << (8 - ln)
+                for i in range(1 << (8 - ln)):
+                    self.lut[base + i] = (sym, ln)
+            else:
+                self.long[(ln, code)] = sym
+
+
+class _BitReader:
+    """MSB-first bit reader over a destuffed entropy segment.
+
+    Peeks go through a 4-byte window (data is 1-padded so a peek near the
+    end never walks off); value-bit reads must stay inside the real data,
+    while symbol skips tolerate the encoder's <=7 pad bits."""
+
+    __slots__ = ("data", "bitlen", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data + b"\xff\xff\xff\xff"
+        self.bitlen = 8 * len(data)
+        self.pos = 0
+
+    def _peek(self, n: int) -> int:
+        byte, off = self.pos >> 3, self.pos & 7
+        chunk = int.from_bytes(self.data[byte:byte + 4], "big")
+        return (chunk >> (32 - off - n)) & ((1 << n) - 1)
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.bitlen:
+            raise ValueError("jpeg: entropy data truncated")
+        v = self._peek(n)
+        self.pos += n
+        return v
+
+    def read_symbol(self, table: _HuffTable) -> int:
+        hit = table.lut[self._peek(8)]
+        if hit is not None:
+            sym, ln = hit
+            self.pos += ln
+            if self.pos > self.bitlen + 7:
+                raise ValueError("jpeg: entropy data truncated")
+            return sym
+        long = table.long
+        for ln in range(9, 17):
+            sym = long.get((ln, self._peek(ln)))
+            if sym is not None:
+                self.pos += ln
+                if self.pos > self.bitlen + 7:
+                    raise ValueError("jpeg: entropy data truncated")
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+# ---------------------------------------------------------------------------
+# encoder
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 92,
+                restart_interval: int = 0) -> bytes:
+    """uint8 HxWx3 RGB -> baseline JFIF bytes (4:4:4, standard tables).
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (what real encoders do for error resilience); 0 omits
+    them."""
+    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8 HxWx3 RGB")
+    h, w = px.shape[:2]
+    if h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("jpeg: dimension > 65535")
+    qy, qc = quant_tables(quality)
+    ycc = _rgb_to_ycbcr(px)
+    comps = [
+        _fdct_quant(ycc[..., 0], qy),
+        _fdct_quant(ycc[..., 1], qc),
+        _fdct_quant(ycc[..., 2], qc),
+    ]
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, qt in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(v) for v in qt.reshape(64)[_ZZ])  # zigzag order
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += struct.pack(">BBB", cid, 0x11, tq)  # 1x1 sampling = 4:4:4
+    for tc_th, bits, vals in (
+        (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tables in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += struct.pack(">BB", cid, tables)
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
+
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    n_blocks = comps[0].shape[0]
+    for b in range(n_blocks):  # interleaved MCU order == block order at 4:4:4
+        if restart_interval and b and b % restart_interval == 0:
+            wtr.put_marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            preds = [0, 0, 0]
+        for c in range(3):
+            t = 0 if c == 0 else 1
+            preds[c] = _encode_block(wtr, comps[c][b], preds[c],
+                                     _ENC_DC[t], _ENC_AC[t])
+    out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 HxWx3 RGB (or HxWx3 gray replicated)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[int, _HuffTable] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: bad marker sync")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                t = np.zeros(64, dtype=np.int32)
+                t[_ZZ] = np.frombuffer(seg[off + 1:off + 65], dtype=np.uint8)
+                qtabs[tq] = t.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc_th = seg[off]
+                bits = list(seg[off + 1:off + 17])
+                n = sum(bits)
+                vals = list(seg[off + 17:off + 17 + n])
+                htabs[tc_th] = _HuffTable(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, hh, ww, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("jpeg: precision != 8")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "jpeg: chroma subsampling not supported (4:4:4 only)")
+                comps.append((cid, tq))
+            sof = (hh, ww, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("jpeg: only baseline sequential (SOF0)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tables = struct.unpack_from(">BB", seg, 1 + 2 * i)
+                scan_comps.append((cid, tables >> 4, tables & 0x0F))
+            # entropy data runs from pos to the next non-RST marker
+            end = pos
+            while end < len(data) - 1:
+                if data[end] == 0xFF and data[end + 1] != 0x00 \
+                        and not (0xD0 <= data[end + 1] <= 0xD7):
+                    break
+                end += 1
+            scan = (scan_comps, data[pos:end])
+            pos = end
+        # APPn/COM/others: skipped via seglen
+    if sof is None or scan is None:
+        raise ValueError("jpeg: missing SOF/SOS")
+
+    hh, ww, comps = sof
+    scan_comps, raw = scan
+    # split on RSTn FIRST (in the stuffed stream a data 0xFF is always
+    # followed by 0x00, so FF Dn is unambiguously a marker), THEN destuff
+    # each part -- destuffing first can expose a data 0xFF next to a data
+    # 0xD0..0xD7 byte and mis-split the scan.
+    parts = []
+    i = 0
+    start = 0
+    while i < len(raw) - 1:
+        if raw[i] == 0xFF and 0xD0 <= raw[i + 1] <= 0xD7:
+            parts.append(raw[start:i].replace(b"\xff\x00", b"\xff"))
+            start = i + 2
+            i += 2
+        else:
+            i += 1
+    parts.append(raw[start:].replace(b"\xff\x00", b"\xff"))
+
+    by, bx = (hh + 7) // 8, (ww + 7) // 8
+    n_blocks = by * bx
+    coefs = {cid: np.zeros((n_blocks, 64), dtype=np.int32) for cid, _ in comps}
+
+    order = [cid for cid, _, _ in scan_comps]
+    dcmap = {cid: htabs[0x00 | td] for cid, td, _ in scan_comps}
+    acmap = {cid: htabs[0x10 | ta] for cid, _, ta in scan_comps}
+
+    block = 0
+    for part in parts:
+        rdr = _BitReader(part)
+        preds = {cid: 0 for cid in order}
+        limit = (min(block + restart_interval, n_blocks)
+                 if restart_interval else n_blocks)
+        while block < limit:
+            for cid in order:
+                zz = coefs[cid][block]
+                sym = rdr.read_symbol(dcmap[cid])
+                diff = _extend(rdr.read(sym), sym)
+                preds[cid] += diff
+                zz[0] = preds[cid]
+                k = 1
+                while k < 64:
+                    rs = rdr.read_symbol(acmap[cid])
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("jpeg: AC index overflow")
+                    zz[k] = _extend(rdr.read(rs & 0x0F), rs & 0x0F)
+                    k += 1
+            block += 1
+
+    planes = []
+    for cid, tq in comps:
+        planes.append(_dequant_idct(coefs[cid], qtabs[tq], by, bx, hh, ww))
+    if len(planes) == 1:
+        y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return np.repeat(y[..., None], 3, axis=2)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

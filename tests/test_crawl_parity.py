@@ -135,17 +135,20 @@ def test_cuckoo_seen_filter_parity(spark, oracle):
         shutil.rmtree(wd, ignore_errors=True)
 
 
-def test_lossy_format_crawl_psnr_gate(spark):
-    """North-rule lossy branch: with the web serving the genuinely lossy
-    ``y4m`` image container (single-frame YUV4MPEG2 C444 — BT.601 rounding
-    loss), the crawl must still match the serial oracle bitwise (same
-    decoder both sides), AND every stored image must decode to within
-    PSNR ≥ 40 dB of the ORIGINAL rendered pixels, with caption equality."""
+@pytest.mark.parametrize("lossy_fmt", ["y4m", "jpg"])
+def test_lossy_format_crawl_psnr_gate(spark, lossy_fmt):
+    """North-rule lossy branch: with the web serving a genuinely lossy
+    image container (``y4m`` = single-frame YUV4MPEG2 C444, BT.601
+    rounding loss; ``jpg`` = real baseline JFIF with quantized-DCT loss,
+    functions/jpegcodec.py), the crawl must still match the serial oracle
+    bitwise (same codec both sides), AND every stored image must decode to
+    within PSNR ≥ 40 dB of the ORIGINAL rendered pixels, with caption
+    equality."""
     from etlpy_spark.functions.imagecodec import caption_for, render_pixels
 
     web = WebConfig(
         n_hosts=4, n_cats=2, pages_per_cat=10, politeness_budget=2,
-        skew_host0=2, force_fmt="y4m",
+        skew_host0=2, force_fmt=lossy_fmt,
     )
     orc = crawl_oracle(seed_urls(web, n_per_host=2), web, max_rounds=2)
     wd = tempfile.mkdtemp(prefix="crawl_lossy_")
@@ -157,7 +160,7 @@ def test_lossy_format_crawl_psnr_gate(spark):
         assert rows and set(rows) == set(orc.images)
         for iid, got in rows.items():
             exp = orc.images[iid]
-            assert got.fmt == "y4m" == exp["fmt"]
+            assert got.fmt == lossy_fmt == exp["fmt"]
             assert got.caption == exp["caption"] == caption_for(iid, web.seed)
             assert bytes(got.bytes) == exp["bytes"]  # same decoder → bitwise
             px = decode(bytes(got.bytes))
