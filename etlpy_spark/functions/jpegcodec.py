@@ -10,15 +10,17 @@ adds the real thing: a from-scratch baseline sequential DCT JPEG
 quantized-DCT loss in the file format the rule is about.
 
 Scope (honest limits, all checked with clear errors):
-  * encoder: baseline sequential, 8-bit, YCbCr 4:4:4 (no subsampling so a
-    quality>=90 encode stays over the 40 dB gate on sharp synthetic
-    fixtures), standard Annex K quantization tables scaled by the libjpeg
-    quality formula, standard Annex K Huffman tables, JFIF APP0 header.
-  * decoder: baseline sequential (SOF0) 8-bit, 1- or 3-component, any
-    sampling factors declared in SOF0 as long as they are 1x1 (4:4:4) --
-    subsampled streams raise NotImplementedError rather than mis-decode.
-    Restart markers (DRI/RSTn) are supported because real encoders emit
-    them; progressive (SOF2) and arithmetic coding are rejected.
+  * encoder: baseline sequential, 8-bit, YCbCr 4:4:4 (default -- no
+    subsampling, so a quality>=96 encode stays over the 40 dB gate on the
+    sharp synthetic fixtures) or 4:2:0 (2x2 box-averaged chroma, the
+    layout web JPEGs overwhelmingly use), standard Annex K quantization
+    tables scaled by the libjpeg quality formula, standard Annex K
+    Huffman tables, JFIF APP0 header, optional DRI/RSTn restart markers.
+  * decoder: baseline sequential (SOF0/1) 8-bit, 1- or 3-component,
+    ARBITRARY sampling factors 1..4 declared in SOF0 (4:2:0 / 4:2:2 /
+    4:4:0 / 4:1:1 all decode; chroma is upsampled nearest-neighbor),
+    restart markers. Progressive (SOF2), arithmetic coding, and 16-bit
+    quant tables are rejected rather than mis-decoded.
 
 All the block math (DCT, quantize, zigzag, color transform) is vectorized
 numpy over every 8x8 block at once; only the entropy coding loop is
@@ -372,24 +374,49 @@ def _extend(bits: int, cat: int) -> int:
 
 
 def encode_jpeg(px: np.ndarray, quality: int = 92,
-                restart_interval: int = 0) -> bytes:
-    """uint8 HxWx3 RGB -> baseline JFIF bytes (4:4:4, standard tables).
+                restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
+    """uint8 HxWx3 RGB -> baseline JFIF bytes (standard tables).
 
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (what real encoders do for error resilience); 0 omits
-    them."""
+    them. ``subsampling`` is ``'444'`` (default — the only mode that can
+    hold a PSNR >= 40 dB gate on high-chroma-frequency content) or
+    ``'420'`` (2x2 box-averaged chroma in 16x16 MCUs — what web JPEGs
+    overwhelmingly use; expect ~27 dB on the procedural fixtures, same
+    as Y4M C420)."""
     if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 HxWx3 RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w = px.shape[:2]
     if h > 0xFFFF or w > 0xFFFF:
         raise ValueError("jpeg: dimension > 65535")
     qy, qc = quant_tables(quality)
     ycc = _rgb_to_ycbcr(px)
-    comps = [
-        _fdct_quant(ycc[..., 0], qy),
-        _fdct_quant(ycc[..., 1], qc),
-        _fdct_quant(ycc[..., 2], qc),
-    ]
+    if subsampling == "420":
+        # pad planes to 16-multiples so the chroma planes land exactly on
+        # 8-multiples and chroma raster-block order == MCU order
+        ph, pw = -h % 16, -w % 16
+        if ph or pw:
+            ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        cb = ycc[..., 1].reshape(ycc.shape[0] // 2, 2, ycc.shape[1] // 2, 2)
+        cr = ycc[..., 2].reshape(ycc.shape[0] // 2, 2, ycc.shape[1] // 2, 2)
+        comps = [
+            _fdct_quant(ycc[..., 0], qy),
+            _fdct_quant(cb.mean(axis=(1, 3)), qc),
+            _fdct_quant(cr.mean(axis=(1, 3)), qc),
+        ]
+        samp = (0x22, 0x11, 0x11)
+        mcux, mcuy = ycc.shape[1] // 16, ycc.shape[0] // 16
+    else:
+        comps = [
+            _fdct_quant(ycc[..., 0], qy),
+            _fdct_quant(ycc[..., 1], qc),
+            _fdct_quant(ycc[..., 2], qc),
+        ]
+        samp = (0x11, 0x11, 0x11)
+        mcux, mcuy = (w + 7) // 8, (h + 7) // 8
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -399,8 +426,8 @@ def encode_jpeg(px: np.ndarray, quality: int = 92,
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(int(v) for v in qt.reshape(64)[_ZZ])  # zigzag order
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += struct.pack(">BBB", cid, 0x11, tq)  # 1x1 sampling = 4:4:4
+    for (cid, tq), hv in zip(((1, 0), (2, 1), (3, 1)), samp):
+        out += struct.pack(">BBB", cid, hv, tq)
     for tc_th, bits, vals in (
         (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
         (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
@@ -419,16 +446,27 @@ def encode_jpeg(px: np.ndarray, quality: int = 92,
     wtr = _BitWriter()
     preds = [0, 0, 0]
     rst = 0
-    n_blocks = comps[0].shape[0]
-    for b in range(n_blocks):  # interleaved MCU order == block order at 4:4:4
-        if restart_interval and b and b % restart_interval == 0:
+    lbx = 2 * mcux if subsampling == "420" else mcux  # luma blocks per row
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
             wtr.put_marker(0xD0 + rst)
             rst = (rst + 1) & 7
             preds = [0, 0, 0]
-        for c in range(3):
-            t = 0 if c == 0 else 1
-            preds[c] = _encode_block(wtr, comps[c][b], preds[c],
-                                     _ENC_DC[t], _ENC_AC[t])
+        if subsampling == "420":
+            my, mx = divmod(m, mcux)
+            for r in (0, 1):  # 2x2 luma blocks, raster order within the MCU
+                for c in (0, 1):
+                    b = (2 * my + r) * lbx + (2 * mx + c)
+                    preds[0] = _encode_block(wtr, comps[0][b], preds[0],
+                                             _ENC_DC[0], _ENC_AC[0])
+            for ci in (1, 2):
+                preds[ci] = _encode_block(wtr, comps[ci][m], preds[ci],
+                                          _ENC_DC[1], _ENC_AC[1])
+        else:  # 4:4:4 — interleaved MCU order == raster block order
+            for ci in range(3):
+                t = 0 if ci == 0 else 1
+                preds[ci] = _encode_block(wtr, comps[ci][m], preds[ci],
+                                          _ENC_DC[t], _ENC_AC[t])
     out += wtr.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -486,10 +524,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "jpeg: chroma subsampling not supported (4:4:4 only)")
-                comps.append((cid, tq))
+                sh, sv = hv >> 4, hv & 0x0F
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(f"jpeg: illegal sampling factors {sh}x{sv}")
+                comps.append((cid, sh, sv, tq))
             sof = (hh, ww, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -533,45 +571,75 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             i += 1
     parts.append(raw[start:].replace(b"\xff\x00", b"\xff"))
 
-    by, bx = (hh + 7) // 8, (ww + 7) // 8
-    n_blocks = by * bx
-    coefs = {cid: np.zeros((n_blocks, 64), dtype=np.int32) for cid, _ in comps}
+    # MCU geometry (T.81 A.2.3): an MCU carries sh x sv blocks per
+    # component; the component's own plane is ceil(dim * s / smax).
+    hmax = max(sh for _, sh, _, _ in comps)
+    vmax = max(sv for _, _, sv, _ in comps)
+    if len(comps) == 1:
+        # a single-component scan is never interleaved (T.81 A.2.2):
+        # one 8x8 block per MCU regardless of declared factors
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+        hmax = vmax = 1
+    mcux = (ww + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (hh + 8 * vmax - 1) // (8 * vmax)
+    n_mcus = mcux * mcuy
+    geom = {cid: (sh, sv, mcux * sh, mcuy * sv) for cid, sh, sv, _ in comps}
+    coefs = {
+        cid: np.zeros((mcuy * sv * mcux * sh, 64), dtype=np.int32)
+        for cid, sh, sv, _ in comps
+    }
 
     order = [cid for cid, _, _ in scan_comps]
     dcmap = {cid: htabs[0x00 | td] for cid, td, _ in scan_comps}
     acmap = {cid: htabs[0x10 | ta] for cid, _, ta in scan_comps}
 
-    block = 0
+    mcu = 0
     for part in parts:
         rdr = _BitReader(part)
         preds = {cid: 0 for cid in order}
-        limit = (min(block + restart_interval, n_blocks)
-                 if restart_interval else n_blocks)
-        while block < limit:
+        limit = (min(mcu + restart_interval, n_mcus)
+                 if restart_interval else n_mcus)
+        while mcu < limit:
+            my, mx = divmod(mcu, mcux)
             for cid in order:
-                zz = coefs[cid][block]
-                sym = rdr.read_symbol(dcmap[cid])
-                diff = _extend(rdr.read(sym), sym)
-                preds[cid] += diff
-                zz[0] = preds[cid]
-                k = 1
-                while k < 64:
-                    rs = rdr.read_symbol(acmap[cid])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        raise ValueError("jpeg: AC index overflow")
-                    zz[k] = _extend(rdr.read(rs & 0x0F), rs & 0x0F)
-                    k += 1
-            block += 1
+                sh, sv, cbx, _ = geom[cid]
+                carr = coefs[cid]
+                dtab, atab = dcmap[cid], acmap[cid]
+                for r in range(sv):
+                    row = (my * sv + r) * cbx + mx * sh
+                    for c in range(sh):
+                        zz = carr[row + c]
+                        sym = rdr.read_symbol(dtab)
+                        diff = _extend(rdr.read(sym), sym)
+                        preds[cid] += diff
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = rdr.read_symbol(atab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            zz[k] = _extend(rdr.read(rs & 0x0F), rs & 0x0F)
+                            k += 1
+            mcu += 1
 
     planes = []
-    for cid, tq in comps:
-        planes.append(_dequant_idct(coefs[cid], qtabs[tq], by, bx, hh, ww))
+    for cid, sh, sv, tq in comps:
+        cbx, cby = geom[cid][2], geom[cid][3]
+        cw = (ww * sh + hmax - 1) // hmax
+        ch = (hh * sv + vmax - 1) // vmax
+        plane = _dequant_idct(coefs[cid], qtabs[tq], cby, cbx, ch, cw)
+        if sh != hmax or sv != vmax:
+            # nearest-neighbor chroma upsample to full resolution
+            yi = (np.arange(hh) * sv) // vmax
+            xi = (np.arange(ww) * sh) // hmax
+            plane = plane[yi][:, xi]
+        planes.append(plane)
     if len(planes) == 1:
         y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
         return np.repeat(y[..., None], 3, axis=2)

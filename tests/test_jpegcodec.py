@@ -91,10 +91,10 @@ def test_unsupported_streams_rejected_not_misdecoded():
     prog = bytes(data[:sof]) + b"\xff\xc2" + bytes(data[sof + 2 :])
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg(prog)
-    # chroma subsampling declared in SOF0 must raise (we only do 4:4:4)
+    # illegal sampling factors (0 or >4) must raise, not wrap/garbage
     sub = bytearray(data)
-    sub[sof + 11] = 0x22  # first component h/v sampling factors
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    sub[sof + 11] = 0x50  # first component h=5, v=0
+    with pytest.raises(ValueError, match="sampling"):
         decode_jpeg(bytes(sub))
     # truncated entropy data must raise cleanly (use a noisy payload so
     # the entropy segment is long enough that -200 bytes stays inside it)
@@ -107,6 +107,38 @@ def test_unsupported_streams_rejected_not_misdecoded():
         decode_jpeg(noisy[: len(noisy) - 200] + b"\xff\xd9")
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG")
+
+
+def test_420_chroma_subsampling_roundtrip():
+    """4:2:0 — the layout real web JPEGs use — must round-trip at the
+    declared size for every dim parity (16-multiple, odd, tiny), decode
+    identically with and without restart markers (interval counts MCUs,
+    not blocks), and degrade only chroma: on grayscale content 4:2:0
+    matches 4:4:4; on high-chroma-frequency fixtures it lands ~27 dB
+    (which is WHY the image-table wrapper stays 4:4:4 — same story as
+    Y4M C420, tests/test_mediacodec.py)."""
+    rng = np.random.default_rng(13)
+    for h, w in [(16, 16), (17, 23), (100, 37), (1, 1), (3, 200)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=90, subsampling="420"))
+        assert out.shape == px.shape
+    px = rng.integers(0, 256, (48, 80, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quality=85, subsampling="420"))
+    for ri in (1, 3, 5):
+        data = encode_jpeg(px, quality=85, subsampling="420", restart_interval=ri)
+        assert np.array_equal(decode_jpeg(data), base)
+    # grayscale content: chroma planes are constant → 420 == 444 quality
+    g = ((np.mgrid[0:64, 0:96].sum(axis=0)) * 255 // 160).astype(np.uint8)
+    gray = np.stack([g, g, g], axis=-1)
+    p444 = _psnr(gray, decode_jpeg(encode_jpeg(gray, quality=92)))
+    p420 = _psnr(gray, decode_jpeg(encode_jpeg(gray, quality=92, subsampling="420")))
+    assert abs(p444 - p420) < 1.0 and p420 >= 40.0
+    # chroma-heavy fixture: 420 must be clearly lossier than 444
+    fix = ic.render_pixels("img-3", 42, 1)
+    assert _psnr(fix, decode_jpeg(encode_jpeg(fix, quality=92, subsampling="420"))) \
+        < _psnr(fix, decode_jpeg(encode_jpeg(fix, quality=92))) - 5.0
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(px, subsampling="422")
 
 
 def test_imagecodec_integration_sniff_encode_decode():
