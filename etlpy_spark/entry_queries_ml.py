@@ -88,9 +88,12 @@ def q_ann_ivf(spark, sf_dir):
 
 def q_text_suite(spark, sf_dir):
     """lang-id + quality score + token counts + rolling-hash fingerprint in
-    one pass over documents — all pure Column exprs, zero UDFs."""
+    one pure-Column projection pass over documents, joined with the
+    Gopher-rule repetition signals (dup-line / top-2-gram / dup-3-gram
+    char fractions — explode + map-side-combinable aggregates). Zero
+    Python eval nodes anywhere in the plan."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    feats = d.select(
         "doc_id",
         tx.lang_id("text").alias("lang_pred"),
         tx.quality_score("text").alias("quality"),
@@ -98,6 +101,8 @@ def q_text_suite(spark, sf_dir):
         tx.whitespace_token_count("text").alias("n_ws_tokens"),
         tx.fingerprint("text").alias("fp"),
     )
+    rep = tx.repetition_metrics(d, top_n=2, dup_n=3)
+    return feats.join(rep, "doc_id")
 
 
 def q_image_pipeline(spark, sf_dir):
@@ -394,13 +399,68 @@ _FINGERPRINT_SQL = """
 """
 
 
+_REPETITION_SQL = r"""
+    WITH rep_lines AS (
+      SELECT doc_id, trim(l) AS line
+      FROM documents, unnest(string_split(text, chr(10))) AS u(l)
+      WHERE length(trim(l)) > 0
+    ),
+    rep_lagg AS (
+      SELECT doc_id, sum(cnt) AS nl, count(*) AS ndl,
+             sum(cnt * length(line)) AS lch,
+             sum((cnt - 1) * length(line)) AS dlch
+      FROM (SELECT doc_id, line, count(*) AS cnt FROM rep_lines GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    rep_words AS (
+      SELECT doc_id, length(text) AS nchars,
+             regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    rep_t2 AS (
+      SELECT doc_id, max(cnt * length(g)) AS topch
+      FROM (
+        SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+              FROM rep_words, unnest(generate_series(1, len(w) - 1)) t(i))
+        GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    rep_d3 AS (
+      SELECT doc_id,
+             sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dupch
+      FROM (
+        SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM rep_words, unnest(generate_series(1, len(w) - 2)) t(i))
+        GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(nl, 0) AS n_lines,
+           ROUND(COALESCE((nl - ndl) * 1.0 / nl, 0), 4) AS dup_line_frac,
+           ROUND(COALESCE(dlch * 1.0 / lch, 0), 4) AS dup_line_char_frac,
+           ROUND(LEAST(COALESCE(topch, 0) * 1.0 / GREATEST(length(d.text), 1), 1.0), 4)
+             AS top_ngram_char_frac,
+           ROUND(LEAST(COALESCE(dupch, 0) * 1.0 / GREATEST(length(d.text), 1), 1.0), 4)
+             AS dup_ngram_char_frac
+    FROM documents d
+    LEFT JOIN rep_lagg USING (doc_id)
+    LEFT JOIN rep_t2 USING (doc_id)
+    LEFT JOIN rep_d3 USING (doc_id)
+"""
+
+
 def _text_suite_sql() -> str:
     return f"""
-        SELECT L.doc_id, L.lang_pred, Q.quality, T.n_tokens, T.n_ws_tokens, Fp.fp
+        SELECT L.doc_id, L.lang_pred, Q.quality, T.n_tokens, T.n_ws_tokens, Fp.fp,
+               R.n_lines, R.dup_line_frac, R.dup_line_char_frac,
+               R.top_ngram_char_frac, R.dup_ngram_char_frac
         FROM ({_lang_sql()}) L
         JOIN ({_quality_sql()}) Q USING (doc_id)
         JOIN ({_TOKENS_SQL}) T USING (doc_id)
         JOIN ({_FINGERPRINT_SQL}) Fp USING (doc_id)
+        JOIN ({_REPETITION_SQL}) R USING (doc_id)
     """
 
 

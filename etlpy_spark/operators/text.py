@@ -137,6 +137,126 @@ def redact_pii(col: Column | str, kinds: list[str] | None = None) -> Column:
     return c
 
 
+# --- repetition quality signals (Gopher rules) -----------------------------
+# The standard public web-corpus repetition filters (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Appendix A1.1): documents whose
+# content is dominated by repeated lines or n-grams are boilerplate/spam
+# and get filtered before training. All shapes below are explode +
+# map-side-combinable hash aggregates keyed by (doc, line|gram) — the
+# shuffle carries one row per DISTINCT line/gram per doc, never the raw
+# text twice, so the pass scales like the n-gram dedup miners.
+
+
+def _word_ngrams(col: Column | str, n: int) -> Column:
+    """ALL word n-grams in order (duplicates preserved — repetition is the
+    signal here, so unlike dedup.word_shingles there is no array_distinct)."""
+    c = F.col(col) if isinstance(col, str) else col
+    ws = F.split(F.trim(c), r"\s+")
+    k = F.size(ws) - F.lit(n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Per-document repetition signals → (id, n_lines, dup_line_frac,
+    dup_line_char_frac, top_ngram_char_frac, dup_ngram_char_frac).
+
+    Definitions (Gopher A1.1 conventions, simplified where noted):
+      * a "line" is a non-empty trimmed '\\n' segment;
+      * dup_line_frac        = lines beyond the first occurrence / lines;
+      * dup_line_char_frac   = chars in those repeat occurrences / chars in
+                               all lines;
+      * top_ngram_char_frac  = chars covered by the single most frequent
+                               word ``top_n``-gram / doc chars;
+      * dup_ngram_char_frac  = chars covered by all ``dup_n``-grams seen
+                               more than once / doc chars (not
+                               overlap-adjusted — the cheap upper bound).
+    Fractions are rounded to 4 dp; docs with no lines/grams score 0.0.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).withColumn("_nchars", F.length("_t"))
+
+    lines = (
+        base.select("_id", F.explode(F.split("_t", "\n")).alias("_raw"))
+        .select("_id", F.trim("_raw").alias("_line"))
+        .where(F.length("_line") > 0)
+    )
+    lagg = (
+        lines.groupBy("_id", "_line")
+        .agg(F.count("*").alias("_cnt"))
+        .groupBy("_id")
+        .agg(
+            F.sum("_cnt").alias("_nl"),
+            F.count("*").alias("_ndl"),
+            F.sum(F.col("_cnt") * F.length("_line")).alias("_lch"),
+            F.sum((F.col("_cnt") - 1) * F.length("_line")).alias("_dlch"),
+        )
+    )
+
+    def gram_agg(n: int, dup_only: bool) -> DataFrame:
+        counts = (
+            base.select("_id", F.explode(_word_ngrams("_t", n)).alias("_g"))
+            .groupBy("_id", "_g")
+            .agg(F.count("*").alias("_cnt"))
+        )
+        if dup_only:
+            return counts.groupBy("_id").agg(
+                F.sum(
+                    F.when(F.col("_cnt") > 1, F.col("_cnt") * F.length("_g"))
+                    .otherwise(F.lit(0))
+                ).alias("_dupch")
+            )
+        return counts.groupBy("_id").agg(
+            F.max(F.col("_cnt") * F.length("_g")).alias("_topch")
+        )
+
+    out = (
+        base.select("_id", "_nchars")
+        .join(lagg, "_id", "left")
+        .join(gram_agg(top_n, dup_only=False), "_id", "left")
+        .join(gram_agg(dup_n, dup_only=True), "_id", "left")
+    )
+    zero = F.lit(0.0)
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.coalesce("_nl", F.lit(0)).cast("long").alias("n_lines"),
+        F.round(
+            F.coalesce((F.col("_nl") - F.col("_ndl")) / F.col("_nl"), zero), 4
+        ).alias("dup_line_frac"),
+        F.round(F.coalesce(F.col("_dlch") / F.col("_lch"), zero), 4).alias(
+            "dup_line_char_frac"
+        ),
+        # coalesce BEFORE least: Spark's least() skips nulls, so a null
+        # ratio (no grams / empty doc) would otherwise score 1.0
+        F.round(
+            F.least(
+                F.coalesce("_topch", F.lit(0)) / F.greatest("_nchars", F.lit(1)),
+                F.lit(1.0),
+            ),
+            4,
+        ).alias("top_ngram_char_frac"),
+        F.round(
+            F.least(
+                F.coalesce("_dupch", F.lit(0)) / F.greatest("_nchars", F.lit(1)),
+                F.lit(1.0),
+            ),
+            4,
+        ).alias("dup_ngram_char_frac"),
+    )
+
+
 def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     return (
         df.withColumn("lang_pred", lang_id(col))

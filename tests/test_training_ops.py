@@ -249,3 +249,67 @@ def test_embedding_mega_bucket_star_path(spark):
     got = dd.embedding_near_dup_pairs(df, threshold=0.95, max_bucket=3).collect()
     assert got and all(r.id_a == 0 and r.cos == 1.0 for r in got)
     assert {r.id_b for r in got} == set(range(1, 40))
+
+
+def test_repetition_metrics_differential(spark):
+    """Gopher repetition signals vs an independent pure-Python replica on
+    crafted docs: a clean doc, a line-spam doc, a 2-gram chant, a
+    duplicated-3-gram doc, an empty doc, and a one-word doc."""
+    from etlpy_spark.operators.text import repetition_metrics
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta\neta theta iota kappa"),
+        (2, "buy now\nbuy now\nbuy now\nlimited offer\nbuy now"),
+        (3, "ho ho ho ho ho ho ho ho"),
+        (4, "one two three four one two three nine one two three"),
+        (5, ""),
+        (6, "word"),
+        (7, "  spaced   out\n\n  spaced   out  \nsolo  "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.asDict()
+        for r in repetition_metrics(df, top_n=2, dup_n=3).collect()
+    }
+
+    def replica(text, top_n=2, dup_n=3):
+        from collections import Counter
+
+        nchars = len(text)
+        lines = [l.strip() for l in text.split("\n")]
+        lines = [l for l in lines if l]
+        lc = Counter(lines)
+        nl, ndl = len(lines), len(lc)
+        lch = sum(c * len(l) for l, c in lc.items())
+        dlch = sum((c - 1) * len(l) for l, c in lc.items())
+        # Spark split(trim(x), '\s+') on ''/whitespace gives [''] (size 1)
+        words = text.strip().split() or [""]
+        def grams(n):
+            return Counter(
+                " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+            )
+        g_top, g_dup = grams(top_n), grams(dup_n)
+        topch = max((c * len(g) for g, c in g_top.items()), default=None)
+        dupch = sum(c * len(g) for g, c in g_dup.items() if c > 1) if g_dup else None
+        out = dict(
+            n_lines=nl,
+            dup_line_frac=round((nl - ndl) / nl, 4) if nl else 0.0,
+            dup_line_char_frac=round(dlch / lch, 4) if lch else 0.0,
+            top_ngram_char_frac=round(min(topch / nchars, 1.0), 4)
+            if topch is not None and nchars
+            else 0.0,
+            dup_ngram_char_frac=round(min(dupch / nchars, 1.0), 4)
+            if dupch is not None and nchars
+            else 0.0,
+        )
+        return out
+
+    for doc_id, text in docs:
+        exp = replica(text)
+        act = {k: v for k, v in got[doc_id].items() if k != "doc_id"}
+        for k in exp:
+            assert act[k] == pytest.approx(exp[k], abs=1e-9), (doc_id, k, act, exp)
+    # sanity on the signal itself: spam docs score far above the clean doc
+    assert got[2]["dup_line_frac"] > 0.5 > got[1]["dup_line_frac"]
+    assert got[3]["top_ngram_char_frac"] > 0.3 > got[1]["top_ngram_char_frac"]
+    assert got[4]["dup_ngram_char_frac"] > 0.5 > got[1]["dup_ngram_char_frac"]

@@ -106,9 +106,11 @@ AUDITS = [
         "text_suite",
         dict(requires=["codegen id"],
              forbids=["BatchEvalPython", "ArrowEvalPython"]),
-        "lang-id + quality + token counts + fingerprint in ONE projection "
-        "pass: 100% JVM-side Column expressions — zero Python eval nodes "
-        "in the plan, full codegen.",
+        "lang-id + quality + token counts + fingerprint in one projection "
+        "pass, joined with the Gopher repetition signals (explode + "
+        "map-side-combinable hash aggregates keyed by (doc, line|gram)): "
+        "100% JVM-side Column expressions — zero Python eval nodes in the "
+        "plan, codegen throughout.",
     ),
 ]
 
