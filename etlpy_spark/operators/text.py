@@ -184,8 +184,12 @@ def repetition_metrics(
                                overlap-adjusted — the cheap upper bound).
     Fractions are rounded to 4 dp; docs with no lines/grams score 0.0.
     """
-    base = df.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    from etlpy_spark.operators.dedup import _spread
+
+    # _spread: a small parquet scan is 1-2 partitions, which would run
+    # every explode/gram evaluation serially; no-op at real scale
+    base = _spread(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     ).withColumn("_nchars", F.length("_t"))
 
     lines = (
@@ -205,6 +209,9 @@ def repetition_metrics(
         )
     )
 
+    # (measured: tag-fusing both gram sizes into one explode/shuffle LOSES
+    # ~50% — the per-gram tag concat costs more than the saved small
+    # shuffle; two plain branches it is)
     def gram_agg(n: int, dup_only: bool) -> DataFrame:
         counts = (
             base.select("_id", F.explode(_word_ngrams("_t", n)).alias("_g"))
