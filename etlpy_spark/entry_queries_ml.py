@@ -9,6 +9,8 @@ the same pattern the crawl-parity oracles use."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -19,9 +21,11 @@ from etlpy_spark.operators import text as tx
 
 OFFSET = 100_000
 
-# the driver compares at sf=0.01; procedural oracles replicate over the
-# same table the Spark side reads there
-_DRIVER_SF_DIR = "/root/testdata/sf0.01"
+# the driver compares at sf=0.01; procedural (VALUES/serial-replica)
+# oracles replicate over the same table the Spark side reads there.
+# ETLPY_ORACLE_SF_DIR lets a local harness re-point them when verifying
+# at a different scale factor (tools/verify_queries.py sets it).
+_DRIVER_SF_DIR = os.environ.get("ETLPY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _t(spark, sf_dir, name) -> DataFrame:

@@ -34,6 +34,11 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # procedural (VALUES) oracles must replicate over the SAME sf dir the
+    # Spark queries read; set before the entry import builds them
+    import os
+
+    os.environ["ETLPY_ORACLE_SF_DIR"] = sf_dir
     import __spark_entry__ as entry
     from etlpy_spark.session import get_spark
 
