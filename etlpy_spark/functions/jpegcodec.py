@@ -10,7 +10,8 @@ adds the real thing: a from-scratch baseline sequential DCT JPEG
 quantized-DCT loss in the file format the rule is about.
 
 Scope (honest limits, all checked with clear errors):
-  * encoder: baseline sequential, 8-bit, YCbCr 4:4:4 (default -- no
+  * encoder: baseline sequential, 8-bit, single-component grayscale
+    (HxW input) or YCbCr 4:4:4 (default -- no
     subsampling, so a quality>=96 encode stays over the 40 dB gate on the
     sharp synthetic fixtures) or 4:2:0 (2x2 box-averaged chroma, the
     layout web JPEGs overwhelmingly use), standard Annex K quantization
@@ -373,10 +374,49 @@ def _extend(bits: int, cat: int) -> int:
 # encoder
 
 
+def _encode_gray(px: np.ndarray, qy: np.ndarray, quality: int,
+                 restart_interval: int) -> bytes:
+    """Single-component (grayscale) baseline JFIF — the other scan shape
+    real web JPEGs use; decode_jpeg replicates it to HxWx3."""
+    h, w = px.shape
+    blocks = _fdct_quant(px.astype(np.float64), qy)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0)
+    out += bytes(int(v) for v in qy.reshape(64)[_ZZ])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    for tc_th, bits, vals in (
+        (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += struct.pack(">BB", 1, 0x00)
+    out += b"\x00\x3f\x00"
+    wtr = _BitWriter()
+    pred, rst = 0, 0
+    for b in range(blocks.shape[0]):
+        if restart_interval and b and b % restart_interval == 0:
+            wtr.put_marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            pred = 0
+        pred = _encode_block(wtr, blocks[b], pred, _ENC_DC[0], _ENC_AC[0])
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg(px: np.ndarray, quality: int = 92,
                 restart_interval: int = 0,
                 subsampling: str = "444") -> bytes:
-    """uint8 HxWx3 RGB -> baseline JFIF bytes (standard tables).
+    """uint8 HxWx3 RGB (or HxW grayscale) -> baseline JFIF bytes
+    (standard tables).
 
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (what real encoders do for error resilience); 0 omits
@@ -385,14 +425,19 @@ def encode_jpeg(px: np.ndarray, quality: int = 92,
     ``'420'`` (2x2 box-averaged chroma in 16x16 MCUs — what web JPEGs
     overwhelmingly use; expect ~27 dB on the procedural fixtures, same
     as Y4M C420)."""
-    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
-        raise ValueError("encode_jpeg expects uint8 HxWx3 RGB")
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("encode_jpeg expects uint8 HxWx3 RGB or HxW gray")
+    if px.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8 pixels")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     h, w = px.shape[:2]
     if h > 0xFFFF or w > 0xFFFF:
         raise ValueError("jpeg: dimension > 65535")
     qy, qc = quant_tables(quality)
+    if gray:
+        return _encode_gray(px, qy, quality, restart_interval)
     ycc = _rgb_to_ycbcr(px)
     if subsampling == "420":
         # pad planes to 16-multiples so the chroma planes land exactly on

@@ -188,3 +188,25 @@ def test_prop_restart_interval_pixel_exact(ri, seed):
     a = decode_jpeg(encode_jpeg(px, quality=85))
     b = decode_jpeg(encode_jpeg(px, quality=85, restart_interval=ri))
     assert np.array_equal(a, b)
+
+
+def test_grayscale_single_component_roundtrip():
+    """1-component (grayscale) streams — the other scan shape real web
+    JPEGs use. decode_jpeg replicates the luma plane to HxWx3; restart
+    markers behave identically to the 3-component path."""
+    rng = np.random.default_rng(4)
+    for h, w in [(8, 8), (17, 23), (100, 37), (1, 1)]:
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(g, quality=92))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out[..., 0], out[..., 1])
+        assert np.array_equal(out[..., 0], out[..., 2])
+    yy, xx = np.mgrid[0:64, 0:96]
+    g = ((xx + yy) * 255 // 160).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=92))
+    assert _psnr(np.stack([g] * 3, -1), dec) >= 40.0
+    g2 = rng.integers(0, 256, (40, 72), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(g2, quality=88))
+    for ri in (1, 3, 7):
+        data = encode_jpeg(g2, quality=88, restart_interval=ri)
+        assert np.array_equal(decode_jpeg(data), base)
