@@ -217,12 +217,12 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
 
 
 def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
-    cb = cb - 128.0
-    cr = cr - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+    # same BT.601 full-range inverse as the y4m path -- one copy of the
+    # constants (the forward transform here stays float, pre-DCT, so it is
+    # NOT shared with mediacodec's uint8-rounding _rgb_to_yuv)
+    from etlpy_spark.functions.mediacodec import _yuv_to_rgb
+
+    return _yuv_to_rgb(np.stack([y, cb, cr], axis=-1))
 
 
 # ---------------------------------------------------------------------------
@@ -374,7 +374,7 @@ def _extend(bits: int, cat: int) -> int:
 # encoder
 
 
-def _encode_gray(px: np.ndarray, qy: np.ndarray, quality: int,
+def _encode_gray(px: np.ndarray, qy: np.ndarray,
                  restart_interval: int) -> bytes:
     """Single-component (grayscale) baseline JFIF — the other scan shape
     real web JPEGs use; decode_jpeg replicates it to HxWx3."""
@@ -437,7 +437,7 @@ def encode_jpeg(px: np.ndarray, quality: int = 92,
         raise ValueError("jpeg: dimension > 65535")
     qy, qc = quant_tables(quality)
     if gray:
-        return _encode_gray(px, qy, quality, restart_interval)
+        return _encode_gray(px, qy, restart_interval)
     ycc = _rgb_to_ycbcr(px)
     if subsampling == "420":
         # pad planes to 16-multiples so the chroma planes land exactly on
@@ -530,10 +530,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htabs: dict[int, _HuffTable] = {}
     sof = None
     restart_interval = 0
-    scan = None
+    scans: list[tuple[list, bytes]] = []
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: bad marker sync")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            break
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -592,39 +597,36 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         and not (0xD0 <= data[end + 1] <= 0xD7):
                     break
                 end += 1
-            scan = (scan_comps, data[pos:end])
+            scans.append((scan_comps, data[pos:end]))
             pos = end
         # APPn/COM/others: skipped via seglen
-    if sof is None or scan is None:
+    if sof is None or not scans:
         raise ValueError("jpeg: missing SOF/SOS")
 
     hh, ww, comps = sof
-    scan_comps, raw = scan
-    # split on RSTn FIRST (in the stuffed stream a data 0xFF is always
-    # followed by 0x00, so FF Dn is unambiguously a marker), THEN destuff
-    # each part -- destuffing first can expose a data 0xFF next to a data
-    # 0xD0..0xD7 byte and mis-split the scan.
-    parts = []
-    i = 0
-    start = 0
-    while i < len(raw) - 1:
-        if raw[i] == 0xFF and 0xD0 <= raw[i + 1] <= 0xD7:
-            parts.append(raw[start:i].replace(b"\xff\x00", b"\xff"))
-            start = i + 2
-            i += 2
-        else:
-            i += 1
-    parts.append(raw[start:].replace(b"\xff\x00", b"\xff"))
 
-    # MCU geometry (T.81 A.2.3): an MCU carries sh x sv blocks per
-    # component; the component's own plane is ceil(dim * s / smax).
+    def split_restarts(raw: bytes) -> list[bytes]:
+        # split on RSTn FIRST (in the stuffed stream a data 0xFF is always
+        # followed by 0x00, so FF Dn is unambiguously a marker), THEN
+        # destuff each part -- destuffing first can expose a data 0xFF next
+        # to a data 0xD0..0xD7 byte and mis-split the scan.
+        parts = []
+        i = 0
+        start = 0
+        while i < len(raw) - 1:
+            if raw[i] == 0xFF and 0xD0 <= raw[i + 1] <= 0xD7:
+                parts.append(raw[start:i].replace(b"\xff\x00", b"\xff"))
+                start = i + 2
+                i += 2
+            else:
+                i += 1
+        parts.append(raw[start:].replace(b"\xff\x00", b"\xff"))
+        return parts
+
+    # MCU geometry (T.81 A.2.3): an interleaved MCU carries sh x sv blocks
+    # per component; a component's own plane is ceil(dim * s / smax).
     hmax = max(sh for _, sh, _, _ in comps)
     vmax = max(sv for _, _, sv, _ in comps)
-    if len(comps) == 1:
-        # a single-component scan is never interleaved (T.81 A.2.2):
-        # one 8x8 block per MCU regardless of declared factors
-        comps = [(comps[0][0], 1, 1, comps[0][3])]
-        hmax = vmax = 1
     mcux = (ww + 8 * hmax - 1) // (8 * hmax)
     mcuy = (hh + 8 * vmax - 1) // (8 * vmax)
     n_mcus = mcux * mcuy
@@ -634,44 +636,79 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         for cid, sh, sv, _ in comps
     }
 
-    order = [cid for cid, _, _ in scan_comps]
-    dcmap = {cid: htabs[0x00 | td] for cid, td, _ in scan_comps}
-    acmap = {cid: htabs[0x10 | ta] for cid, _, ta in scan_comps}
+    def read_block(rdr: _BitReader, zz: np.ndarray, pred: int,
+                   dtab: _HuffTable, atab: _HuffTable) -> int:
+        sym = rdr.read_symbol(dtab)
+        pred += _extend(rdr.read(sym), sym)
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = rdr.read_symbol(atab)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("jpeg: AC index overflow")
+            zz[k] = _extend(rdr.read(rs & 0x0F), rs & 0x0F)
+            k += 1
+        return pred
 
-    mcu = 0
-    for part in parts:
-        rdr = _BitReader(part)
-        preds = {cid: 0 for cid in order}
-        limit = (min(mcu + restart_interval, n_mcus)
-                 if restart_interval else n_mcus)
-        while mcu < limit:
-            my, mx = divmod(mcu, mcux)
-            for cid in order:
-                sh, sv, cbx, _ = geom[cid]
-                carr = coefs[cid]
-                dtab, atab = dcmap[cid], acmap[cid]
-                for r in range(sv):
-                    row = (my * sv + r) * cbx + mx * sh
-                    for c in range(sh):
-                        zz = carr[row + c]
-                        sym = rdr.read_symbol(dtab)
-                        diff = _extend(rdr.read(sym), sym)
-                        preds[cid] += diff
-                        zz[0] = preds[cid]
-                        k = 1
-                        while k < 64:
-                            rs = rdr.read_symbol(atab)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            zz[k] = _extend(rdr.read(rs & 0x0F), rs & 0x0F)
-                            k += 1
-            mcu += 1
+    # Decode every scan. Baseline allows the frame's components to arrive
+    # either interleaved in one scan or as one single-component scan each
+    # (T.81 A.2); a single-component scan is never interleaved -- its data
+    # units walk the COMPONENT's own block grid in raster order, one block
+    # per MCU (so DRI counts blocks there). DC prediction resets per scan.
+    for scan_comps, raw in scans:
+        order = [cid for cid, _, _ in scan_comps]
+        dcmap = {cid: htabs[0x00 | td] for cid, td, _ in scan_comps}
+        acmap = {cid: htabs[0x10 | ta] for cid, _, ta in scan_comps}
+        if any(cid not in geom for cid in order):
+            raise ValueError("jpeg: scan references unknown component")
+        if len(order) == 1:
+            cid0 = order[0]
+            sh, sv, cbx, _ = geom[cid0]
+            cw = (ww * sh + hmax - 1) // hmax
+            chh = (hh * sv + vmax - 1) // vmax
+            bw = (cw + 7) // 8
+            units = bw * ((chh + 7) // 8)
+        elif len(order) == len(comps):
+            units = n_mcus
+        else:
+            # partially-interleaved scans change the MCU geometry
+            # (T.81 A.2.3 over a component subset) -- reject, don't guess
+            raise NotImplementedError("jpeg: partially interleaved scan")
+        unit = 0
+        for part in split_restarts(raw):
+            rdr = _BitReader(part)
+            preds = {cid: 0 for cid in order}
+            limit = (min(unit + restart_interval, units)
+                     if restart_interval else units)
+            while unit < limit:
+                if len(order) == 1:
+                    bry, brx = divmod(unit, bw)
+                    preds[cid0] = read_block(
+                        rdr, coefs[cid0][bry * cbx + brx], preds[cid0],
+                        dcmap[cid0], acmap[cid0],
+                    )
+                else:
+                    my, mx = divmod(unit, mcux)
+                    for cid in order:
+                        sh, sv, cbx2, _ = geom[cid]
+                        carr = coefs[cid]
+                        for r in range(sv):
+                            row = (my * sv + r) * cbx2 + mx * sh
+                            for c in range(sh):
+                                preds[cid] = read_block(
+                                    rdr, carr[row + c], preds[cid],
+                                    dcmap[cid], acmap[cid],
+                                )
+                unit += 1
+    decoded = {cid for sc, _ in scans for cid, _, _ in sc}
+    if decoded != set(geom):
+        raise ValueError("jpeg: scans do not cover all frame components")
 
     planes = []
     for cid, sh, sv, tq in comps:

@@ -45,8 +45,15 @@ def encode_wav(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
         pcm = pcm[:, None]
     n, ch = pcm.shape
     bits = pcm.dtype.itemsize * 8
-    if bits not in _WAV_DTYPES:
-        raise ValueError(f"unsupported PCM width {bits}")
+    # width alone is not enough: float32/uint32 share itemsizes with the
+    # integer PCM dtypes and an astype would silently truncate (float
+    # audio -> all-zero samples). Reject anything but the exact PCM kinds.
+    kind = pcm.dtype.kind
+    if not ((kind == "u" and bits == 8) or (kind == "i" and bits in (16, 32))):
+        raise ValueError(
+            f"unsupported PCM dtype {pcm.dtype}: uint8/int16/int32 required "
+            "(scale float audio to integer PCM first)"
+        )
     data = np.ascontiguousarray(pcm.astype(_WAV_DTYPES[bits], copy=False)).tobytes()
     block = ch * bits // 8
     fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, bits)
@@ -71,6 +78,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         payload = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(payload) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", payload[:16])
         elif cid == b"data":
             raw = payload
@@ -80,6 +89,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     audio_format, ch, rate, _, _, bits = fmt
     if audio_format != 1:
         raise ValueError(f"only integer PCM supported (format {audio_format})")
+    if ch < 1:
+        raise ValueError(f"bad channel count {ch}")
     dt = _WAV_DTYPES.get(bits)
     if dt is None:
         raise ValueError(f"unsupported PCM width {bits}")

@@ -86,7 +86,11 @@ def prepare_corpus(
         & (F.col("dup_ngram_char_frac") <= F.lit(max_dup_ngram_char_frac))
     )
     if redact_pii:
-        out = out.withColumn(text_col, tx.redact_pii(text_col))
+        # re-count tokens over the REDACTED text: downstream packing bins
+        # on n_tokens, and '[EMAIL]' tokenizes differently than the PII it
+        # replaced -- stale counts would mis-fill context-window bins
+        out = out.withColumn(text_col, tx.redact_pii(text_col)) \
+            .withColumn("n_tokens", tx.token_count(text_col))
     if dedup_strategy is not None:
         out = dedup_documents(
             out,

@@ -561,7 +561,7 @@ def mark_contaminated(
     bench_side = F.broadcast(bench_sh) if n_bench <= broadcast_limit else bench_sh
     doc_sh = df.select(
         F.col(id_col).alias("__did__"),
-        F.explode_outer(shingle_hashes(word_shingles(text_col, n))).alias("__bh__"),
+        F.explode(shingle_hashes(word_shingles(text_col, n))).alias("__bh__"),
     )
     hits = (
         doc_sh.join(bench_side, on="__bh__", how="inner")

@@ -108,3 +108,23 @@ def test_prepare_corpus_sampling_is_deterministic(spark):
     assert a == b and 0 < len(a) < 400
     frac = len(a) / 400
     assert 0.15 < frac < 0.35  # hash gate tracks the requested 0.25
+
+
+def test_pack_bins_on_redacted_token_counts(corpus):
+    """n_tokens must be re-counted AFTER PII redaction: packing bins on
+    the emitted (redacted) text, and '[EMAIL]' tokenizes differently than
+    'fox@example.com' — regression: bins were filled with stale counts."""
+    from etlpy_spark.operators.text import token_count
+
+    out = prepare_corpus(
+        corpus, dedup_strategy=None, sample_fractions=None, pack_budget=64
+    )
+    rows = out.withColumn("recount", token_count("text")).collect()
+    assert rows, "pipeline dropped every row"
+    pii_rows = [r for r in rows if "[EMAIL]" in r.text or "[PHONE]" in r.text]
+    assert pii_rows, "expected the PII doc to survive the quality filter"
+    for r in rows:
+        assert r.n_tokens == r.recount, (
+            f"doc {r.doc_id}: packed n_tokens {r.n_tokens} != "
+            f"token_count of emitted text {r.recount}"
+        )

@@ -210,3 +210,93 @@ def test_grayscale_single_component_roundtrip():
     for ri in (1, 3, 7):
         data = encode_jpeg(g2, quality=88, restart_interval=ri)
         assert np.array_equal(decode_jpeg(data), base)
+
+
+def _encode_3scan(px, quality=92):
+    """Re-emit a 4:4:4 image as THREE single-component baseline scans
+    (one SOS per component — legal per T.81 A.2.2 and produced by some
+    encoders). Same tables/coefficients as encode_jpeg(subsampling='444'),
+    so a correct decoder must reconstruct identical pixels."""
+    import struct
+
+    from etlpy_spark.functions import jpegcodec as jc
+
+    qy, qc = quant_tables(quality)
+    ycc = jc._rgb_to_ycbcr(px)
+    h, w = px.shape[:2]
+    comps = [
+        jc._fdct_quant(ycc[..., 0], qy),
+        jc._fdct_quant(ycc[..., 1], qc),
+        jc._fdct_quant(ycc[..., 2], qc),
+    ]
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, qt in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(v) for v in qt.reshape(64)[jc._ZZ])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for (cid, tq), hv in zip(((1, 0), (2, 1), (3, 1)), (0x11, 0x11, 0x11)):
+        out += struct.pack(">BBB", cid, hv, tq)
+    for tc_th, bits, vals in (
+        (0x00, jc._DC_LUMA_BITS, jc._DC_LUMA_VALS),
+        (0x10, jc._AC_LUMA_BITS, jc._AC_LUMA_VALS),
+        (0x01, jc._DC_CHROMA_BITS, jc._DC_CHROMA_VALS),
+        (0x11, jc._AC_CHROMA_BITS, jc._AC_CHROMA_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    for ci, (cid, tables) in enumerate(((1, 0x00), (2, 0x11), (3, 0x11))):
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += struct.pack(">BB", cid, tables)
+        out += b"\x00\x3f\x00"
+        wtr = jc._BitWriter()
+        pred = 0
+        t = 0 if ci == 0 else 1
+        for b in range(comps[ci].shape[0]):
+            pred = jc._encode_block(
+                wtr, comps[ci][b], pred, jc._ENC_DC[t], jc._ENC_AC[t]
+            )
+        out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_multi_scan_non_interleaved_decodes_exactly():
+    """A legal baseline JPEG with one SOS per component must decode to the
+    SAME pixels as the interleaved emission of the same coefficients —
+    regression: the decoder used to keep only the LAST scan, silently
+    zeroing the other two planes."""
+    rng = np.random.default_rng(11)
+    for h, w in [(16, 16), (17, 23), (40, 72)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        interleaved = decode_jpeg(encode_jpeg(px, quality=92))
+        multi = decode_jpeg(_encode_3scan(px, quality=92))
+        assert np.array_equal(interleaved, multi)
+
+
+def test_scans_must_cover_all_components():
+    """A multi-scan file missing a component's scan is corrupt — reject,
+    never return a half-decoded image."""
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = _encode_3scan(px)
+    # drop the final scan: truncate at the last SOS marker, keep EOI
+    last_sos = data.rfind(b"\xff\xda")
+    with pytest.raises(ValueError, match="cover all"):
+        decode_jpeg(data[:last_sos] + b"\xff\xd9")
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker; they must
+    not desync the marker walk (regression: a fill byte before SOF0 made
+    the parser read a bogus segment length and skip ~64 KB)."""
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    data = encode_jpeg(px, quality=90)
+    base = decode_jpeg(data)
+    sof = data.find(b"\xff\xc0")
+    for n_fill in (1, 3):
+        padded = data[:sof] + b"\xff" * n_fill + data[sof:]
+        assert np.array_equal(decode_jpeg(padded), base)

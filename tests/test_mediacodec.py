@@ -206,3 +206,38 @@ def test_sniff_media():
     assert sniff_media(encode_y4m([render_pixels("img-000000000000")])) == "y4m"
     assert sniff_media(b"RAW0\x00\x00\x00\x01\x00\x00\x00\x01xxx") == "rawcat"
     assert sniff_media(b"\xff\xd8\xff") == "unknown"
+
+
+def test_wav_rejects_non_integer_pcm_dtypes():
+    """float32 shares the 32-bit itemsize with int32; an astype would
+    silently truncate normalized float audio to all-zero samples —
+    regression: the width-only check accepted it."""
+    from etlpy_spark.functions.mediacodec import encode_wav
+
+    t = np.arange(1000, dtype=np.float64)
+    with pytest.raises(ValueError, match="PCM dtype"):
+        encode_wav(np.sin(t / 20).astype(np.float32), 16000)
+    with pytest.raises(ValueError, match="PCM dtype"):
+        encode_wav(np.full(100, 40000, dtype=np.uint16), 16000)
+    with pytest.raises(ValueError, match="PCM dtype"):
+        encode_wav(np.arange(100, dtype=np.uint32), 16000)
+
+
+def test_wav_malformed_header_fields_raise_valueerror():
+    """Hostile headers must fail with the documented ValueError, not a
+    ZeroDivisionError/struct.error inside a Spark task."""
+    from etlpy_spark.functions.mediacodec import decode_wav, encode_wav
+
+    good = bytearray(encode_wav(_pcm16(64), 16000))
+    # fmt payload starts at 20: format H @20, channels H @22
+    zero_ch = bytes(good[:22]) + b"\x00\x00" + bytes(good[24:])
+    with pytest.raises(ValueError, match="channel count"):
+        decode_wav(zero_ch)
+    # fmt chunk truncated to 4 payload bytes
+    import struct as _struct
+
+    short_fmt = (
+        bytes(good[:16]) + _struct.pack("<I", 4) + bytes(good[20:24])
+    )
+    with pytest.raises(ValueError):
+        decode_wav(short_fmt)
