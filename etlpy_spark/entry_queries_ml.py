@@ -623,7 +623,20 @@ def queries():
 
 def oracle_sql():
     return {
-        "exact_dedup": "SELECT doc_id FROM documents",
+        # keep-first (lowest doc_id) per exact text over docs+copies — NOT
+        # just "the original ids": the generated documents table itself
+        # contains duplicate texts at sf>=0.1, which exact_dedup collapses
+        "exact_dedup": f"""
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM (
+                    SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + {OFFSET}, text FROM documents
+                )
+            ) WHERE rn = 1
+        """,
         "minhash_lsh_pairs": _jaccard_sql(3, 0.6),
         "ngram_jaccard_pairs": _jaccard_sql(3, 0.6),
         "simhash": _simhash_sql(),
