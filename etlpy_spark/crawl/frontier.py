@@ -1225,9 +1225,13 @@ class SparkCrawler:
         contract forbids. ``delete_many`` stays sound for privately built
         filters that never dedupe. Returns how many seen rows were
         retracted."""
-        tgt = self._urls_df(urls).cache()
+        tgt = self._urls_df(urls)
         seen = self.seen.read()
-        hits = tgt.join(seen, on="url", how="left_semi")
+        # cache the semi-join RESULT, not the target list: the join scans
+        # the (10^10-row design point) seen table, and both the count and
+        # the tombstone write read `hits` — caching tgt alone would pay
+        # that full scan twice
+        hits = tgt.join(seen, on="url", how="left_semi").cache()
         removed = hits.count()
         if removed:
             # tombstone exactly the urls that ARE in the table (tombstone
@@ -1237,7 +1241,7 @@ class SparkCrawler:
                 compact_threshold=self.cfg.frontier_compact_threshold,
             )
             self._blooms = None  # rebuilt distributed, on demand
-        tgt.unpersist()
+        hits.unpersist()
         return int(removed)
 
     # -- results for parity checks ------------------------------------------

@@ -77,20 +77,28 @@ def _run_sinks(ctx: CompileContext, df: DataFrame) -> None:
 _CRAWL_MEMO: dict[str, str] = {}
 
 
-def _crawl_workdir(spark) -> str:
-    key = "crawl_small"
+def _memoized_crawl(
+    spark, key: str, probe_table: str, prefix: str, **cfg_kwargs
+) -> str:
+    """Run the small driver-contract crawl once per (key, session) and
+    return its workdir; ``probe_table`` is the table whose committed
+    ``_current`` marker proves the memoized run completed."""
     wd = _CRAWL_MEMO.get(key)
-    if wd and os.path.exists(os.path.join(wd, "crawl_log", "_current")):
+    if wd and os.path.exists(os.path.join(wd, probe_table, "_current")):
         return wd
     from etlpy_spark.crawl.frontier import CrawlConfig, SparkCrawler
     from etlpy_spark.sources.synthetic_web import WebConfig, seed_urls
 
     web = WebConfig(**_CRAWLER_WEB)
-    wd = tempfile.mkdtemp(prefix="entry_crawl_")
-    cr = SparkCrawler(spark, wd, CrawlConfig(web=web))
+    wd = tempfile.mkdtemp(prefix=prefix)
+    cr = SparkCrawler(spark, wd, CrawlConfig(web=web, **cfg_kwargs))
     cr.run(seed_urls(web, n_per_host=2), max_rounds=_CRAWL_ROUNDS)
     _CRAWL_MEMO[key] = wd
     return wd
+
+
+def _crawl_workdir(spark) -> str:
+    return _memoized_crawl(spark, "crawl_small", "crawl_log", "entry_crawl_")
 
 
 def q_crawl_log(spark, sf_dir):
@@ -420,18 +428,11 @@ def q_crawl_seen_cuckoo(spark, sf_dir):
     identical URL-seen set as the Bloom run and the serial oracle: the
     fast path only short-circuits definite negatives; the exact table is
     the authority either way."""
-    from etlpy_spark.crawl.frontier import CrawlConfig, SparkCrawler
     from etlpy_spark.sources.catalog import SnapshotTable
-    from etlpy_spark.sources.synthetic_web import WebConfig, seed_urls
 
-    key = "crawl_cuckoo"
-    wd = _CRAWL_MEMO.get(key)
-    if not (wd and os.path.exists(os.path.join(wd, "seen", "_current"))):
-        web = WebConfig(**_CRAWLER_WEB)
-        wd = tempfile.mkdtemp(prefix="entry_crawl_ck_")
-        cr = SparkCrawler(spark, wd, CrawlConfig(web=web, seen_filter="cuckoo"))
-        cr.run(seed_urls(web, n_per_host=2), max_rounds=_CRAWL_ROUNDS)
-        _CRAWL_MEMO[key] = wd
+    wd = _memoized_crawl(
+        spark, "crawl_cuckoo", "seen", "entry_crawl_ck_", seen_filter="cuckoo"
+    )
     seen = SnapshotTable(spark, os.path.join(wd, "seen")).read()
     return seen.select("url")
 

@@ -459,6 +459,10 @@ def minhash_lsh_pairs(
     # an exact count (pair_ids is persisted, so the count costs nothing
     # extra — the verify join reads the same cache instead of re-running
     # the banding plan); above the limit AQE picks the join strategy.
+    # Cache lifetime: the blocks live until the returned plan is GC'd on
+    # the driver (Spark's ContextCleaner unpersists then); a session
+    # looping over many corpora should drop references between runs or
+    # call spark.catalog.clearCache().
     pair_ids = pair_ids.persist()
     n_cand = pair_ids.count()
     cand_side = (
@@ -744,8 +748,15 @@ def connected_components(
     def ckpt(d: DataFrame) -> DataFrame:
         return d.checkpoint() if checkpoint_dir else d.localCheckpoint()
 
+    # setCheckpointDir is session-GLOBAL state: remember the application's
+    # own dir and restore it on exit so a library call does not silently
+    # redirect every later checkpoint() in the session. (If no dir was set
+    # before, Spark offers no unset — ours stays, which is harmless: it is
+    # only read by code that opted into reliable checkpoints.)
+    sc = pairs.sparkSession.sparkContext
+    prev_ckpt_dir = sc.getCheckpointDir() if checkpoint_dir else None
     if checkpoint_dir:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc.setCheckpointDir(checkpoint_dir)
     edges = ckpt(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -798,6 +809,10 @@ def connected_components(
         labels = new_labels.drop("__chg__")
         if changed == 0:
             break
+    if prev_ckpt_dir is not None and prev_ckpt_dir != checkpoint_dir:
+        # every round's checkpoint already materialized inside the loop,
+        # so restoring here cannot redirect our own writes
+        sc.setCheckpointDir(prev_ckpt_dir)
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

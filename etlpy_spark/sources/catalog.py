@@ -229,17 +229,23 @@ class SnapshotTable:
 
     # -- commits
 
-    def _write_data_dir(self, df: DataFrame, data_dir: str) -> None:
+    def _write_data_dir(
+        self, df: DataFrame, data_dir: str, sort_cols: list[str] | None = None
+    ) -> None:
         """Write ``df``'s rows as parquet under ``data_dir`` — the Spark
         writer by default, or (when per-column ``encodings`` are set) an
         executor-side pyarrow writer: each task buffers its partition,
-        sorts by ``sort_within``, and writes ONE deterministic
+        sorts by ``sort_within`` (overridable per call via ``sort_cols`` —
+        never by mutating instance state, which would race under the
+        engine's multi-threaded rounds), and writes ONE deterministic
         ``part-{pid:05d}.parquet`` via tmp + atomic rename, so a retried or
         speculated task replaces its own identical output instead of
         duplicating rows."""
+        if sort_cols is None:
+            sort_cols = self.sort_within or []
         if not self.encodings:
-            if self.sort_within and all(c in df.columns for c in self.sort_within):
-                df = df.sortWithinPartitions(*self.sort_within)
+            if sort_cols and all(c in df.columns for c in sort_cols):
+                df = df.sortWithinPartitions(*sort_cols)
             w = df.write.mode("overwrite")
             if self.compression:
                 w = w.option("compression", self.compression)
@@ -251,7 +257,7 @@ class SnapshotTable:
         pa_schema = pa.schema(
             [(f.name, _PA_TYPES[f.dataType.simpleString()]) for f in df.schema.fields]
         )
-        sort_cols = [c for c in (self.sort_within or []) if c in df.columns]
+        sort_cols = [c for c in sort_cols if c in df.columns]
         enc = {k: v for k, v in self.encodings.items() if k in df.columns}
         no_dict = [c for c in enc] or None
         counts = write_parquet_parts(
@@ -275,11 +281,18 @@ class SnapshotTable:
             ps = self.snapshot(prev)
             snap["data_dirs"] = ps.data_dirs + [data_dir]
             # tombstones survive plain appends (they delete from OLD dirs);
-            # an overwrite resets them along with the data
+            # an overwrite resets them along with the data. mor_stats must
+            # COUNT the appended rows: a frozen live-row count makes a later
+            # tomb > threshold*live check fire a full compaction on a table
+            # that is almost entirely live.
             if ps.delete_dirs:
                 snap["delete_dirs"] = ps.delete_dirs
                 snap["delete_key"] = ps.delete_key
-                snap["mor_stats"] = ps.mor_stats
+                if ps.mor_stats:
+                    snap["mor_stats"] = {
+                        **ps.mor_stats,
+                        "data": ps.mor_stats["data"] + self._footer_rows(data_dir),
+                    }
         self._write_manifest(v, snap)
         return v
 
@@ -363,7 +376,12 @@ class SnapshotTable:
             if ps.delete_dirs:
                 snap["delete_dirs"] = ps.delete_dirs
                 snap["delete_key"] = ps.delete_key
-                snap["mor_stats"] = ps.mor_stats
+                # count the externally committed rows into the live-row
+                # stats (see _commit): n is already the footer total
+                if ps.mor_stats:
+                    snap["mor_stats"] = {
+                        **ps.mor_stats, "data": ps.mor_stats["data"] + n
+                    }
         self._write_manifest(version, snap)
         return version, n
 
@@ -391,11 +409,7 @@ class SnapshotTable:
         self._write_data_dir(df, data_dir)
         # tombstones are URL-heavy too: route them through the same writer
         # so they get the sorted layout + delta encoding byte cut
-        saved, self.sort_within = self.sort_within, [key]
-        try:
-            self._write_data_dir(delete_keys.select(key), del_dir)
-        finally:
-            self.sort_within = saved
+        self._write_data_dir(delete_keys.select(key), del_dir, sort_cols=[key])
         prev = self.current_version()
         psnap = self.snapshot(prev) if prev else None
         if psnap and psnap.delete_key not in (None, key):

@@ -107,3 +107,27 @@ def test_accumulated_tombstones_trigger_auto_compaction(spark):
     assert _read_set(tbl) == (
         {(f"k{i}", i) for i in range(4, 8)} | {("n1", 0), ("n2", 0)}
     )
+
+
+def test_plain_appends_grow_live_row_stats(spark):
+    """Rows appended BETWEEN MoR commits must count into mor_stats: with
+    the live count frozen at the first tombstone commit, a later tiny
+    retraction would read tomb > threshold*live and fire a full
+    compaction on a table that is almost entirely live (regression)."""
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="mor_"))
+    tbl.overwrite(_t(spark, [(f"a{i}", i) for i in range(10)]))
+    tbl.append_with_deletes(_t(spark, []), _keys(spark, ["a0"]),
+                            key="k", compact_threshold=0.5)
+    # 100 plain-append rows later, retracting ONE more key is 2 tombstones
+    # over ~109 live rows — far under the 0.5 threshold
+    tbl.append(_t(spark, [(f"x{i}", i) for i in range(100)]))
+    stats = tbl.snapshot(tbl.current_version()).mor_stats
+    assert stats["data"] == 10 + 100, stats
+    v = tbl.append_with_deletes(_t(spark, []), _keys(spark, ["a1"]),
+                                key="k", compact_threshold=0.5)
+    snap = tbl.snapshot(v)
+    assert snap.delete_dirs, "small retraction must NOT trigger compaction"
+    assert snap.mor_stats["data"] == 110 and snap.mor_stats["tomb"] == 2
+    assert _read_set(tbl) == (
+        {(f"a{i}", i) for i in range(2, 10)} | {(f"x{i}", i) for i in range(100)}
+    )
