@@ -90,12 +90,19 @@ def q_ann_ivf(spark, sf_dir):
     return sim.ivf_topk(e, list(qv), k=10).select("vec_id", "rank")
 
 
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
 def q_text_suite(spark, sf_dir):
     """lang-id + quality score + token counts + rolling-hash fingerprint in
-    one pure-Column projection pass over documents, joined with the
-    Gopher-rule repetition signals (dup-line / top-2-gram / dup-3-gram
-    char fractions — explode + map-side-combinable aggregates). Zero
-    Python eval nodes anywhere in the plan."""
+    one pure-Column projection pass over documents, joined with the FULL
+    Gopher A1.1 repetition rule set (Rae et al. 2021: dup-line fractions,
+    top-n-gram char fractions for n∈{2,3,4}, dup-n-gram char fractions for
+    n∈{5..10} — one explode + map-side-combinable aggregate branch per n).
+    Zero Python eval nodes anywhere in the plan; every fraction is an
+    exact-integer half-up 4-dp double (frac4), bit-identical to the oracle
+    by construction."""
     d = _t(spark, sf_dir, "documents")
     feats = d.select(
         "doc_id",
@@ -105,7 +112,7 @@ def q_text_suite(spark, sf_dir):
         tx.whitespace_token_count("text").alias("n_ws_tokens"),
         tx.fingerprint("text").alias("fp"),
     )
-    rep = tx.repetition_metrics(d, top_n=2, dup_n=3)
+    rep = tx.repetition_metrics(d, top_ns=GOPHER_TOP_NS, dup_ns=GOPHER_DUP_NS)
     return feats.join(rep, "doc_id")
 
 
@@ -362,23 +369,37 @@ def _lang_sql() -> str:
     """
 
 
+def _frac4_sql(p: str, q: str, cap: bool = False) -> str:
+    """SQL twin of operators.text.frac4: half-up 4-dp fraction p/q rounded
+    in INTEGER space (basis points), then one IEEE division by 10000.0 —
+    the result double is bit-identical to Spark's by construction
+    (ROUND(double) is engine-dependent at one-ulp boundaries: the round-3
+    text_suite hash miss)."""
+    bp = f"COALESCE((({p})*20000 + ({q})) // (({q})*2), 0)"
+    if cap:
+        bp = f"LEAST({bp}, 10000)"
+    return f"(CAST({bp} AS DOUBLE) / 10000.0)"
+
+
 def _quality_sql() -> str:
     en = _LANGS["en"]
+    p = "10*n_alpha + bonus*nc"
     return f"""
         WITH t AS (
-          SELECT doc_id, text,
+          SELECT doc_id,
                  regexp_split_to_array(trim(text), '\\s+') AS ws,
-                 length(text) AS n_chars,
+                 greatest(length(text), 1) AS nc,
                  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
           FROM documents
+        ), s AS (
+          SELECT doc_id, nc, n_alpha,
+                 CASE WHEN len(ws) BETWEEN 20 AND 1000 THEN 10 ELSE 5 END
+               + CASE WHEN 50 * len(list_filter(ws, x -> list_contains({en!r}, lower(x))))
+                           > greatest(len(ws), 1) THEN 10 ELSE 6 END AS bonus
+          FROM t
         )
-        SELECT doc_id, ROUND((
-            CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1)
-          + CASE WHEN len(ws) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END
-          + CASE WHEN CAST(len(list_filter(ws, x -> list_contains({en!r}, lower(x)))) AS DOUBLE)
-                      / greatest(len(ws), 1) > 0.02 THEN 1.0 ELSE 0.6 END
-        ) / 3.0, 4) AS quality
-        FROM t
+        SELECT doc_id, {_frac4_sql(p, "30*nc")} AS quality
+        FROM s
     """
 
 
@@ -403,8 +424,35 @@ _FINGERPRINT_SQL = """
 """
 
 
-_REPETITION_SQL = r"""
-    WITH rep_lines AS (
+def _repetition_sql(
+    top_ns: tuple[int, ...] = (2,),
+    dup_ns: tuple[int, ...] = (3,),
+    legacy: bool = True,
+) -> str:
+    """DuckDB twin of operators.text.repetition_metrics, parameterized over
+    the Gopher n-gram lists; one CTE per n, fractions via _frac4_sql."""
+
+    def gram_cte(tag: str, n: int, dup_only: bool) -> str:
+        g = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+        body = (
+            "sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS v"
+            if dup_only
+            else "max(cnt * length(g)) AS v"
+        )
+        return f"""
+    {tag} AS (
+      SELECT doc_id, {body}
+      FROM (
+        SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id, {g} AS g
+              FROM rep_words, unnest(generate_series(1, len(w) - {n - 1})) t(i))
+        GROUP BY 1, 2)
+      GROUP BY 1
+    )"""
+
+    ctes = [
+        r"""
+    rep_lines AS (
       SELECT doc_id, trim(l) AS line
       FROM documents, unnest(string_split(text, chr(10))) AS u(l)
       WHERE length(trim(l)) > 0
@@ -417,49 +465,57 @@ _REPETITION_SQL = r"""
       GROUP BY 1
     ),
     rep_words AS (
-      SELECT doc_id, length(text) AS nchars,
-             regexp_split_to_array(trim(text), '\s+') AS w
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
       FROM documents
-    ),
-    rep_t2 AS (
-      SELECT doc_id, max(cnt * length(g)) AS topch
-      FROM (
-        SELECT doc_id, g, count(*) AS cnt
-        FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
-              FROM rep_words, unnest(generate_series(1, len(w) - 1)) t(i))
-        GROUP BY 1, 2)
-      GROUP BY 1
-    ),
-    rep_d3 AS (
-      SELECT doc_id,
-             sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dupch
-      FROM (
-        SELECT doc_id, g, count(*) AS cnt
-        FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-              FROM rep_words, unnest(generate_series(1, len(w) - 2)) t(i))
-        GROUP BY 1, 2)
-      GROUP BY 1
+    )"""
+    ]
+    cols = [
+        # explicit BIGINT: DuckDB sum() yields HUGEINT, which pandas/driver
+        # canonicalization turns into float64 ("1.0" vs Spark's "1" — a
+        # hash mismatch with values numerically equal)
+        "CAST(COALESCE(nl, 0) AS BIGINT) AS n_lines",
+        _frac4_sql("nl - ndl", "nl") + " AS dup_line_frac",
+        _frac4_sql("dlch", "lch") + " AS dup_line_char_frac",
+    ]
+    joins = ["LEFT JOIN rep_lagg USING (doc_id)"]
+    nch = "GREATEST(length(d.text), 1)"
+    for n in top_ns:
+        tag = f"rep_t{n}"
+        name = "top_ngram_char_frac" if legacy else f"top_{n}gram_char_frac"
+        ctes.append(gram_cte(tag, n, dup_only=False))
+        cols.append(
+            _frac4_sql(f"COALESCE({tag}.v, 0)", nch, cap=True) + f" AS {name}"
+        )
+        joins.append(f"LEFT JOIN {tag} USING (doc_id)")
+    for n in dup_ns:
+        tag = f"rep_d{n}"
+        name = "dup_ngram_char_frac" if legacy else f"dup_{n}gram_char_frac"
+        ctes.append(gram_cte(tag, n, dup_only=True))
+        cols.append(
+            _frac4_sql(f"COALESCE({tag}.v, 0)", nch, cap=True) + f" AS {name}"
+        )
+        joins.append(f"LEFT JOIN {tag} USING (doc_id)")
+    return (
+        "WITH" + ",".join(ctes)
+        + "\n    SELECT d.doc_id,\n           "
+        + ",\n           ".join(cols)
+        + "\n    FROM documents d\n    "
+        + "\n    ".join(joins)
     )
-    SELECT d.doc_id,
-           COALESCE(nl, 0) AS n_lines,
-           ROUND(COALESCE((nl - ndl) * 1.0 / nl, 0), 4) AS dup_line_frac,
-           ROUND(COALESCE(dlch * 1.0 / lch, 0), 4) AS dup_line_char_frac,
-           ROUND(LEAST(COALESCE(topch, 0) * 1.0 / GREATEST(length(d.text), 1), 1.0), 4)
-             AS top_ngram_char_frac,
-           ROUND(LEAST(COALESCE(dupch, 0) * 1.0 / GREATEST(length(d.text), 1), 1.0), 4)
-             AS dup_ngram_char_frac
-    FROM documents d
-    LEFT JOIN rep_lagg USING (doc_id)
-    LEFT JOIN rep_t2 USING (doc_id)
-    LEFT JOIN rep_d3 USING (doc_id)
-"""
+
+
+_REPETITION_SQL = _repetition_sql(GOPHER_TOP_NS, GOPHER_DUP_NS, legacy=False)
 
 
 def _text_suite_sql() -> str:
+    rep_cols = ", ".join(
+        [f"R.top_{n}gram_char_frac" for n in GOPHER_TOP_NS]
+        + [f"R.dup_{n}gram_char_frac" for n in GOPHER_DUP_NS]
+    )
     return f"""
         SELECT L.doc_id, L.lang_pred, Q.quality, T.n_tokens, T.n_ws_tokens, Fp.fp,
                R.n_lines, R.dup_line_frac, R.dup_line_char_frac,
-               R.top_ngram_char_frac, R.dup_ngram_char_frac
+               {rep_cols}
         FROM ({_lang_sql()}) L
         JOIN ({_quality_sql()}) Q USING (doc_id)
         JOIN ({_TOKENS_SQL}) T USING (doc_id)

@@ -62,18 +62,53 @@ def lang_id(col: Column | str) -> Column:
     return out
 
 
+def frac4(p: Column, q: Column, cap: bool = False) -> Column:
+    """Half-up 4-dp fraction p/q (non-negative integers, q > 0) as a
+    DOUBLE that is BIT-IDENTICAL across engines BY CONSTRUCTION.
+
+    Rounding a double with ``ROUND(x, 4)`` is NOT portable — Spark rounds
+    the exact binary value HALF_UP via BigDecimal while other engines can
+    disagree at one-ulp boundaries, and the driver's value hash is
+    representation-sensitive (the round-3 `text_suite` hash miss). So the
+    rounding here happens in INTEGER space: basis points
+    ``bp = floor((p*20000 + q) / (2q))`` (the textbook half-up rounding of
+    ``p/q`` at 4 dp), then one IEEE division ``bp / 10000.0`` — identical
+    operands on every IEEE-754 engine give identical result bits. NULL
+    inputs (e.g. a left-join miss) yield 0.0, matching COALESCE(x, 0).
+
+    The intermediate long division is exact: ``num - pmod(num, den)`` is an
+    exact multiple of ``den``, both < 2^53, so the double quotient is the
+    true integer. ``cap`` clamps to 1.0 (for upper-bound fractions that
+    can exceed 1)."""
+    num = p.cast("long") * F.lit(20000) + q.cast("long")
+    den = q.cast("long") * F.lit(2)
+    bp = ((num - F.pmod(num, den)) / den).cast("long")
+    # coalesce BEFORE least: both Spark's and DuckDB's least() skip nulls,
+    # so a null ratio would otherwise cap to 1.0 instead of scoring 0
+    bp = F.coalesce(bp, F.lit(0))
+    if cap:
+        bp = F.least(bp, F.lit(10000))
+    return bp.cast("double") / F.lit(10000.0)
+
+
 def quality_score(col: Column | str) -> Column:
     """Heuristic quality in [0,1]: length band + alpha ratio + stopword
-    presence — the standard cheap pre-filter for web-scale corpora."""
+    presence — the standard cheap pre-filter for web-scale corpora.
+
+    Emitted as DECIMAL(10,4) via pure integer arithmetic (see frac4):
+    quality = (n_alpha/n_chars + len_ok + sw_ok) / 3 with len_ok ∈ {1, .5}
+    and sw_ok ∈ {1, .6} becomes (10·n_alpha + (len10+sw10)·nc) / (30·nc);
+    the stopword gate hits/words > 0.02 is exactly 50·hits > words."""
     c = F.col(col) if isinstance(col, str) else col
-    n_chars = F.length(c)
+    nc = F.greatest(F.length(c), F.lit(1))
     n_alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
     n_words = F.size(tokens(c))
-    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
-    len_ok = F.when((n_words >= 20) & (n_words <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
-    sw = stopword_hits(c, "en") / F.greatest(n_words, F.lit(1))
-    sw_ok = F.when(sw > 0.02, F.lit(1.0)).otherwise(F.lit(0.6))
-    return F.round((alpha_ratio + len_ok + sw_ok) / 3.0, 4)
+    len10 = F.when((n_words >= 20) & (n_words <= 1000), F.lit(10)).otherwise(F.lit(5))
+    sw10 = F.when(
+        stopword_hits(c, "en") * 50 > F.greatest(n_words, F.lit(1)), F.lit(10)
+    ).otherwise(F.lit(6))
+    p = n_alpha * 10 + (len10 + sw10) * nc
+    return frac4(p, nc * 30)
 
 
 def word_hash32(w: Column) -> Column:
@@ -168,6 +203,8 @@ def repetition_metrics(
     id_col: str = "doc_id",
     top_n: int = 2,
     dup_n: int = 3,
+    top_ns: list[int] | tuple[int, ...] | None = None,
+    dup_ns: list[int] | tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Per-document repetition signals → (id, n_lines, dup_line_frac,
     dup_line_char_frac, top_ngram_char_frac, dup_ngram_char_frac).
@@ -182,9 +219,24 @@ def repetition_metrics(
       * dup_ngram_char_frac  = chars covered by all ``dup_n``-grams seen
                                more than once / doc chars (not
                                overlap-adjusted — the cheap upper bound).
-    Fractions are rounded to 4 dp; docs with no lines/grams score 0.0.
+
+    Pass ``top_ns``/``dup_ns`` instead for the FULL Gopher A1.1 rule set
+    (top-n for n∈{2,3,4}, dup-n for n∈{5..10}): one extra explode+agg
+    branch per n, columns named ``top_{n}gram_char_frac`` /
+    ``dup_{n}gram_char_frac``. Every branch is a map-side-combinable
+    hash aggregate keyed by (doc, gram) — the shuffle carries one row per
+    DISTINCT gram per doc per n, so adding n's scales linearly in
+    shuffled bytes, never quadratically.
+
+    Fractions are exact half-up 4-dp DECIMAL(10,4) (frac4 — the driver
+    hash canonicalization is representation-sensitive; ROUND(double,4) is
+    not portable across engines). Docs with no lines/grams score 0.0000.
     """
     from etlpy_spark.operators.dedup import _spread
+
+    legacy = top_ns is None and dup_ns is None
+    tops = [top_n] if top_ns is None else list(top_ns)
+    dups = [dup_n] if dup_ns is None else list(dup_ns)
 
     # _spread: a small parquet scan is 1-2 partitions, which would run
     # every explode/gram evaluation serially; no-op at real scale
@@ -211,8 +263,8 @@ def repetition_metrics(
 
     # (measured: tag-fusing both gram sizes into one explode/shuffle LOSES
     # ~50% — the per-gram tag concat costs more than the saved small
-    # shuffle; two plain branches it is)
-    def gram_agg(n: int, dup_only: bool) -> DataFrame:
+    # shuffle; one plain branch per n it is)
+    def gram_agg(n: int, dup_only: bool, out_col: str) -> DataFrame:
         counts = (
             base.select("_id", F.explode(_word_ngrams("_t", n)).alias("_g"))
             .groupBy("_id", "_g")
@@ -223,45 +275,33 @@ def repetition_metrics(
                 F.sum(
                     F.when(F.col("_cnt") > 1, F.col("_cnt") * F.length("_g"))
                     .otherwise(F.lit(0))
-                ).alias("_dupch")
+                ).alias(out_col)
             )
         return counts.groupBy("_id").agg(
-            F.max(F.col("_cnt") * F.length("_g")).alias("_topch")
+            F.max(F.col("_cnt") * F.length("_g")).alias(out_col)
         )
 
-    out = (
-        base.select("_id", "_nchars")
-        .join(lagg, "_id", "left")
-        .join(gram_agg(top_n, dup_only=False), "_id", "left")
-        .join(gram_agg(dup_n, dup_only=True), "_id", "left")
-    )
-    zero = F.lit(0.0)
-    return out.select(
+    out = base.select("_id", "_nchars").join(lagg, "_id", "left")
+    proj = [
         F.col("_id").alias(id_col),
         F.coalesce("_nl", F.lit(0)).cast("long").alias("n_lines"),
-        F.round(
-            F.coalesce((F.col("_nl") - F.col("_ndl")) / F.col("_nl"), zero), 4
-        ).alias("dup_line_frac"),
-        F.round(F.coalesce(F.col("_dlch") / F.col("_lch"), zero), 4).alias(
-            "dup_line_char_frac"
-        ),
-        # coalesce BEFORE least: Spark's least() skips nulls, so a null
-        # ratio (no grams / empty doc) would otherwise score 1.0
-        F.round(
-            F.least(
-                F.coalesce("_topch", F.lit(0)) / F.greatest("_nchars", F.lit(1)),
-                F.lit(1.0),
-            ),
-            4,
-        ).alias("top_ngram_char_frac"),
-        F.round(
-            F.least(
-                F.coalesce("_dupch", F.lit(0)) / F.greatest("_nchars", F.lit(1)),
-                F.lit(1.0),
-            ),
-            4,
-        ).alias("dup_ngram_char_frac"),
-    )
+        frac4(F.col("_nl") - F.col("_ndl"), F.col("_nl")).alias("dup_line_frac"),
+        frac4(F.col("_dlch"), F.col("_lch")).alias("dup_line_char_frac"),
+    ]
+    nch = F.greatest("_nchars", F.lit(1))
+    for n in tops:
+        name = "top_ngram_char_frac" if legacy else f"top_{n}gram_char_frac"
+        out = out.join(gram_agg(n, dup_only=False, out_col=f"_topch{n}"), "_id", "left")
+        proj.append(
+            frac4(F.coalesce(f"_topch{n}", F.lit(0)), nch, cap=True).alias(name)
+        )
+    for n in dups:
+        name = "dup_ngram_char_frac" if legacy else f"dup_{n}gram_char_frac"
+        out = out.join(gram_agg(n, dup_only=True, out_col=f"_dupch{n}"), "_id", "left")
+        proj.append(
+            frac4(F.coalesce(f"_dupch{n}", F.lit(0)), nch, cap=True).alias(name)
+        )
+    return out.select(*proj)
 
 
 def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:

@@ -313,3 +313,75 @@ def test_repetition_metrics_differential(spark):
     assert got[2]["dup_line_frac"] > 0.5 > got[1]["dup_line_frac"]
     assert got[3]["top_ngram_char_frac"] > 0.3 > got[1]["top_ngram_char_frac"]
     assert got[4]["dup_ngram_char_frac"] > 0.5 > got[1]["dup_ngram_char_frac"]
+
+def test_gopher_full_rules_differential(spark):
+    """FULL Gopher A1.1 rule set (top-n for n in {2,3,4}, dup-n for n in
+    {5..10}) vs an independent pure-Python replica that mirrors frac4's
+    exact integer half-up rounding — equality is EXACT (==), no tolerance,
+    since both sides derive the double from the same basis-point integer."""
+    from etlpy_spark.operators.text import repetition_metrics
+
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    chant = " ".join(["spam ham"] * 30)                      # 2-gram flood
+    six = "one two three four five six " * 12                # 6-gram dups
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta\neta theta iota kappa"),
+        (2, chant + "\n" + chant),
+        (3, six.strip()),
+        (4, ""),
+        (5, "just seven distinct words here now ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.asDict()
+        for r in repetition_metrics(df, top_ns=top_ns, dup_ns=dup_ns).collect()
+    }
+
+    def frac4_py(p, q, cap=False):
+        if p is None or q is None or q == 0:
+            return 0.0
+        bp = (p * 20000 + q) // (2 * q)
+        if cap:
+            bp = min(bp, 10000)
+        return bp / 10000.0
+
+    def replica(text):
+        from collections import Counter
+
+        nchars = max(len(text), 1)
+        lines = [l.strip() for l in text.split("\n")]
+        lines = [l for l in lines if l]
+        lc = Counter(lines)
+        nl, ndl = len(lines), len(lc)
+        lch = sum(c * len(l) for l, c in lc.items())
+        dlch = sum((c - 1) * len(l) for l, c in lc.items())
+        words = text.strip().split() or [""]
+
+        def grams(n):
+            return Counter(
+                " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+            )
+
+        out = dict(
+            n_lines=nl,
+            dup_line_frac=frac4_py(nl - ndl, nl) if nl else 0.0,
+            dup_line_char_frac=frac4_py(dlch, lch) if lch else 0.0,
+        )
+        for n in top_ns:
+            g = grams(n)
+            topch = max((c * len(s) for s, c in g.items()), default=0)
+            out[f"top_{n}gram_char_frac"] = frac4_py(topch, nchars, cap=True)
+        for n in dup_ns:
+            g = grams(n)
+            dupch = sum(c * len(s) for s, c in g.items() if c > 1)
+            out[f"dup_{n}gram_char_frac"] = frac4_py(dupch, nchars, cap=True)
+        return out
+
+    for doc_id, text in docs:
+        exp = replica(text)
+        act = {k: v for k, v in got[doc_id].items() if k != "doc_id"}
+        assert act == exp, (doc_id, act, exp)
+    # the signals separate: the chant floods top-2, the six-gram doc dups 6-grams
+    assert got[2]["top_2gram_char_frac"] > 0.5 > got[1]["top_2gram_char_frac"]
+    assert got[3]["dup_6gram_char_frac"] > 0.5 > got[1]["dup_6gram_char_frac"]
+    assert got[2]["dup_line_frac"] == 0.5
