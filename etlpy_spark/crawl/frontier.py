@@ -124,6 +124,21 @@ class CrawlConfig:
     # eff = max(0, priority - aging * rounds_deferred) — deterministic,
     # mirrored by the serial oracle's priority_aging argument.
     priority_aging: int = 0
+    # how the per-shard seen/image filters reach the probe tasks:
+    #   "broadcast" — ONE broadcast of all shard bitsets per round; workers
+    #       lazily deserialize only the shards present in each Arrow batch,
+    #       memoized per worker per round (seen.cached_filter). Right when
+    #       the whole filter set fits comfortably in executor memory.
+    #   "sharded"   — no broadcast: keys repartition by (shard, sub) and
+    #       COGROUP with a (shard, sub, bits) DataFrame, so each task
+    #       receives exactly ITS shard's bitset through the shuffle.
+    #       Executor filter residency is O(shards that executor probes),
+    #       not O(all shards) — the only shape that survives the 10^10-URL
+    #       design point where the full filter set is tens of GB.
+    #   "auto"      — sharded once the serialized filter set exceeds
+    #       filter_broadcast_max_bytes, else broadcast.
+    filter_delivery: str = "auto"
+    filter_broadcast_max_bytes: int = 64 << 20
 
 
 def _fail_once(fail_dir: str | None, tag: str, pid: int) -> None:
@@ -513,6 +528,112 @@ class SparkCrawler:
             )
         return self._img_blooms
 
+    def _probe_filters(self, df: DataFrame, key_col: str, filters: dict):
+        """Mark every row of ``df`` with ``__maybe__`` — whether its shard's
+        seen filter might contain ``key_col`` (False where the shard has no
+        filter yet, i.e. definitely new). Adds ``__shard__`` (kept for
+        downstream shard-routing) and returns ``(probed_df, cleanup_fn)``.
+
+        Two delivery modes (cfg.filter_delivery, default auto by total
+        serialized size):
+
+        - broadcast: one broadcast of all shard bitsets. Each worker
+          deserializes ONLY the shards present in its batches, once per
+          round (memoized via seen.cached_filter keyed by a per-round
+          token) — probe cost is O(shards in batch), not O(all shards)
+          per batch. Residency is still O(all shards) per executor, so
+          this path is gated on total bytes.
+        - sharded: zero broadcast. Keys repartition by (shard, sub) and
+          cogroup against a (shard, sub, bits) DataFrame; each task gets
+          exactly its own shard's bitset through the shuffle and
+          deserializes it once. Per-executor residency = the shards it
+          probes; network = one copy of each bitset per sub-split, not
+          per executor. sub = n_buckets // n_shards keeps parallelism at
+          fetch-bucket level (a shard's bitset is shipped sub times —
+          at the design point n_shards is large and sub small).
+        """
+        cfg, spark = self.cfg, self.spark
+        spec = self._filter_geom()
+        blobs = {int(s): f.to_bytes() for s, f in filters.items()}
+        total = sum(len(b) for b in blobs.values())
+        mode = cfg.filter_delivery
+        if mode == "auto":
+            mode = "sharded" if total > cfg.filter_broadcast_max_bytes else "broadcast"
+        shard_col = F.pmod(F.xxhash64(key_col), F.lit(cfg.n_shards)).cast("int")
+
+        if mode == "broadcast":
+            import uuid
+
+            from pyspark.sql.functions import pandas_udf
+
+            token = uuid.uuid4().hex
+            bcast = spark.sparkContext.broadcast((token, spec, blobs))
+
+            @pandas_udf("boolean")
+            def maybe(keys: pd.Series, shards: pd.Series) -> pd.Series:
+                import numpy as np
+
+                from etlpy_spark.crawl.seen import cached_filter as _cf
+
+                _tok, _spec, _parts = bcast.value
+                sh = shards.to_numpy()
+                ka = keys.to_numpy()
+                out = np.zeros(len(ka), dtype=bool)
+                for s in np.unique(sh):
+                    d = _parts.get(int(s))
+                    if d is None:
+                        continue  # no filter for this shard yet → all new
+                    f = _cf(_tok, int(s), _spec, d)
+                    m = sh == s
+                    out[m] = f.might_contain_many(ka[m])
+                return pd.Series(out)
+
+            probed = df.withColumn("__shard__", shard_col).withColumn(
+                "__maybe__", maybe(F.col(key_col), F.col("__shard__"))
+            )
+            return probed, bcast.destroy
+
+        # sharded cogroup delivery
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        n_sub = max(1, cfg.n_buckets // cfg.n_shards)
+        rows = [(s, sub, b) for s, b in blobs.items() for sub in range(n_sub)]
+        bits_df = spark.createDataFrame(rows, "shard int, sub int, bits binary")
+        keyed = df.withColumn("__shard__", shard_col).withColumn(
+            "__sub__", F.pmod(F.xxhash64(key_col, F.lit(11)), F.lit(n_sub)).cast("int")
+        )
+        # fresh StructType — StructType.add would mutate keyed's CACHED
+        # schema object and desync it from the actual plan
+        out_schema = StructType(
+            list(keyed.schema.fields) + [StructField("__maybe__", BooleanType())]
+        )
+
+        def probe(ldf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            from etlpy_spark.crawl.seen import filter_from_bytes as _fb
+
+            # per-task residency contract: a cogroup task sees AT MOST its
+            # own (shard, sub) bitset row — never another shard's bytes
+            if len(bdf) > 1:
+                raise ValueError(
+                    f"probe task received {len(bdf)} filter rows for one group"
+                )
+            if len(bdf) == 0:
+                maybe = np.zeros(len(ldf), dtype=bool)
+            else:
+                f = _fb(spec, bytes(bdf["bits"].iloc[0]))
+                maybe = f.might_contain_many(ldf[key_col].to_numpy())
+            return ldf.assign(__maybe__=maybe)
+
+        probed = (
+            keyed.groupby("__shard__", "__sub__")
+            .cogroup(bits_df.groupby("shard", "sub"))
+            .applyInPandas(probe, schema=out_schema)
+            .drop("__sub__")
+        )
+        return probed, None
+
     # -- robots -------------------------------------------------------------
 
     _robots_cache: DataFrame | None = None
@@ -746,7 +867,7 @@ class SparkCrawler:
                 )
                 .select("image_id", "__f__.caption", "__f__.part")
             )
-            img_bloom_bcast = None
+            img_cleanup = None
             have_table = self.images.current_version() is not None
             use_ib = cfg.use_image_bloom and cfg.images_direct_write
             if have_table and use_ib:
@@ -755,38 +876,12 @@ class SparkCrawler:
                 # image table's image_id column is only scanned for the
                 # (rare at steady state) bloom-positive residue — the same
                 # short-circuit the URL seen set uses. No false negatives →
-                # the committed table stays exactly-deduped.
-                iblooms = self._load_img_blooms()
-                ispec = self._filter_geom()
-                payload = (ispec, {s: b.to_bytes() for s, b in iblooms.items()})
-                ib = img_bloom_bcast = spark.sparkContext.broadcast(payload)
-                n_ish = cfg.n_shards
-
-                from pyspark.sql.functions import pandas_udf
-
-                @pandas_udf("boolean")
-                def maybe_have(ids: pd.Series, shards: pd.Series) -> pd.Series:
-                    import numpy as np
-
-                    from etlpy_spark.crawl.seen import filter_from_bytes as _fb
-
-                    _spec, _parts = ib.value
-                    local = {s: _fb(_spec, d) for s, d in _parts.items()}
-                    sh = shards.to_numpy()
-                    ia = ids.to_numpy()
-                    out = np.zeros(len(ia), dtype=bool)
-                    for s in np.unique(sh):
-                        f = local.get(int(s))
-                        if f is None:
-                            continue
-                        m = sh == s
-                        out[m] = f.might_contain_many(ia[m])
-                    return pd.Series(out)
-
-                refs = refs.withColumn(
-                    "__shard__",
-                    F.pmod(F.xxhash64("image_id"), F.lit(n_ish)).cast("int"),
-                ).withColumn("__maybe__", maybe_have(F.col("image_id"), F.col("__shard__")))
+                # the committed table stays exactly-deduped. Filter bitsets
+                # reach the probe tasks shard-locally past the broadcast
+                # size gate (see _probe_filters).
+                refs, img_cleanup = self._probe_filters(
+                    refs, "image_id", self._load_img_blooms()
+                )
                 fresh = refs.filter(~F.col("__maybe__")).drop("__maybe__")
                 to_check = (
                     refs.filter(F.col("__maybe__"))
@@ -938,8 +1033,8 @@ class SparkCrawler:
                     )
                 _, n_imgs = self.images.commit_external(v, data_dir, meta={"round": rnd})
                 _ti = _tlog("  image_commit", _ti)
-                if img_bloom_bcast is not None:
-                    img_bloom_bcast.destroy()
+                if img_cleanup is not None:
+                    img_cleanup()
                 return int(n_imgs)
 
             def fetch_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -995,42 +1090,16 @@ class SparkCrawler:
             .select("url", "__f__.*")
         )
 
-        bloom_bcast = None
+        bloom_cleanup = None
         if cfg.use_bloom and self.seen.current_version() is not None:
-            blooms = self._load_blooms()
-            uspec = self._filter_geom()
-            payload = (uspec, {s: b.to_bytes() for s, b in blooms.items()})
-            bb = bloom_bcast = spark.sparkContext.broadcast(payload)
-            n_shards = cfg.n_shards
-
-            from pyspark.sql.functions import pandas_udf
-
-            @pandas_udf("boolean")
-            def maybe_seen(urls: pd.Series, shards: pd.Series) -> pd.Series:
-                import numpy as np
-
-                from etlpy_spark.crawl.seen import filter_from_bytes as _fb
-
-                _spec, _parts = bb.value
-                local = {s: _fb(_spec, d) for s, d in _parts.items()}
-                sh = shards.to_numpy()
-                uarr = urls.to_numpy()
-                out = np.zeros(len(uarr), dtype=bool)
-                # the shard id is computed JVM-side with the same
-                # pmod(xxhash64(url), S) that keys the exact table, so each
-                # url is checked against exactly its own shard's filter —
-                # one vectorized membership pass per shard present in batch
-                for s in np.unique(sh):
-                    f = local.get(int(s))
-                    if f is None:
-                        continue  # shard has no seen urls yet → all new
-                    mask = sh == s
-                    out[mask] = f.might_contain_many(uarr[mask])
-                return pd.Series(out)
-
-            links = links.withColumn(
-                "__shard__", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int")
-            ).withColumn("__maybe__", maybe_seen(F.col("url"), F.col("__shard__")))
+            # the shard id is computed JVM-side with the same
+            # pmod(xxhash64(url), S) that keys the exact table, so each url
+            # is checked against exactly its own shard's filter; the bitsets
+            # reach the probe tasks shard-locally past the broadcast size
+            # gate (see _probe_filters)
+            links, bloom_cleanup = self._probe_filters(
+                links, "url", self._load_blooms()
+            )
             definitely_new = links.filter(~F.col("__maybe__")).drop("__maybe__", "__shard__")
             to_check = links.filter(F.col("__maybe__")).drop("__maybe__", "__shard__")
             seen_urls = self.seen.read().select("url")
@@ -1116,10 +1185,11 @@ class SparkCrawler:
         base.unpersist()
         for c in round_caches:
             c.unpersist()
-        if bloom_bcast is not None:
-            # the per-round Bloom payload otherwise accumulates on the
-            # driver/executors over a long many-round crawl
-            bloom_bcast.destroy()
+        if bloom_cleanup is not None:
+            # the per-round Bloom broadcast otherwise accumulates on the
+            # driver/executors over a long many-round crawl (sharded
+            # delivery has nothing to clean up — cleanup is None)
+            bloom_cleanup()
         return m
 
     def run(self, seeds: list[str] | None, max_rounds: int) -> list[dict]:

@@ -303,6 +303,30 @@ class CuckooFilter:
         self.merge(CuckooFilter.from_bytes(data, self.n_buckets, self.fp_bits))
 
 
+# -- per-worker deserialized-filter memo -------------------------------------
+#
+# The broadcast probe path ships (token, spec, {shard: bits}) once per round;
+# pyspark's _broadcastRegistry already unpickles that payload once per worker
+# process, but ``filter_from_bytes`` COPIES the bitset — doing it per Arrow
+# batch for every shard made probe cost O(all shards x batches). This memo
+# deserializes each shard lazily (only shards actually present in a batch)
+# and exactly once per worker per round: the token changes every round, and
+# a token change evicts the previous round's filters so worker residency is
+# bounded by ONE round's working set, never the crawl's history.
+
+_PROBE_CACHE: dict = {"token": None, "filters": {}}
+
+
+def cached_filter(token: str, shard: int, spec: tuple, data: bytes):
+    if _PROBE_CACHE["token"] != token:
+        _PROBE_CACHE["token"] = token
+        _PROBE_CACHE["filters"] = {}
+    f = _PROBE_CACHE["filters"].get(shard)
+    if f is None:
+        f = _PROBE_CACHE["filters"][shard] = filter_from_bytes(spec, data)
+    return f
+
+
 # -- pluggable seen-filter factory (frontier picks via CrawlConfig) ---------
 
 

@@ -135,6 +135,76 @@ def test_cuckoo_seen_filter_parity(spark, oracle):
         shutil.rmtree(wd, ignore_errors=True)
 
 
+def test_sharded_filter_delivery_parity(spark, oracle):
+    """filter_delivery="sharded" routes each shard's seen/image bitset to
+    exactly its own probe task through a cogroup shuffle — no broadcast of
+    the full filter set to every executor (the 10^10-URL shape). The probe
+    raises inside the task if it ever receives more than its one (shard,
+    sub) bitset row, so green parity here IS the per-task residency
+    assertion. Crawl order / seen set / image ids must match the serial
+    oracle exactly, bit-for-bit with the broadcast path."""
+    wd = tempfile.mkdtemp(prefix="crawl_sharded_")
+    try:
+        cr = SparkCrawler(
+            spark, wd, CrawlConfig(web=WEB, filter_delivery="sharded")
+        )
+        cr.run(seed_urls(WEB, n_per_host=2), max_rounds=ROUNDS)
+        assert cr.crawl_log_list() == oracle.crawl_log
+        assert cr.seen_urls_list() == set(oracle.seen)
+        got_ids = {r.image_id for r in cr.images.read().select("image_id").collect()}
+        assert got_ids == set(oracle.images)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_probe_filters_modes_agree(spark):
+    """_probe_filters must produce the identical __maybe__ column in
+    broadcast and sharded modes, including shards with no filter yet
+    (definitely-new) — on urls crafted to hit both present and absent
+    shards."""
+    from pyspark.sql import functions as F
+
+    from etlpy_spark.crawl.seen import new_filter
+
+    wd = tempfile.mkdtemp(prefix="probe_modes_")
+    try:
+        urls = [f"http://host{i % 7}.example/p/{i}" for i in range(500)]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        cfg = CrawlConfig(web=WEB, n_shards=4, n_buckets=8)
+        cr = SparkCrawler(spark, wd, cfg)
+        spec = cr._filter_geom()
+        # filters for shards 0 and 2 only; shard 1/3 have none → all-new
+        shard = {
+            r["url"]: r["s"]
+            for r in df.select(
+                "url", F.pmod(F.xxhash64("url"), F.lit(4)).cast("int").alias("s")
+            ).collect()
+        }
+        filters = {}
+        for s in (0, 2):
+            f = filters[s] = new_filter(spec)
+            f.add_many([u for u in urls[:100] if shard[u] == s])
+        results = {}
+        for mode in ("broadcast", "sharded"):
+            cr.cfg.filter_delivery = mode
+            probed, cleanup = cr._probe_filters(df, "url", filters)
+            results[mode] = {
+                r["url"]: (r["__shard__"], r["__maybe__"]) for r in probed.collect()
+            }
+            if cleanup is not None:
+                cleanup()
+        assert results["broadcast"] == results["sharded"]
+        # sanity: the filtered prefix is maybe-seen, absent shards all-new
+        assert all(
+            results["sharded"][u][1] for u in urls[:100] if shard[u] in (0, 2)
+        )
+        assert not any(
+            results["sharded"][u][1] for u in urls if shard[u] in (1, 3)
+        )
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 @pytest.mark.parametrize("lossy_fmt", ["y4m", "jpg"])
 def test_lossy_format_crawl_psnr_gate(spark, lossy_fmt):
     """North-rule lossy branch: with the web serving a genuinely lossy
