@@ -117,6 +117,17 @@ def _kmeans_lite(vectors, n_cells: int, iters: int = 5):
     return C
 
 
+def _assign_math(V, C):
+    """Nearest-centroid cell per row of a (n, dim) float64 batch — shared
+    by the fused scan, the index build, and the serial oracle replica, so
+    assignments are bit-identical by construction. Batch-size-invariant:
+    reductions run over the fixed vector axis only (see _ivf_math)."""
+    import numpy as np
+
+    d = np.stack([((V - c) ** 2).sum(axis=1) for c in C], axis=1)
+    return d.argmin(axis=1)
+
+
 def _ivf_math(V, C, q):
     """Per-row cell assignment + cosine vs q for a (n, dim) float64 batch —
     the ONE kernel both the distributed assign/score stage and the serial
@@ -126,10 +137,7 @@ def _ivf_math(V, C, q):
     depends only on that length), never a BLAS gemm (whose blocking — and
     thus FP reassociation — varies with the batch dimension). A near-tie
     argmin must not flip between Arrow batch sizes."""
-    import numpy as np
-
-    d = np.stack([((V - c) ** 2).sum(axis=1) for c in C], axis=1)
-    return d.argmin(axis=1), _cos_math(V, q)
+    return _assign_math(V, C), _cos_math(V, q)
 
 
 def ivf_topk(
@@ -193,6 +201,176 @@ def ivf_topk(
         _spread(df)
         .select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
         .mapInPandas(assign_score, schema=f"vec_id {id_type}, cos double")
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once, query many. ``ivf_topk`` above re-trains
+# the quantizer and re-scans the whole corpus per call — fine as a one-shot
+# convenience, wrong for a 100 TB *query workload*. The index materializes
+# the cell assignment to cell-partitioned parquet; a query then reads ONLY
+# its nprobe probed cells' files, turning O(corpus) per query into
+# O(corpus / n_cells x nprobe).
+
+
+class IvfIndex:
+    """Handle to a persisted IVF index directory:
+
+    - ``<path>/centroids.json`` — quantizer centroids + id column type
+      (KBs; loaded on the driver per query);
+    - ``<path>/data/cell=<c>/...parquet`` — (vec_id, v) rows partitioned
+      by coarse cell, written once by :func:`build_ivf_index`.
+
+    At cluster scale the data dirs live on shared storage and the
+    partition layout IS the pruning mechanism: a query lists nprobe
+    directories, never the corpus."""
+
+    def __init__(self, path: str, centroids, id_type: str):
+        import numpy as np
+
+        self.path = path
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.id_type = id_type
+
+    @property
+    def data_dir(self) -> str:
+        import os
+
+        return os.path.join(self.path, "data")
+
+    def cell_dir(self, cell: int) -> str:
+        import os
+
+        return os.path.join(self.data_dir, f"cell={int(cell)}")
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    sample: int = 512,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> IvfIndex:
+    """Train the coarse quantizer (same deterministic hash-spread sample
+    as ``ivf_topk``) and materialize every row's cell assignment to
+    cell-partitioned parquet in ONE map-only Arrow pass + write. The
+    assignment kernel is the exact one the fused path runs, so
+    ``query_ivf(build_ivf_index(df), q)`` ≡ ``ivf_topk(df, q)`` for the
+    same geometry — bit-identical, not approximately."""
+    import json
+    import os
+
+    spark = df.sparkSession
+    rows = (
+        df.select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(sample)
+        .collect()
+    )
+    C = _kmeans_lite([r.v for r in rows], n_cells)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["id"].to_numpy(),
+                    "v": pdf["v"].to_numpy(),
+                    "cell": _assign_math(V, C).astype(np.int32),
+                }
+            )
+
+    from etlpy_spark.operators.dedup import _spread
+
+    assigned = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
+        .mapInPandas(assign, schema=f"vec_id {id_type}, v array<double>, cell int")
+    )
+    os.makedirs(path, exist_ok=True)
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(path, "data")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(
+            {"n_cells": int(n_cells), "id_type": id_type, "centroids": C.tolist()},
+            f,
+        )
+    return IvfIndex(path, C, id_type)
+
+
+def load_ivf_index(path: str) -> IvfIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        meta = json.load(f)
+    return IvfIndex(path, meta["centroids"], meta["id_type"])
+
+
+def probe_cells(index: IvfIndex, query_vec: list[float], nprobe: int) -> list[int]:
+    """The nprobe cells nearest the query — driver-side over the (tiny)
+    centroid matrix; deterministic (distance then cell id)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((index.centroids - q) ** 2).sum(1)
+    return sorted(np.argsort(d, kind="stable")[:nprobe].tolist())
+
+
+def query_ivf(
+    spark,
+    index: IvfIndex,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k over a persisted IVF index, touching ONLY the nprobe probed
+    cells' files: the reader is constructed over exactly those partition
+    directories (no reliance on runtime pruning — the file listing itself
+    is O(nprobe)). Scoring runs the same batch-size-invariant cosine
+    kernel as the fused path and brute force."""
+    import os
+
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cells = probe_cells(index, query_vec, nprobe)
+    dirs = [index.cell_dir(c) for c in cells]
+    dirs = [d for d in dirs if os.path.isdir(d)]  # empty cells have no dir
+    if not dirs:
+        return spark.createDataFrame(
+            [], f"vec_id {index.id_type}, rank int, cos double"
+        )
+    pruned = spark.read.option("basePath", index.data_dir).parquet(*dirs)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cos": _cos_math(V, q)}
+            )
+
+    scored = pruned.select("vec_id", "v").mapInPandas(
+        score, schema=f"vec_id {index.id_type}, cos double"
     )
     w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (

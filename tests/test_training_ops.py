@@ -51,6 +51,41 @@ def test_ann_ivf_recall(spark, embeddings):
     ]
     assert vec == exact
 
+def test_ivf_index_build_query(spark, embeddings, tmp_path):
+    """The persisted IVF index must answer bit-identically to the fused
+    one-shot path (same quantizer sample, same assignment/cosine kernels),
+    and a query must touch ONLY its nprobe probed cells' files — the scan
+    assertion that makes a 100 TB query workload O(corpus/cells x nprobe)
+    instead of O(corpus) per query."""
+    qv = list(embeddings.filter(F.col("vec_id") == 0).head()["embedding"])
+    fused = sim.ivf_topk(
+        embeddings, qv, k=10, n_cells=8, nprobe=4
+    ).orderBy("rank").collect()
+
+    idx = sim.build_ivf_index(embeddings, str(tmp_path / "ivf"), n_cells=8)
+    got = sim.query_ivf(spark, idx, qv, k=10, nprobe=4).orderBy("rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in fused]
+
+    # reload from disk → same handle, same answer
+    idx2 = sim.load_ivf_index(str(tmp_path / "ivf"))
+    got2 = sim.query_ivf(spark, idx2, qv, k=10, nprobe=4).orderBy("rank").collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in fused]
+
+    # scan assertion: the reader lists ≤ nprobe cell partitions, nothing else
+    cells = sim.probe_cells(idx, qv, nprobe=4)
+    assert len(cells) <= 4
+    pruned = spark.read.option("basePath", idx.data_dir).parquet(
+        *[idx.cell_dir(c) for c in cells]
+    )
+    touched = {f.split("/cell=")[1].split("/")[0] for f in pruned.inputFiles()}
+    assert touched <= {str(c) for c in cells}
+    # and the index actually has more cells than the query touches
+    import os
+
+    all_cells = {d for d in os.listdir(idx.data_dir) if d.startswith("cell=")}
+    assert len(all_cells) > len(cells)
+
+
 def test_simhash_hamming_locality(spark, docs):
     near = docs.unionByName(
         docs.select((F.col("doc_id") + 10_000).alias("doc_id"),
