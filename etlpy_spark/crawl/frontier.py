@@ -74,7 +74,7 @@ def _tlog(label: str, t0: float) -> float:
 FRONTIER_DDL = "url string, discovered_seq long, round int, lineage_part int"
 SEEN_DDL = "url string, round int"
 _URL_ENC = {"url": "DELTA_BYTE_ARRAY"}
-IMAGES_DDL = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long, first_round int, lineage_part int"
+IMAGES_DDL = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long, decode_error string, first_round int, lineage_part int"
 LOG_DDL = "fetch_seq long, url string, round int, lineage_part int"
 METRICS_DDL = "round int, scheduled long, robots_blocked long, fetched long, deferred long, new_urls long, new_images long"
 
@@ -895,17 +895,31 @@ class SparkCrawler:
                 )
 
             def rows_for(sub: pd.DataFrame) -> dict:
-                from etlpy_spark.functions.imagecodec import decode, image_spec, phash64
+                from etlpy_spark.functions.imagecodec import (
+                    decode_or_error,
+                    image_spec,
+                    phash64,
+                    sniff_format,
+                )
                 from etlpy_spark.sources.synthetic_web import fetch_image
 
-                rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "first_round", "lineage_part")}
+                rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "decode_error", "first_round", "lineage_part")}
                 for iid, cap, part in zip(sub["image_id"], sub["caption"], sub["part"]):
                     data = fetch_image(iid, web)
-                    px = decode(data)
-                    w_, h_, fmt = image_spec(iid, web.seed, web.dim_scale, web.force_fmt)
+                    # skip-with-reason: a codec this engine refuses
+                    # (progressive JPEG, garbage) becomes a decode_error
+                    # row — dims/phash need decoded pixels, fmt is sniffed
+                    px, err = decode_or_error(data)
+                    if err is None:
+                        w_, h_, fmt = image_spec(iid, web.seed, web.dim_scale, web.force_fmt)
+                        w_, h_, ph = int(w_), int(h_), int(phash64(px))
+                    else:
+                        w_ = h_ = ph = None
+                        fmt = sniff_format(data)
                     rows["image_id"].append(iid); rows["bytes"].append(data)
-                    rows["w"].append(int(w_)); rows["h"].append(int(h_)); rows["fmt"].append(fmt)
-                    rows["caption"].append(cap); rows["phash"].append(int(phash64(px)))
+                    rows["w"].append(w_); rows["h"].append(h_); rows["fmt"].append(fmt)
+                    rows["caption"].append(cap); rows["phash"].append(ph)
+                    rows["decode_error"].append(err)
                     rows["first_round"].append(rnd); rows["lineage_part"].append(int(part))
                 return rows
 
@@ -966,6 +980,7 @@ class SparkCrawler:
                         ("image_id", pa.string()), ("bytes", pa.binary()),
                         ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
                         ("caption", pa.string()), ("phash", pa.int64()),
+                        ("decode_error", pa.string()),
                         ("first_round", pa.int32()), ("lineage_part", pa.int32()),
                     ])
                     filters: dict = {}

@@ -40,7 +40,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from etlpy_spark.functions.imagecodec import decode, image_spec, phash64
+from etlpy_spark.functions.imagecodec import (
+    decode_or_error,
+    image_spec,
+    phash64,
+    sniff_format,
+)
 from etlpy_spark.functions.url import canonicalize_url
 from etlpy_spark.sources.synthetic_web import (
     WebConfig,
@@ -129,8 +134,16 @@ def crawl_oracle(
                 if image_id in res.images:
                     continue
                 data = fetch_image(image_id, cfg)
-                px = decode(data)
-                w, h, fmt = image_spec(image_id, cfg.seed, cfg.dim_scale, cfg.force_fmt)
+                # same skip-with-reason rule as the distributed path:
+                # undecodable blobs become decode_error rows (dims/phash
+                # need pixels; fmt falls back to the magic-byte sniff)
+                px, err = decode_or_error(data)
+                if err is None:
+                    w, h, fmt = image_spec(image_id, cfg.seed, cfg.dim_scale, cfg.force_fmt)
+                    ph = phash64(px)
+                else:
+                    w = h = ph = None
+                    fmt = sniff_format(data)
                 res.images[image_id] = {
                     "image_id": image_id,
                     "bytes": data,
@@ -138,7 +151,8 @@ def crawl_oracle(
                     "h": h,
                     "fmt": fmt,
                     "caption": caption,
-                    "phash": phash64(px),
+                    "phash": ph,
+                    "decode_error": err,
                 }
                 new_images += 1
         res.metrics.append(

@@ -241,6 +241,21 @@ def decode(data: bytes) -> np.ndarray:
     raise ValueError("unknown image format")
 
 
+def decode_or_error(data: bytes) -> tuple[np.ndarray | None, str | None]:
+    """Skip-with-reason decode for the crawl path: a real web crawl meets
+    codecs this engine honestly refuses (progressive JPEG SOF2, compressed
+    video containers) plus plain garbage — those must become a
+    ``decode_error`` column on the image row, never a task failure that
+    aborts the round. Returns ``(pixels, None)`` or ``(None, reason)``;
+    the reason string is a pure function of the blob (exception type +
+    first line), so the serial oracle reproduces it exactly."""
+    try:
+        return decode(data), None
+    except Exception as e:  # noqa: BLE001 — any decode failure is a row, not a crash
+        msg = str(e).splitlines()[0] if str(e) else ""
+        return None, f"{type(e).__name__}: {msg}"
+
+
 def sniff_format(data: bytes) -> str:
     if data[:4] == b"RAW0":
         return "raw"

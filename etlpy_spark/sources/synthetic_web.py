@@ -41,6 +41,10 @@ class WebConfig:
     politeness_budget: int = 4  # max fetches per host per round
     dim_scale: int = 1  # image dimension multiplier (4 ≈ real web images)
     force_fmt: str = ""  # pin image container format ('' = per-id mix)
+    # serve every ~Nth image (deterministic per id) as a PROGRESSIVE-marked
+    # JPEG the baseline decoder refuses — the real-web case the crawl path
+    # must absorb as a decode_error row, not a task failure. 0 = off.
+    unsupported_every: int = 0
 
     def priority(self, url: str) -> int:
         return h64("prio|" + url, self.seed) % 100
@@ -162,7 +166,29 @@ def page(url: str, cfg: WebConfig) -> dict:
     return {"html": html, "links": links, "image_ids": image_ids, "captions": captions}
 
 
+def _mark_progressive(data: bytes) -> bytes:
+    """Rewrite a baseline JPEG's SOF0 marker to SOF2 via a marker walk
+    (segment payloads may contain \\xff\\xc0 by coincidence — a blind
+    byte replace is not safe)."""
+    b = bytearray(data)
+    i = 2  # past SOI
+    while i + 4 <= len(b) and b[i] == 0xFF:
+        if b[i + 1] == 0xC0:
+            b[i + 1] = 0xC2
+            return bytes(b)
+        i += 2 + ((b[i + 2] << 8) | b[i + 3])
+    return data
+
+
 def fetch_image(image_id: str, cfg: WebConfig) -> bytes:
+    if (
+        cfg.unsupported_every > 0
+        and h64("unsup|" + image_id, cfg.seed) % cfg.unsupported_every == 0
+    ):
+        # a REAL progressive JPEG as far as any sniffer is concerned: the
+        # baseline encoding with its SOF0 marker rewritten to SOF2, which
+        # decode_jpg_image refuses — the skip-with-reason path's test blob
+        return _mark_progressive(image_bytes(image_id, cfg.seed, cfg.dim_scale, "jpg"))
     return image_bytes(image_id, cfg.seed, cfg.dim_scale, cfg.force_fmt)
 
 

@@ -205,6 +205,41 @@ def test_probe_filters_modes_agree(spark):
         shutil.rmtree(wd, ignore_errors=True)
 
 
+def test_unsupported_codec_skip_with_reason(spark):
+    """A real crawl meets codecs the engine refuses (progressive JPEG):
+    those blobs must land as decode_error rows — dims/phash NULL, fmt from
+    the magic sniff, bytes kept — never as a task failure that aborts the
+    round, and the serial oracle must produce the identical rows."""
+    web = WebConfig(
+        n_hosts=4, n_cats=2, pages_per_cat=8, politeness_budget=2,
+        unsupported_every=3,
+    )
+    oracle = crawl_oracle(seed_urls(web, n_per_host=2), web, max_rounds=3)
+    bad = {i for i, v in oracle.images.items() if v["decode_error"]}
+    ok = set(oracle.images) - bad
+    assert bad and ok, "fixture must contain BOTH decodable and refused blobs"
+    assert all(
+        v["decode_error"].startswith("NotImplementedError")
+        and v["phash"] is None and v["w"] is None and v["fmt"] == "jpg"
+        for v in oracle.images.values() if v["image_id"] in bad
+    )
+    wd = tempfile.mkdtemp(prefix="crawl_unsup_")
+    try:
+        cr = SparkCrawler(spark, wd, CrawlConfig(web=web))
+        cr.run(seed_urls(web, n_per_host=2), max_rounds=3)
+        assert cr.crawl_log_list() == oracle.crawl_log
+        rows = {r.image_id: r for r in cr.images.read().collect()}
+        assert set(rows) == set(oracle.images)
+        for iid, exp in oracle.images.items():
+            got = rows[iid]
+            assert (got.w, got.h, got.fmt, got.phash, got.decode_error) == (
+                exp["w"], exp["h"], exp["fmt"], exp["phash"], exp["decode_error"]
+            ), iid
+            assert bytes(got.bytes) == exp["bytes"]
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 @pytest.mark.parametrize("lossy_fmt", ["y4m", "jpg"])
 def test_lossy_format_crawl_psnr_gate(spark, lossy_fmt):
     """North-rule lossy branch: with the web serving a genuinely lossy
