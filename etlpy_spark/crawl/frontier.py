@@ -495,6 +495,37 @@ class SparkCrawler:
         _t = _tlog("    seen.fold+commit", _t)
         return sum(int(r["n"]) for r in parts)
 
+    def _append_metrics_row(self, m: dict) -> None:
+        """Commit the round's one metrics row via the DETERMINISTIC writer
+        (driver-side pyarrow, fixed part name): a crashed-round re-run
+        rewrites the identical file under the identical name, which keeps
+        the metrics table inside the streaming bridge's exactly-once
+        contract — the default Spark writer's UUID part names would
+        surface a re-run as fresh appends (ADVICE r3). One driver-side
+        row per round; no Spark job at all."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        v, data_dir = self.metrics.begin_external()
+        tbl = pa.table(
+            {
+                "round": pa.array([int(m["round"])], pa.int32()),
+                **{
+                    k: pa.array([int(m[k])], pa.int64())
+                    for k in (
+                        "scheduled", "robots_blocked", "fetched",
+                        "deferred", "new_urls", "new_images",
+                    )
+                },
+            }
+        )
+        tmp = os.path.join(data_dir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(data_dir, "part-00000.parquet"))
+        self.metrics.commit_external(v, data_dir, meta={"round": int(m["round"])})
+
     def _load_blooms(self) -> dict[int, BloomFilter]:
         if self._blooms is not None:
             return self._blooms
@@ -1193,7 +1224,7 @@ class SparkCrawler:
             ).unionByName(new_frontier)
             self.frontier.overwrite(next_frontier, meta=state_meta)
         if cfg.write_metrics:
-            self.metrics.append(spark.createDataFrame([tuple(m.values())], METRICS_DDL))
+            self._append_metrics_row(m)
         _t = _tlog("seen+frontier+metrics_commit", _t)
         extracted.unpersist()
         new_frontier.unpersist()

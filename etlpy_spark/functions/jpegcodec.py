@@ -192,10 +192,15 @@ def _from_blocks(blocks: np.ndarray, by: int, bx: int, h: int, w: int) -> np.nda
 
 
 def _fdct_quant(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
-    """plane -> (n_blocks, 64) int32 quantized coefficients in ZIGZAG order."""
+    """plane -> (n_blocks, 64) int32 quantized coefficients in ZIGZAG order.
+
+    Coefficients clamp to ±1023 (category ≤ 10, libjpeg-compatible): at
+    quality 100 the quant table is all 1s and an adversarial block can
+    quantize to ±1024 = category 11, which the Annex K AC tables cannot
+    encode (only 1..10) — unclamped that was a bare KeyError."""
     blocks, _, _ = _to_blocks(plane.astype(np.float64) - 128.0)
     coef = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8, optimize=True)
-    q = np.round(coef / qt).astype(np.int32)
+    q = np.clip(np.round(coef / qt), -1023, 1023).astype(np.int32)
     return q.reshape(-1, 64)[:, _ZZ]
 
 
@@ -530,7 +535,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htabs: dict[int, _HuffTable] = {}
     sof = None
     restart_interval = 0
-    scans: list[tuple[list, bytes]] = []
+    scans: list[tuple[list, dict, dict, bytes]] = []
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: bad marker sync")
@@ -597,7 +602,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         and not (0xD0 <= data[end + 1] <= 0xD7):
                     break
                 end += 1
-            scans.append((scan_comps, data[pos:end]))
+            # snapshot the referenced Huffman tables NOW: a legal baseline
+            # file may redefine a DHT slot between scans, so resolving
+            # table ids from the final htabs state after the whole parse
+            # would decode earlier scans with later tables
+            try:
+                dcmap = {cid: htabs[0x00 | td] for cid, td, _ in scan_comps}
+                acmap = {cid: htabs[0x10 | ta] for cid, _, ta in scan_comps}
+            except KeyError:
+                raise ValueError("jpeg: scan references undefined Huffman table")
+            scans.append((scan_comps, dcmap, acmap, data[pos:end]))
             pos = end
         # APPn/COM/others: skipped via seglen
     if sof is None or not scans:
@@ -661,10 +675,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     # (T.81 A.2); a single-component scan is never interleaved -- its data
     # units walk the COMPONENT's own block grid in raster order, one block
     # per MCU (so DRI counts blocks there). DC prediction resets per scan.
-    for scan_comps, raw in scans:
+    for scan_comps, dcmap, acmap, raw in scans:
         order = [cid for cid, _, _ in scan_comps]
-        dcmap = {cid: htabs[0x00 | td] for cid, td, _ in scan_comps}
-        acmap = {cid: htabs[0x10 | ta] for cid, _, ta in scan_comps}
         if any(cid not in geom for cid in order):
             raise ValueError("jpeg: scan references unknown component")
         if len(order) == 1:
@@ -706,7 +718,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                     dcmap[cid], acmap[cid],
                                 )
                 unit += 1
-    decoded = {cid for sc, _ in scans for cid, _, _ in sc}
+    decoded = {cid for sc, _, _, _ in scans for cid, _, _ in sc}
     if decoded != set(geom):
         raise ValueError("jpeg: scans do not cover all frame components")
 

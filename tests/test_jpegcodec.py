@@ -276,6 +276,87 @@ def test_multi_scan_non_interleaved_decodes_exactly():
         assert np.array_equal(interleaved, multi)
 
 
+def test_dht_redefinition_between_scans():
+    """A legal multi-scan baseline file may REDEFINE a DHT slot between
+    scans; each scan must decode with the tables in effect at ITS SOS —
+    regression: tables were resolved from the final parse state, decoding
+    earlier scans with later tables (garbage or spurious Huffman errors).
+    Here every scan uses slot 0, redefined luma→chroma after scan 1."""
+    import struct
+
+    from etlpy_spark.functions import jpegcodec as jc
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    quality = 92
+    qy, qc = quant_tables(quality)
+    ycc = jc._rgb_to_ycbcr(px)
+    h, w = px.shape[:2]
+    comps = [
+        jc._fdct_quant(ycc[..., 0], qy),
+        jc._fdct_quant(ycc[..., 1], qc),
+        jc._fdct_quant(ycc[..., 2], qc),
+    ]
+    out = bytearray()
+    out += b"\xff\xd8"
+    for tid, qt in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(v) for v in qt.reshape(64)[jc._ZZ])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += struct.pack(">BBB", cid, 0x11, tq)
+
+    def dht(tc_th, bits, vals):
+        return (
+            b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+            + bytes(bits) + bytes(vals)
+        )
+
+    tables = (
+        (jc._DC_LUMA_BITS, jc._DC_LUMA_VALS, jc._AC_LUMA_BITS, jc._AC_LUMA_VALS),
+        (jc._DC_CHROMA_BITS, jc._DC_CHROMA_VALS, jc._AC_CHROMA_BITS, jc._AC_CHROMA_VALS),
+    )
+    for ci, cid in enumerate((1, 2, 3)):
+        t = 0 if ci == 0 else 1
+        if ci < 2:  # define/REdefine slot 0 before scans 1 and 2
+            db, dv, ab, av = tables[t]
+            out += dht(0x00, db, dv) + dht(0x10, ab, av)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += struct.pack(">BB", cid, 0x00)  # every scan: slot 0
+        out += b"\x00\x3f\x00"
+        wtr = jc._BitWriter()
+        pred = 0
+        for b in range(comps[ci].shape[0]):
+            pred = jc._encode_block(
+                wtr, comps[ci][b], pred, jc._ENC_DC[t], jc._ENC_AC[t]
+            )
+        out += wtr.flush()
+    out += b"\xff\xd9"
+    got = decode_jpeg(bytes(out))
+    exp = decode_jpeg(encode_jpeg(px, quality=quality))
+    assert np.array_equal(got, exp)
+
+
+def test_quality100_adversarial_block_encodes():
+    """At quality 100 the quant tables are all 1s; quantized AC magnitudes
+    clamp to +-1023 (category <= 10, libjpeg-compatible) so Annex K AC
+    encoding can never see category 11 — regression: a bare KeyError.
+    Worst-case inputs: every DCT basis function thresholded to {0, 255},
+    tiled across the image, plus the clamp bound itself."""
+    from etlpy_spark.functions import jpegcodec as jc
+
+    assert int(np.abs(jc._fdct_quant(
+        np.where(np.outer(jc._DCT8[0], jc._DCT8[4]) > 0, 255.0, 0.0),
+        np.ones((8, 8), dtype=np.int32),
+    )).max()) <= 1023
+    for u, v in ((0, 4), (4, 0), (4, 4), (7, 7), (0, 1)):
+        basis = np.outer(jc._DCT8[u], jc._DCT8[v])
+        blk = np.where(basis > 0, 255, 0).astype(np.uint8)
+        px = np.stack([np.tile(blk, (3, 3))] * 3, axis=-1)
+        out = decode_jpeg(encode_jpeg(px, quality=100))  # must not raise
+        assert out.shape == px.shape
+
+
 def test_scans_must_cover_all_components():
     """A multi-scan file missing a component's scan is corrupt — reject,
     never return a half-decoded image."""

@@ -81,5 +81,66 @@ def test_mor_tables_are_refused(spark):
         spark.createDataFrame([("k0",)], "k string"),
         key="k", compact_threshold=100.0,
     )
-    with pytest.raises(ValueError, match="tombstones"):
+    with pytest.raises(ValueError, match="merge-on-read"):
         stream_snapshot_table(spark, tbl.path, "k string, v int")
+
+
+def test_mor_history_refused_even_after_compaction(spark):
+    # a compacted previously-MoR table has a CLEAN head snapshot, but the
+    # stale pre-compaction dirs + .del dirs are still on disk under data/
+    # — the history/disk guard must refuse it, not just the head check
+    from etlpy_spark.sources.catalog import SnapshotTable
+
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="stream_compact_"))
+    tbl.overwrite(spark.createDataFrame(
+        [(f"k{i}", i) for i in range(10)], "k string, v int"
+    ))
+    tbl.append_with_deletes(
+        spark.createDataFrame([], "k string, v int"),
+        spark.createDataFrame([("k0",)], "k string"),
+        key="k", compact_threshold=100.0,
+    )
+    tbl.compact()
+    assert not tbl.snapshot(tbl.current_version()).delete_dirs  # clean head
+    with pytest.raises(ValueError):
+        stream_snapshot_table(spark, tbl.path, "k string, v int")
+
+
+def test_mid_history_overwrite_refused(spark):
+    # overwrite after data exists orphans the old dirs on disk; data/*
+    # would stream both copies
+    from etlpy_spark.sources.catalog import SnapshotTable
+
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="stream_ow_"))
+    tbl.append(spark.createDataFrame([("a", 1)], "k string, v int"))
+    tbl.overwrite(spark.createDataFrame([("b", 2)], "k string, v int"))
+    with pytest.raises(ValueError, match="overwrite|orphan"):
+        stream_snapshot_table(spark, tbl.path, "k string, v int")
+
+
+def test_inprogress_attempt_dirs_not_streamed(spark, crawler):
+    # a live round stages image/log attempts under data/vNNNNNN.inprogress/
+    # (NOT dot-prefixed) — the stream's glob must never ingest them, even
+    # with rows fully written inside
+    log_path = os.path.join(crawler.workdir, "crawl_log")
+    committed = crawler.log.read().count()
+    v = crawler.log.current_version()
+    stage = os.path.join(
+        log_path, "data", f"v{v + 1:06d}.inprogress", "deadbeef"
+    )
+    os.makedirs(stage, exist_ok=True)
+    spark.createDataFrame(
+        [(99_999, "http://ghost.example/x", 9, 0)], LOG_DDL
+    ).toPandas().to_parquet(os.path.join(stage, "chunk-00000.parquet"))
+    try:
+        sink = tempfile.mkdtemp(prefix="stream_sink2_")
+        ckpt = tempfile.mkdtemp(prefix="stream_ckpt2_")
+        stream = stream_snapshot_table(spark, log_path, LOG_DDL)
+        process_increment(stream, sink, ckpt)
+        rows = _sink_rows(spark, sink)
+        assert len(rows) == committed
+        assert all(r.url != "http://ghost.example/x" for r in rows)
+    finally:
+        import shutil
+
+        shutil.rmtree(os.path.dirname(stage), ignore_errors=True)
