@@ -301,10 +301,24 @@ def _connector_path(ctx: CompileContext, st: Stage) -> str:
 
 @register("DBGE")
 def dbge(ctx: CompileContext, df: DataFrame | None, st: Stage) -> DataFrame:
-    """File/DB source (reference etl.py:184-210): csv/tsv/json by extension.
-    Spark-first: spark.read with header inference; parquet supported as the
-    native scale format (the reference's MongoDB connector maps to the
-    catalog table layer in sources/catalog.py)."""
+    """File/DB source (reference etl.py:184-210): csv/tsv/json by extension,
+    parquet as the native scale format, and the reference's primary DB —
+    MongoDB — as a ``mongodb://host/db.collection`` TableName routed to
+    ``spark.read.format('mongodb')`` (sources/mongo.py builds the options;
+    needs the connector jar + a live server, so covered by spec tests
+    offline)."""
+    from etlpy_spark.sources.mongo import is_mongo_uri, mongo_read_spec
+
+    raw = str(st.get("TableName", ""))
+    if is_mongo_uri(raw):
+        fmt, opts = mongo_read_spec(raw)
+
+        def make_mongo() -> DataFrame:
+            src = ctx.spark.read.format(fmt).options(**opts).load()
+            return src.withColumn(ORD, F.array(F.monotonically_increasing_id()))
+
+        return apply_generator(ctx, df, st, make_mongo)
+
     path = _connector_path(ctx, st)
     ext = path.rsplit(".", 1)[-1].lower()
 
@@ -333,6 +347,25 @@ def dbex(ctx: CompileContext, df: DataFrame, st: Stage) -> DataFrame:
     ``Key`` attr (default: first column); plain files get overwrite."""
     if not ctx.execute:
         return df
+    from etlpy_spark.sources.mongo import is_mongo_uri, mongo_write_spec
+
+    raw = str(st.get("TableName", ""))
+    if is_mongo_uri(raw):
+        # reference etl.py:149-181 Mongo semantics: OnlyInsert = append,
+        # InsertOrUpdate = per-document replace upsert keyed by Key
+        fmt, mode, opts = mongo_write_spec(
+            raw,
+            execute_type=str(st.get("ExecuteType", "OnlyInsert")) or "OnlyInsert",
+            key=str(st.get("Key", "")) or None,
+        )
+
+        def sink(out: DataFrame) -> None:
+            data = out.drop(ORD) if ORD in out.columns else out
+            data.write.format(fmt).mode(mode).options(**opts).save()
+
+        ctx.sinks.append(("DbEX", sink))
+        return df
+
     path = _connector_path(ctx, st)
     ext = path.rsplit(".", 1)[-1].lower()
 
