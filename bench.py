@@ -74,9 +74,12 @@ def bench_crawl_steady(spark) -> dict:
     probe ≈ 10 s), which undersells the recurring-round rate that holds at
     the 10^10-URL design point — a production crawl seeds once and then
     runs rounds ~10^6× this size (BENCH/BASELINE.md measures 50k URLs/s
-    steady on 6M-seed rounds). Init (seed bootstrap) is excluded like the
-    scaling bench's steady-state number; the round wall includes every
-    commit the engine pays per round."""
+    steady on 6M-seed rounds). Round size here (~960k URLs) is chosen so
+    the fixed cost is <30% of the round wall — round-over-round deltas on
+    this number measure the ENGINE, not Spark job-scheduling overhead
+    (r3 verdict #8; the r3 round was 200k ≈ 58% fixed). Init (seed
+    bootstrap) is excluded like the scaling bench's steady-state number;
+    the round wall includes every commit the engine pays per round."""
     from etlpy_spark.crawl.frontier import CrawlConfig, SparkCrawler
     from etlpy_spark.sources.synthetic_web import WebConfig, seed_urls
 
@@ -84,13 +87,13 @@ def bench_crawl_steady(spark) -> dict:
         n_hosts=int(6000 * CRAWL_SCALE) or 6,
         n_cats=4,
         pages_per_cat=2000,
-        politeness_budget=40,
+        politeness_budget=160,
         max_links=3,
         max_images=1,
         skew_host0=8,
         image_universe=20_000,
     )
-    seeds = seed_urls(web, n_per_host=40)
+    seeds = seed_urls(web, n_per_host=160)
     wd = tempfile.mkdtemp(prefix="bench_steady_")
     try:
         cr = SparkCrawler(

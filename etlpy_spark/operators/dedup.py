@@ -530,6 +530,33 @@ def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return sums.select(F.col("id"), acc.alias("simhash"))
 
 
+def _shingle_hash_rows(
+    df: DataFrame, text_col: str, n: int, carry: list[str]
+) -> DataFrame:
+    """``carry`` columns + one exploded DISTINCT word-n-gram shingle hash
+    per row (``__bh__``). The token array is materialized in its OWN
+    projection and the xxhash64 sits INSIDE a single transform: the
+    composed ``shingle_hashes(word_shingles(...))`` column nests one
+    interpreted HOF inside another, which re-evaluates the inner
+    split/shingle work per outer element — measured 27x slower on
+    900-word docs (the r2 "interpreted HOF defeats CSE" pitfall, hit
+    again at decontamination's n=8 doc lengths)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(*carry, toks.alias("__ws__")).filter(
+        F.size("__ws__") >= n
+    )
+    k = F.size(F.col("__ws__")) - F.lit(n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("__ws__"), i + j) for j in range(n)]
+            )
+        ),
+    )
+    return base.select(*carry, F.explode(F.array_distinct(sh)).alias("__bh__"))
+
+
 def mark_contaminated(
     df: DataFrame,
     benchmark: DataFrame,
@@ -551,21 +578,15 @@ def mark_contaminated(
     shuffling the corpus. Above the gate the join falls back to AQE's
     choice, keyed by the 8-byte hash either way."""
     bench_sh = (
-        _spread(benchmark)
-        .filter(F.size(F.split(F.trim(F.col(bench_text_col)), r"\s+")) >= n)
-        .select(
-            F.explode(
-                shingle_hashes(word_shingles(bench_text_col, n))
-            ).alias("__bh__")
-        )
+        _shingle_hash_rows(_spread(benchmark), bench_text_col, n, carry=[])
         .distinct()
         .persist()
     )
     n_bench = bench_sh.count()
     bench_side = F.broadcast(bench_sh) if n_bench <= broadcast_limit else bench_sh
-    doc_sh = df.select(
-        F.col(id_col).alias("__did__"),
-        F.explode(shingle_hashes(word_shingles(text_col, n))).alias("__bh__"),
+    doc_sh = _shingle_hash_rows(
+        df.select(F.col(id_col).alias("__did__"), F.col(text_col)),
+        text_col, n, carry=["__did__"],
     )
     hits = (
         doc_sh.join(bench_side, on="__bh__", how="inner")
