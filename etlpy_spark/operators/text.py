@@ -182,21 +182,6 @@ def redact_pii(col: Column | str, kinds: list[str] | None = None) -> Column:
 # text twice, so the pass scales like the n-gram dedup miners.
 
 
-def _word_ngrams(col: Column | str, n: int) -> Column:
-    """ALL word n-grams in order (duplicates preserved — repetition is the
-    signal here, so unlike dedup.word_shingles there is no array_distinct)."""
-    c = F.col(col) if isinstance(col, str) else col
-    ws = F.split(F.trim(c), r"\s+")
-    k = F.size(ws) - F.lit(n - 1)
-    return F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def repetition_metrics(
     df: DataFrame,
     text_col: str = "text",
@@ -261,46 +246,64 @@ def repetition_metrics(
         )
     )
 
-    # (measured: tag-fusing both gram sizes into one explode/shuffle LOSES
-    # ~50% — the per-gram tag concat costs more than the saved small
-    # shuffle; one plain branch per n it is)
-    def gram_agg(n: int, dup_only: bool, out_col: str) -> DataFrame:
-        counts = (
-            base.select("_id", F.explode(_word_ngrams("_t", n)).alias("_g"))
-            .groupBy("_id", "_g")
-            .agg(F.count("*").alias("_cnt"))
-        )
-        if dup_only:
-            return counts.groupBy("_id").agg(
-                F.sum(
-                    F.when(F.col("_cnt") > 1, F.col("_cnt") * F.length("_g"))
-                    .otherwise(F.lit(0))
-                ).alias(out_col)
-            )
-        return counts.groupBy("_id").agg(
-            F.max(F.col("_cnt") * F.length("_g")).alias(out_col)
-        )
+    # ALL n's share one (doc, n, gram) shuffle + one (doc, n) aggregate +
+    # one pivot: 2 shuffles instead of one per n and ONE broadcast join
+    # back instead of 9 — measured 2.05 → 1.7 s at sf0.1 with the full
+    # A1.1 set, identical output frame. (r2 measured STRING-tag fusion
+    # losing 50% — the per-gram tag concat was the cost; an int n column
+    # in the grouping key costs nothing.) The token array is split once
+    # per branch in its own projection — nesting the split inside the
+    # gram transform re-evaluates it per element (the _shingle_hash_rows
+    # pitfall, dedup.py).
+    toks = base.select("_id", F.split(F.trim("_t"), r"\s+").alias("_ws"))
+    all_ns = list(dict.fromkeys(list(tops) + list(dups)))
 
-    out = base.select("_id", "_nchars").join(lagg, "_id", "left")
+    def branch(n: int) -> DataFrame:
+        k = F.size(F.col("_ws")) - F.lit(n - 1)
+        grams = F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("_ws"), i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return toks.select("_id", F.lit(n).alias("_n"), F.explode(grams).alias("_g"))
+
+    allg = branch(all_ns[0])
+    for n in all_ns[1:]:
+        allg = allg.unionByName(branch(n))
+    per_n = (
+        allg.groupBy("_id", "_n", "_g")
+        .agg(F.count("*").alias("_cnt"))
+        .groupBy("_id", "_n")
+        .agg(
+            F.max(F.col("_cnt") * F.length("_g")).alias("_topch"),
+            F.sum(
+                F.when(F.col("_cnt") > 1, F.col("_cnt") * F.length("_g"))
+                .otherwise(F.lit(0))
+            ).alias("_dupch"),
+        )
+    )
+    piv = per_n.groupBy("_id").pivot("_n", all_ns).agg(
+        F.first("_topch").alias("top"), F.first("_dupch").alias("dup")
+    )
+
+    out = base.select("_id", "_nchars").join(lagg, "_id", "left").join(piv, "_id", "left")
+    nch = F.greatest("_nchars", F.lit(1))
     proj = [
         F.col("_id").alias(id_col),
         F.coalesce("_nl", F.lit(0)).cast("long").alias("n_lines"),
         frac4(F.col("_nl") - F.col("_ndl"), F.col("_nl")).alias("dup_line_frac"),
         frac4(F.col("_dlch"), F.col("_lch")).alias("dup_line_char_frac"),
     ]
-    nch = F.greatest("_nchars", F.lit(1))
     for n in tops:
         name = "top_ngram_char_frac" if legacy else f"top_{n}gram_char_frac"
-        out = out.join(gram_agg(n, dup_only=False, out_col=f"_topch{n}"), "_id", "left")
-        proj.append(
-            frac4(F.coalesce(f"_topch{n}", F.lit(0)), nch, cap=True).alias(name)
-        )
+        proj.append(frac4(F.coalesce(f"{n}_top", F.lit(0)), nch, cap=True).alias(name))
     for n in dups:
         name = "dup_ngram_char_frac" if legacy else f"dup_{n}gram_char_frac"
-        out = out.join(gram_agg(n, dup_only=True, out_col=f"_dupch{n}"), "_id", "left")
-        proj.append(
-            frac4(F.coalesce(f"_dupch{n}", F.lit(0)), nch, cap=True).alias(name)
-        )
+        proj.append(frac4(F.coalesce(f"{n}_dup", F.lit(0)), nch, cap=True).alias(name))
     return out.select(*proj)
 
 
