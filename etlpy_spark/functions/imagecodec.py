@@ -212,6 +212,16 @@ def encode_jpg_image(px: np.ndarray) -> bytes:
     return encode_jpeg(px, quality=96, restart_interval=64)
 
 
+def encode_jpgp_image(px: np.ndarray) -> bytes:
+    """Real PROGRESSIVE JPEG (SOF2, spectral selection + successive
+    approximation, per-scan optimal Huffman tables) — the encoding a large
+    share of real web images use. Same quantized coefficients as the
+    baseline path, so the same quality/PSNR behavior."""
+    from etlpy_spark.functions.jpegcodec import encode_jpeg
+
+    return encode_jpeg(px, quality=96, progressive=True)
+
+
 def decode_jpg_image(data: bytes) -> np.ndarray:
     from etlpy_spark.functions.jpegcodec import decode_jpeg
 
@@ -219,7 +229,8 @@ def decode_jpg_image(data: bytes) -> np.ndarray:
 
 
 _ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png,
-        "y4m": encode_y4m_image, "jpg": encode_jpg_image}
+        "y4m": encode_y4m_image, "jpg": encode_jpg_image,
+        "jpgp": encode_jpgp_image}
 
 
 def encode(px: np.ndarray, fmt: str) -> bytes:
@@ -243,9 +254,9 @@ def decode(data: bytes) -> np.ndarray:
 
 def decode_or_error(data: bytes) -> tuple[np.ndarray | None, str | None]:
     """Skip-with-reason decode for the crawl path: a real web crawl meets
-    codecs this engine honestly refuses (progressive JPEG SOF2, compressed
-    video containers) plus plain garbage — those must become a
-    ``decode_error`` column on the image row, never a task failure that
+    codecs this engine honestly refuses (arithmetic-coded JPEG, compressed
+    video containers) plus truncated/malformed garbage — those must become
+    a ``decode_error`` column on the image row, never a task failure that
     aborts the round. Returns ``(pixels, None)`` or ``(None, reason)``;
     the reason string is a pure function of the blob (exception type +
     first line), so the serial oracle reproduces it exactly."""

@@ -10,18 +10,22 @@ adds the real thing: a from-scratch baseline sequential DCT JPEG
 quantized-DCT loss in the file format the rule is about.
 
 Scope (honest limits, all checked with clear errors):
-  * encoder: baseline sequential, 8-bit, single-component grayscale
-    (HxW input) or YCbCr 4:4:4 (default -- no
-    subsampling, so a quality>=96 encode stays over the 40 dB gate on the
-    sharp synthetic fixtures) or 4:2:0 (2x2 box-averaged chroma, the
-    layout web JPEGs overwhelmingly use), standard Annex K quantization
-    tables scaled by the libjpeg quality formula, standard Annex K
-    Huffman tables, JFIF APP0 header, optional DRI/RSTn restart markers.
-  * decoder: baseline sequential (SOF0/1) 8-bit, 1- or 3-component,
-    ARBITRARY sampling factors 1..4 declared in SOF0 (4:2:0 / 4:2:2 /
-    4:4:0 / 4:1:1 all decode; chroma is upsampled nearest-neighbor),
-    restart markers. Progressive (SOF2), arithmetic coding, and 16-bit
-    quant tables are rejected rather than mis-decoded.
+  * encoder: baseline sequential (SOF0) or PROGRESSIVE (SOF2 — spectral
+    selection + one successive-approximation level, per-scan optimal
+    Huffman tables), 8-bit, single-component grayscale (HxW input) or
+    YCbCr 4:4:4 (default -- no subsampling, so a quality>=96 encode stays
+    over the 40 dB gate on the sharp synthetic fixtures) or 4:2:0 (2x2
+    box-averaged chroma, the layout web JPEGs overwhelmingly use),
+    standard Annex K quantization tables scaled by the libjpeg quality
+    formula, standard Annex K Huffman tables for baseline, JFIF APP0
+    header, optional DRI/RSTn restart markers (baseline only).
+  * decoder: baseline/extended sequential (SOF0/1) AND progressive
+    (SOF2: DC/AC first + refinement scans, EOB runs, successive
+    approximation, restart markers), 8-bit, 1- or 3-component, ARBITRARY
+    sampling factors 1..4 (4:2:0 / 4:2:2 / 4:4:0 / 4:1:1 all decode;
+    chroma is upsampled nearest-neighbor). Lossless/hierarchical SOFs,
+    arithmetic coding, and 16-bit quant tables are rejected rather than
+    mis-decoded.
 
 All the block math (DCT, quantize, zigzag, color transform) is vectorized
 numpy over every 8x8 block at once; only the entropy coding loop is
@@ -380,9 +384,9 @@ def _extend(bits: int, cat: int) -> int:
 
 
 def _encode_gray(px: np.ndarray, qy: np.ndarray,
-                 restart_interval: int) -> bytes:
-    """Single-component (grayscale) baseline JFIF — the other scan shape
-    real web JPEGs use; decode_jpeg replicates it to HxWx3."""
+                 restart_interval: int, progressive: bool = False) -> bytes:
+    """Single-component (grayscale) JFIF — the other scan shape real web
+    JPEGs use; decode_jpeg replicates it to HxWx3."""
     h, w = px.shape
     blocks = _fdct_quant(px.astype(np.float64), qy)
     out = bytearray()
@@ -391,8 +395,17 @@ def _encode_gray(px: np.ndarray, qy: np.ndarray,
         + struct.pack(">HH", 1, 1) + b"\x00\x00"
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0)
     out += bytes(int(v) for v in qy.reshape(64)[_ZZ])
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0")
+    out += struct.pack(">HBHHB", 11, 8, h, w, 1)
     out += struct.pack(">BBB", 1, 0x11, 0)
+    if progressive:
+        bw = (w + 7) // 8
+        _emit_progressive_scans(
+            out, [blocks], [1], [(bw, (h + 7) // 8, bw)],
+            [(0, b) for b in range(blocks.shape[0])],
+        )
+        out += b"\xff\xd9"
+        return bytes(out)
     for tc_th, bits, vals in (
         (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
         (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
@@ -419,9 +432,9 @@ def _encode_gray(px: np.ndarray, qy: np.ndarray,
 
 def encode_jpeg(px: np.ndarray, quality: int = 92,
                 restart_interval: int = 0,
-                subsampling: str = "444") -> bytes:
-    """uint8 HxWx3 RGB (or HxW grayscale) -> baseline JFIF bytes
-    (standard tables).
+                subsampling: str = "444",
+                progressive: bool = False) -> bytes:
+    """uint8 HxWx3 RGB (or HxW grayscale) -> JFIF bytes.
 
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (what real encoders do for error resilience); 0 omits
@@ -429,7 +442,11 @@ def encode_jpeg(px: np.ndarray, quality: int = 92,
     hold a PSNR >= 40 dB gate on high-chroma-frequency content) or
     ``'420'`` (2x2 box-averaged chroma in 16x16 MCUs — what web JPEGs
     overwhelmingly use; expect ~27 dB on the procedural fixtures, same
-    as Y4M C420)."""
+    as Y4M C420). ``progressive`` emits SOF2 with the classic
+    spectral-selection + successive-approximation scan script and
+    per-scan optimal Huffman tables; the quantized coefficients are
+    identical to the baseline emission, so both decode to the SAME
+    pixels."""
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("encode_jpeg expects uint8 HxWx3 RGB or HxW gray")
@@ -437,12 +454,14 @@ def encode_jpeg(px: np.ndarray, quality: int = 92,
         raise ValueError("encode_jpeg expects uint8 pixels")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
+    if progressive and restart_interval:
+        raise ValueError("jpeg: restart markers unsupported with progressive")
     h, w = px.shape[:2]
     if h > 0xFFFF or w > 0xFFFF:
         raise ValueError("jpeg: dimension > 65535")
     qy, qc = quant_tables(quality)
     if gray:
-        return _encode_gray(px, qy, restart_interval)
+        return _encode_gray(px, qy, restart_interval, progressive)
     ycc = _rgb_to_ycbcr(px)
     if subsampling == "420":
         # pad planes to 16-multiples so the chroma planes land exactly on
@@ -475,9 +494,34 @@ def encode_jpeg(px: np.ndarray, quality: int = 92,
     for tid, qt in ((0, qy), (1, qc)):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(int(v) for v in qt.reshape(64)[_ZZ])  # zigzag order
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0")
+    out += struct.pack(">HBHHB", 17, 8, h, w, 3)
     for (cid, tq), hv in zip(((1, 0), (2, 1), (3, 1)), samp):
         out += struct.pack(">BBB", cid, hv, tq)
+
+    if progressive:
+        lbx = 2 * mcux if subsampling == "420" else mcux
+        if subsampling == "420":
+            dims = [
+                ((w + 7) // 8, (h + 7) // 8, lbx),
+                (((w + 1) // 2 + 7) // 8, ((h + 1) // 2 + 7) // 8, mcux),
+                (((w + 1) // 2 + 7) // 8, ((h + 1) // 2 + 7) // 8, mcux),
+            ]
+            dc_walk = []
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for r in (0, 1):
+                    for c in (0, 1):
+                        dc_walk.append((0, (2 * my + r) * lbx + (2 * mx + c)))
+                dc_walk.append((1, m))
+                dc_walk.append((2, m))
+        else:
+            dims = [((w + 7) // 8, (h + 7) // 8, mcux)] * 3
+            dc_walk = [(ci, m) for m in range(mcux * mcuy) for ci in range(3)]
+        _emit_progressive_scans(out, comps, [1, 2, 3], dims, dc_walk)
+        out += b"\xff\xd9"
+        return bytes(out)
+
     for tc_th, bits, vals in (
         (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
         (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
@@ -523,6 +567,429 @@ def encode_jpeg(px: np.ndarray, quality: int = 92,
 
 
 # ---------------------------------------------------------------------------
+# progressive (SOF2) encoder. Unlike baseline, progressive scans use
+# symbols (EOB-run categories r<<4 for r in 1..14) that the Annex K fixed
+# tables do not define, so every Huffman-coded scan is two-pass: count the
+# symbols, build an optimal length-limited table (T.81 K.2: pseudo-symbol
+# reserves the all-ones code, BITS adjustment caps lengths at 16), emit a
+# per-scan DHT, then write the scan — which also exercises the decoder's
+# per-scan DHT snapshot on every progressive file.
+
+
+def _gen_huff(freq_in: dict[int, int]) -> tuple[list[int], list[int]]:
+    """symbol→count → (BITS[16], HUFFVAL) — the standard optimal JPEG
+    table construction (T.81 K.2 flow)."""
+    freq = [0] * 257
+    for s, c in freq_in.items():
+        freq[s] = c
+    freq[256] = 1  # reserved slot: no real symbol may get the all-ones code
+    others = [-1] * 257
+    codesize = [0] * 257
+    while True:
+        c1, v = -1, 1 << 60
+        for i in range(257):
+            if 0 < freq[i] <= v:
+                v, c1 = freq[i], i
+        c2, v = -1, 1 << 60
+        for i in range(257):
+            if 0 < freq[i] <= v and i != c1:
+                v, c2 = freq[i], i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:  # length-limit to 16 bits (K.2 Adjust_BITS)
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved all-ones slot (sorts last: max length, max symbol)
+    vals = [s for s in sorted(range(256), key=lambda s: (codesize[s], s))
+            if codesize[s]]
+    return bits[1:17], vals
+
+
+class _ScanSink:
+    """Counting emitter — pass 1 of a two-pass progressive scan encode."""
+
+    def __init__(self) -> None:
+        self.freq: dict[int, int] = {}
+
+    def symbol(self, s: int) -> None:
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _ScanWriter:
+    """Huffman-writing emitter — pass 2."""
+
+    def __init__(self, codes: dict[int, tuple[int, int]]) -> None:
+        self.w = _BitWriter()
+        self.codes = codes
+
+    def symbol(self, s: int) -> None:
+        code, ln = self.codes[s]
+        self.w.put(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.w.put(v, n)
+
+
+def _enc_dc_scan(em, walk, comps, ah: int, al: int) -> None:
+    if ah:  # refinement: one raw bit (bit Al of the DC value) per block
+        for ci, b in walk:
+            em.bits((int(comps[ci][b][0]) >> al) & 1, 1)
+        return
+    preds: dict[int, int] = {}
+    for ci, b in walk:
+        v = int(comps[ci][b][0]) >> al  # arithmetic shift, like the decoder's << Al inverse
+        d = v - preds.get(ci, 0)
+        preds[ci] = v
+        cat = _category(d)
+        em.symbol(cat)
+        em.bits(d if d >= 0 else d + (1 << cat) - 1, cat)
+
+
+def _enc_ac_first(em, blocks, idxs, ss: int, se: int, al: int) -> None:
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            em.symbol(nb << 4)
+            em.bits(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for b in idxs:
+        band = [int(v) for v in blocks[b][ss:se + 1]]
+        # point transform is a MAGNITUDE shift (T.81 G.1.2.1), not arithmetic
+        t = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in band]
+        nz = [i for i, v in enumerate(t) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        r = 0
+        for i in range(nz[-1] + 1):
+            v = t[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                em.symbol(0xF0)
+                r -= 16
+            cat = _category(v)
+            em.symbol((r << 4) | cat)
+            em.bits(v if v >= 0 else v + (1 << cat) - 1, cat)
+            r = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(em, blocks, idxs, ss: int, se: int, al: int) -> None:
+    eobrun = 0
+    pend: list[int] = []  # correction bits buffered across EOB-run blocks
+
+    def flush() -> None:
+        nonlocal eobrun, pend
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            em.symbol(nb << 4)
+            em.bits(eobrun - (1 << nb), nb)
+            eobrun = 0
+        for bit in pend:
+            em.bits(bit, 1)
+        pend = []
+
+    for b in idxs:
+        band = [int(v) for v in blocks[b][ss:se + 1]]
+        t = [abs(v) >> al for v in band]
+        eobpos = -1  # last newly-significant position bounds symbol emission
+        for i, v in enumerate(t):
+            if v == 1:
+                eobpos = i
+        r = 0
+        br: list[int] = []  # correction bits of the current block
+        for i, v in enumerate(t):
+            if v == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobpos:
+                flush()
+                em.symbol(0xF0)
+                for bit in br:
+                    em.bits(bit, 1)
+                br = []
+                r -= 16
+            if v > 1:  # previously-significant: one correction bit
+                br.append(v & 1)
+                continue
+            flush()
+            em.symbol((r << 4) | 1)
+            em.bits(1 if band[i] >= 0 else 0, 1)
+            for bit in br:
+                em.bits(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _emit_prog_scan(out: bytearray, sel: list[tuple[int, int]], ss: int,
+                    se: int, ah: int, al: int, table_class: int,
+                    encode_fn) -> None:
+    """Two-pass scan emission: count → per-scan DHT → SOS → write."""
+    sink = _ScanSink()
+    encode_fn(sink)
+    codes: dict[int, tuple[int, int]] = {}
+    if sink.freq:
+        bits, vals = _gen_huff(sink.freq)
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), table_class)
+        out += bytes(bits) + bytes(vals)
+        codes = _canonical_codes(bits, vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(sel), len(sel))
+    for cid, tsel in sel:
+        out += struct.pack(">BB", cid, tsel)
+    out += struct.pack(">BBB", ss, se, (ah << 4) | al)
+    wtr = _ScanWriter(codes)
+    encode_fn(wtr)
+    out += wtr.w.flush()
+
+
+def _emit_progressive_scans(out: bytearray, comps, cids, dims,
+                            dc_walk) -> None:
+    """The classic web-encoder progression: interleaved DC first scan at
+    Al=1; per-component AC spectral-selection first scans at Al=1 (luma
+    split 1-5 / 6-63); per-component AC refinement to Al=0; DC refinement.
+    ``dims`` per component: (bw, bh, stride) of its real (unpadded-to-MCU)
+    block grid — single-component scans never visit interleave pad blocks."""
+    def idxs(ci: int) -> list[int]:
+        bw, bh, stride = dims[ci]
+        return [row * stride + col for row in range(bh) for col in range(bw)]
+
+    dc_sel = [(cid, 0x00) for cid in cids]
+    _emit_prog_scan(out, dc_sel, 0, 0, 0, 1, 0x00,
+                    lambda em: _enc_dc_scan(em, dc_walk, comps, 0, 1))
+    ac_bands = {0: [(1, 5), (6, 63)]}  # luma split like real encoders
+    for ci in range(len(comps)):
+        for ss, se in ac_bands.get(ci, [(1, 63)]):
+            _emit_prog_scan(
+                out, [(cids[ci], 0x00)], ss, se, 0, 1, 0x10,
+                lambda em, ci=ci, ss=ss, se=se: _enc_ac_first(
+                    em, comps[ci], idxs(ci), ss, se, 1),
+            )
+    for ci in range(len(comps)):
+        _emit_prog_scan(
+            out, [(cids[ci], 0x00)], 1, 63, 1, 0, 0x10,
+            lambda em, ci=ci: _enc_ac_refine(em, comps[ci], idxs(ci), 1, 63, 0),
+        )
+    _emit_prog_scan(out, dc_sel, 0, 0, 1, 0, 0x00,
+                    lambda em: _enc_dc_scan(em, dc_walk, comps, 1, 0))
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) scan decode — ITU-T T.81 G.2. Coefficients accumulate
+# across scans in the shared per-component arrays: DC scans carry the DC
+# coefficient at successive-approximation precision Al (first scan = Huffman
+# diffs of DC>>Al, refinements = one raw bit each); AC scans are
+# single-component by spec, carry a spectral band [Ss, Se] with EOB-run
+# coding, and refinements add one magnitude bit per already-nonzero
+# coefficient while inserting newly-significant ±1<<Al ones.
+
+
+def _dc_unit_prog(rdr: _BitReader, zz: np.ndarray, pred: int,
+                  dtab: _HuffTable | None, ah: int, al: int) -> int:
+    if ah == 0:
+        if dtab is None:
+            raise ValueError("jpeg: scan references undefined Huffman table")
+        s = rdr.read_symbol(dtab)
+        pred += _extend(rdr.read(s), s)
+        zz[0] = pred << al
+        return pred
+    if rdr.read(1):
+        zz[0] = int(zz[0]) | (1 << al)
+    return pred
+
+
+def _ac_first_unit(rdr: _BitReader, zz: np.ndarray, ss: int, se: int,
+                   al: int, atab: _HuffTable | None, eobrun: int) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    if atab is None:
+        raise ValueError("jpeg: scan references undefined Huffman table")
+    k = ss
+    while k <= se:
+        rs = rdr.read_symbol(atab)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC index overflow")
+            zz[k] = _extend(rdr.read(s), s) << al
+            k += 1
+        elif r != 15:
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rdr.read(r)
+            break
+        else:
+            k += 16
+    return eobrun
+
+
+def _ac_refine_unit(rdr: _BitReader, zz: np.ndarray, ss: int, se: int,
+                    al: int, atab: _HuffTable | None, eobrun: int) -> int:
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        if atab is None:
+            raise ValueError("jpeg: scan references undefined Huffman table")
+        while k <= se:
+            rs = rdr.read_symbol(atab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("jpeg: invalid refinement magnitude")
+                val = p1 if rdr.read(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += rdr.read(r)
+                break
+            # advance past r zero-history coefficients, correcting the
+            # nonzero-history ones passed on the way (their bits are
+            # interleaved into the stream in walk order)
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if rdr.read(1) and (c & p1) == 0:
+                        zz[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        # block is inside an EOB run: only correction bits for the
+        # remaining nonzero-history coefficients
+        while k <= se:
+            c = int(zz[k])
+            if c != 0:
+                if rdr.read(1) and (c & p1) == 0:
+                    zz[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(scan_comps, dcmap, acmap, raw, band, geom,
+                             coefs, mcux, n_mcus, comp_units, split_restarts,
+                             restart_interval) -> None:
+    ss, se, ah, al = band
+    order = [cid for cid, _, _ in scan_comps]
+    if ss == 0:
+        if se != 0:
+            raise ValueError("jpeg: progressive scan mixes DC and AC")
+        interleaved = len(order) > 1
+        if interleaved and len(order) != len(geom):
+            raise NotImplementedError("jpeg: partially interleaved scan")
+        if interleaved:
+            units, bw = n_mcus, 0
+        else:
+            bw, units = comp_units(order[0])
+        unit = 0
+        for part in split_restarts(raw):
+            rdr = _BitReader(part)
+            preds = {cid: 0 for cid in order}
+            limit = (min(unit + restart_interval, units)
+                     if restart_interval else units)
+            while unit < limit:
+                if interleaved:
+                    my, mx = divmod(unit, mcux)
+                    for cid in order:
+                        sh, sv, cbx, _ = geom[cid]
+                        carr = coefs[cid]
+                        for r in range(sv):
+                            row = (my * sv + r) * cbx + mx * sh
+                            for c in range(sh):
+                                preds[cid] = _dc_unit_prog(
+                                    rdr, carr[row + c], preds[cid],
+                                    dcmap[cid], ah, al,
+                                )
+                else:
+                    cid0 = order[0]
+                    cbx = geom[cid0][2]
+                    bry, brx = divmod(unit, bw)
+                    preds[cid0] = _dc_unit_prog(
+                        rdr, coefs[cid0][bry * cbx + brx], preds[cid0],
+                        dcmap[cid0], ah, al,
+                    )
+                unit += 1
+        return
+    if len(order) != 1:
+        raise ValueError("jpeg: progressive AC scan must be single-component")
+    if not (1 <= ss <= se <= 63):
+        raise ValueError("jpeg: bad progressive spectral band")
+    cid0 = order[0]
+    atab = acmap[cid0]
+    cbx = geom[cid0][2]
+    carr = coefs[cid0]
+    bw, units = comp_units(cid0)
+    unit = 0
+    for part in split_restarts(raw):
+        rdr = _BitReader(part)
+        eobrun = 0
+        limit = (min(unit + restart_interval, units)
+                 if restart_interval else units)
+        while unit < limit:
+            bry, brx = divmod(unit, bw)
+            zz = carr[bry * cbx + brx]
+            if ah == 0:
+                eobrun = _ac_first_unit(rdr, zz, ss, se, al, atab, eobrun)
+            else:
+                eobrun = _ac_refine_unit(rdr, zz, ss, se, al, atab, eobrun)
+            unit += 1
+
+
+# ---------------------------------------------------------------------------
 # decoder
 
 
@@ -534,8 +1001,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[int, _HuffTable] = {}
     sof = None
+    progressive = False
     restart_interval = 0
-    scans: list[tuple[list, dict, dict, bytes]] = []
+    scans: list[tuple[list, dict, dict, bytes, tuple]] = []
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: bad marker sync")
@@ -572,7 +1040,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[off + 17:off + 17 + n])
                 htabs[tc_th] = _HuffTable(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential) / SOF2 (progressive)
             prec, hh, ww, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("jpeg: precision != 8")
@@ -584,9 +1052,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(f"jpeg: illegal sampling factors {sh}x{sv}")
                 comps.append((cid, sh, sv, tq))
             sof = (hh, ww, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("jpeg: only baseline sequential (SOF0)")
+            raise NotImplementedError(
+                "jpeg: only baseline/extended sequential (SOF0/1) and progressive (SOF2)"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
@@ -595,6 +1066,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tables = struct.unpack_from(">BB", seg, 1 + 2 * i)
                 scan_comps.append((cid, tables >> 4, tables & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            band = (ss, se, ahal >> 4, ahal & 0x0F)
             # entropy data runs from pos to the next non-RST marker
             end = pos
             while end < len(data) - 1:
@@ -602,16 +1075,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         and not (0xD0 <= data[end + 1] <= 0xD7):
                     break
                 end += 1
-            # snapshot the referenced Huffman tables NOW: a legal baseline
-            # file may redefine a DHT slot between scans, so resolving
-            # table ids from the final htabs state after the whole parse
-            # would decode earlier scans with later tables
-            try:
-                dcmap = {cid: htabs[0x00 | td] for cid, td, _ in scan_comps}
-                acmap = {cid: htabs[0x10 | ta] for cid, _, ta in scan_comps}
-            except KeyError:
-                raise ValueError("jpeg: scan references undefined Huffman table")
-            scans.append((scan_comps, dcmap, acmap, data[pos:end]))
+            # snapshot the referenced Huffman tables NOW: a legal file may
+            # redefine a DHT slot between scans, so resolving table ids
+            # from the final htabs state after the whole parse would
+            # decode earlier scans with later tables. Lazily validated:
+            # progressive AC scans don't use a DC table (and refinement DC
+            # scans use no table at all), so absence only errors at use.
+            dcmap = {cid: htabs.get(0x00 | td) for cid, td, _ in scan_comps}
+            acmap = {cid: htabs.get(0x10 | ta) for cid, _, ta in scan_comps}
+            scans.append((scan_comps, dcmap, acmap, data[pos:end], band))
             pos = end
         # APPn/COM/others: skipped via seglen
     if sof is None or not scans:
@@ -670,28 +1142,42 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             k += 1
         return pred
 
+    def comp_units(cid: int) -> tuple[int, int]:
+        """(blocks-per-row, block count) of a SINGLE-COMPONENT scan's walk:
+        data units cover the component's own plane in raster order."""
+        sh, sv, _, _ = geom[cid]
+        cw = (ww * sh + hmax - 1) // hmax
+        chh = (hh * sv + vmax - 1) // vmax
+        bw = (cw + 7) // 8
+        return bw, bw * ((chh + 7) // 8)
+
     # Decode every scan. Baseline allows the frame's components to arrive
     # either interleaved in one scan or as one single-component scan each
     # (T.81 A.2); a single-component scan is never interleaved -- its data
     # units walk the COMPONENT's own block grid in raster order, one block
     # per MCU (so DRI counts blocks there). DC prediction resets per scan.
-    for scan_comps, dcmap, acmap, raw in scans:
+    for scan_comps, dcmap, acmap, raw, band in scans:
         order = [cid for cid, _, _ in scan_comps]
         if any(cid not in geom for cid in order):
             raise ValueError("jpeg: scan references unknown component")
+        if progressive:
+            _decode_progressive_scan(
+                scan_comps, dcmap, acmap, raw, band, geom, coefs,
+                mcux, n_mcus, comp_units, split_restarts, restart_interval,
+            )
+            continue
         if len(order) == 1:
             cid0 = order[0]
-            sh, sv, cbx, _ = geom[cid0]
-            cw = (ww * sh + hmax - 1) // hmax
-            chh = (hh * sv + vmax - 1) // vmax
-            bw = (cw + 7) // 8
-            units = bw * ((chh + 7) // 8)
+            cbx = geom[cid0][2]
+            bw, units = comp_units(cid0)
         elif len(order) == len(comps):
             units = n_mcus
         else:
             # partially-interleaved scans change the MCU geometry
             # (T.81 A.2.3 over a component subset) -- reject, don't guess
             raise NotImplementedError("jpeg: partially interleaved scan")
+        if any(dcmap[c] is None or acmap[c] is None for c in order):
+            raise ValueError("jpeg: scan references undefined Huffman table")
         unit = 0
         for part in split_restarts(raw):
             rdr = _BitReader(part)
@@ -718,7 +1204,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                     dcmap[cid], acmap[cid],
                                 )
                 unit += 1
-    decoded = {cid for sc, _, _, _ in scans for cid, _, _ in sc}
+    decoded = {cid for sc, _, _, _, _ in scans for cid, _, _ in sc}
     if decoded != set(geom):
         raise ValueError("jpeg: scans do not cover all frame components")
 

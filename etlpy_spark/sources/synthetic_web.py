@@ -41,9 +41,11 @@ class WebConfig:
     politeness_budget: int = 4  # max fetches per host per round
     dim_scale: int = 1  # image dimension multiplier (4 ≈ real web images)
     force_fmt: str = ""  # pin image container format ('' = per-id mix)
-    # serve every ~Nth image (deterministic per id) as a PROGRESSIVE-marked
-    # JPEG the baseline decoder refuses — the real-web case the crawl path
-    # must absorb as a decode_error row, not a task failure. 0 = off.
+    # serve every ~Nth image (deterministic per id) as a MALFORMED JPEG —
+    # a baseline scan layout under an SOF2 header, which the decoder
+    # (rightly) refuses even though it decodes real progressive files —
+    # the real-web garbage case the crawl path must absorb as a
+    # decode_error row, not a task failure. 0 = off.
     unsupported_every: int = 0
 
     def priority(self, url: str) -> int:
@@ -185,9 +187,9 @@ def fetch_image(image_id: str, cfg: WebConfig) -> bytes:
         cfg.unsupported_every > 0
         and h64("unsup|" + image_id, cfg.seed) % cfg.unsupported_every == 0
     ):
-        # a REAL progressive JPEG as far as any sniffer is concerned: the
-        # baseline encoding with its SOF0 marker rewritten to SOF2, which
-        # decode_jpg_image refuses — the skip-with-reason path's test blob
+        # a structurally CORRUPT progressive JPEG: baseline scan layout
+        # under a rewritten SOF2 marker, which decode_jpg_image refuses
+        # (real SOF2 files decode) — the skip-with-reason path's test blob
         return _mark_progressive(image_bytes(image_id, cfg.seed, cfg.dim_scale, "jpg"))
     return image_bytes(image_id, cfg.seed, cfg.dim_scale, cfg.force_fmt)
 

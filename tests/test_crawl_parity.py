@@ -206,10 +206,12 @@ def test_probe_filters_modes_agree(spark):
 
 
 def test_unsupported_codec_skip_with_reason(spark):
-    """A real crawl meets codecs the engine refuses (progressive JPEG):
-    those blobs must land as decode_error rows — dims/phash NULL, fmt from
-    the magic sniff, bytes kept — never as a task failure that aborts the
-    round, and the serial oracle must produce the identical rows."""
+    """A real crawl meets blobs the engine refuses (malformed files,
+    codecs it lacks): those must land as decode_error rows — dims/phash
+    NULL, fmt from the magic sniff, bytes kept — never as a task failure
+    that aborts the round, and the serial oracle must produce the
+    identical rows. The test blob is a baseline scan layout under an SOF2
+    header — structurally corrupt now that real progressive files decode."""
     web = WebConfig(
         n_hosts=4, n_cats=2, pages_per_cat=8, politeness_budget=2,
         unsupported_every=3,
@@ -219,7 +221,7 @@ def test_unsupported_codec_skip_with_reason(spark):
     ok = set(oracle.images) - bad
     assert bad and ok, "fixture must contain BOTH decodable and refused blobs"
     assert all(
-        v["decode_error"].startswith("NotImplementedError")
+        v["decode_error"].startswith("ValueError")
         and v["phash"] is None and v["w"] is None and v["fmt"] == "jpg"
         for v in oracle.images.values() if v["image_id"] in bad
     )
@@ -240,7 +242,7 @@ def test_unsupported_codec_skip_with_reason(spark):
         shutil.rmtree(wd, ignore_errors=True)
 
 
-@pytest.mark.parametrize("lossy_fmt", ["y4m", "jpg"])
+@pytest.mark.parametrize("lossy_fmt", ["y4m", "jpg", "jpgp"])
 def test_lossy_format_crawl_psnr_gate(spark, lossy_fmt):
     """North-rule lossy branch: with the web serving a genuinely lossy
     image container (``y4m`` = single-frame YUV4MPEG2 C444, BT.601

@@ -87,10 +87,15 @@ def test_unsupported_streams_rejected_not_misdecoded():
     px = np.zeros((16, 16, 3), dtype=np.uint8)
     data = bytearray(encode_jpeg(px, quality=90))
     sof = data.index(b"\xff\xc0")
-    # progressive (SOF2) must raise, not garbage-decode
+    # a baseline scan under an SOF2 header is structurally CORRUPT
+    # progressive (Ss=0, Se=63) — must raise, not garbage-decode
     prog = bytes(data[:sof]) + b"\xff\xc2" + bytes(data[sof + 2 :])
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(prog)
+    # genuinely unsupported SOFs (arithmetic-coded SOF9) still reject
+    arith = bytes(data[:sof]) + b"\xff\xc9" + bytes(data[sof + 2 :])
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(arith)
     # illegal sampling factors (0 or >4) must raise, not wrap/garbage
     sub = bytearray(data)
     sub[sof + 11] = 0x50  # first component h=5, v=0
@@ -355,6 +360,62 @@ def test_quality100_adversarial_block_encodes():
         px = np.stack([np.tile(blk, (3, 3))] * 3, axis=-1)
         out = decode_jpeg(encode_jpeg(px, quality=100))  # must not raise
         assert out.shape == px.shape
+
+
+def test_progressive_roundtrip_matches_baseline():
+    """encode_jpeg(progressive=True) emits the SAME quantized coefficients
+    through the SOF2 scan script (spectral selection + one successive-
+    approximation level + per-scan optimal Huffman tables), so progressive
+    decode must reproduce the baseline decode EXACTLY — color 4:4:4 and
+    4:2:0, grayscale, odd sizes."""
+    rng = np.random.default_rng(21)
+    for h, w in [(8, 8), (16, 16), (17, 23), (40, 72), (64, 96)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(px, quality=92))
+        prog = decode_jpeg(encode_jpeg(px, quality=92, progressive=True))
+        assert np.array_equal(base, prog), (h, w)
+    g = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=88)),
+        decode_jpeg(encode_jpeg(g, quality=88, progressive=True)),
+    )
+    for h, w in [(32, 32), (34, 50), (17, 33)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(px, quality=85, subsampling="420")),
+            decode_jpeg(encode_jpeg(px, quality=85, subsampling="420",
+                                    progressive=True)),
+        ), (h, w, "420")
+
+
+def test_progressive_eob_runs_refinement_and_extremes():
+    """Content shapes that stress each progressive code path: flat images
+    (maximal EOB runs), a single spike (sparse AC + ZRL), gradients (many
+    small coefficients -> refinement correction bits), and quality
+    extremes including 100 (all-1 quant tables)."""
+    for h, w in [(64, 64), (72, 88)]:
+        px = np.full((h, w, 3), 128, dtype=np.uint8)
+        px[h // 2, w // 2] = 255
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(px, quality=50, progressive=True)),
+            decode_jpeg(encode_jpeg(px, quality=50)),
+        )
+    yy, xx = np.mgrid[0:48, 0:80]
+    g = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    px = np.stack([g, 255 - g, (g.astype(int) * 7 % 256).astype(np.uint8)], -1)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(px, quality=92, progressive=True)),
+        decode_jpeg(encode_jpeg(px, quality=92)),
+    )
+    rng = np.random.default_rng(33)
+    px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    for q in (15, 75, 100):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(px, quality=q, progressive=True)),
+            decode_jpeg(encode_jpeg(px, quality=q)),
+        ), q
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(px, progressive=True, restart_interval=8)
 
 
 def test_scans_must_cover_all_components():
