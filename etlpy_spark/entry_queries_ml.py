@@ -200,33 +200,46 @@ def _media_jpeg_row(i: int):
 
 
 def q_media_decode_suite(spark, sf_dir):
-    """Real A/V container decode, distributed: 6 YUV4MPEG2 videos are
-    demuxed (every-4th-frame sampling seeks over skipped frames) and each
-    sampled frame is pHashed; 4 WAV clips (varying rate/width/channels)
-    are parsed for real by the RIFF chunk walker; 8 fixture images go
-    through the from-scratch baseline JPEG codec (functions/jpegcodec.py
-    — varying quality, with and without restart markers) and the decoded
-    pixels are PSNR-scored against the originals (the north rule's lossy
-    invariant). Output rows:
-    video → (vid, 'video', k=frame_idx, m1=phash, m2=w*h, v=mean_lum);
-    audio → (clip, 'audio', k=n_channels, m1=n_samples, m2=zero_crossings,
-    v=rms); jpeg → (img, 'jpeg', k=quality, m1=phash(decoded),
-    m2=encoded_bytes, v=psnr). Oracle = serial numpy replica (computed
-    VALUES), the image_pipeline pattern."""
+    """Real A/V container decode, distributed: 6 YUV4MPEG2 videos, 3
+    AVI/MJPEG videos (each frame an independent baseline JPEG through the
+    from-scratch T.81 codec) and 3 animated GIFs (from-scratch LZW,
+    functions/gifcodec.py) are demuxed — every-4th-frame sampling seeks
+    over skipped Y4M/MJPEG frames and skips LZW for GIF frames no sampled
+    frame depends on — and each sampled frame is pHashed; 4 WAV clips
+    (varying rate/width/channels) are parsed for real by the RIFF chunk
+    walker; 8 fixture images go through the from-scratch baseline JPEG
+    codec (functions/jpegcodec.py — varying quality, with and without
+    restart markers) and the decoded pixels are PSNR-scored against the
+    originals (the north rule's lossy invariant). Output rows:
+    video/avi/gif → (vid, kind, k=frame_idx, m1=phash, m2=w*h,
+    v=mean_lum); audio → (clip, 'audio', k=n_channels, m1=n_samples,
+    m2=zero_crossings, v=rms); jpeg → (img, 'jpeg', k=quality,
+    m1=phash(decoded), m2=encoded_bytes, v=psnr). Oracle = serial numpy
+    replica (computed VALUES), the image_pipeline pattern."""
     import pandas as pd
 
     def gen_vids(batches):
-        from etlpy_spark.functions.mediacodec import encode_y4m
+        from etlpy_spark.functions.gifcodec import encode_gif
+        from etlpy_spark.functions.mediacodec import encode_avi_mjpeg, encode_y4m
 
         for pdf in batches:
-            ids = [f"vid-{int(i):04d}" for i in pdf["id"]]
-            yield pd.DataFrame({
-                "video_id": ids,
-                "bytes": [
-                    encode_y4m(_media_video_frames(int(i)), colorspace="C444")
-                    for i in pdf["id"]
-                ],
-            })
+            ids, blobs = [], []
+            for raw in pdf["id"]:
+                i = int(raw)
+                if i < 6:
+                    ids.append(f"vid-{i:04d}")
+                    blobs.append(
+                        encode_y4m(_media_video_frames(i), colorspace="C444")
+                    )
+                elif i < 9:
+                    ids.append(f"avi-{i - 6:04d}")
+                    blobs.append(
+                        encode_avi_mjpeg(_media_video_frames(i - 6), fps=10, quality=96)
+                    )
+                else:
+                    ids.append(f"gif-{i - 9:04d}")
+                    blobs.append(encode_gif(_media_video_frames(i - 9)))
+            yield pd.DataFrame({"video_id": ids, "bytes": blobs})
 
     def gen_clips(batches):
         from etlpy_spark.functions.mediacodec import encode_wav
@@ -239,16 +252,18 @@ def q_media_decode_suite(spark, sf_dir):
                 blobs.append(encode_wav(pcm, rate))
             yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
 
-    vids = spark.range(0, 6, 1, 3).mapInPandas(gen_vids, schema="video_id string, bytes binary")
+    vids = spark.range(0, 12, 1, 3).mapInPandas(gen_vids, schema="video_id string, bytes binary")
     frames = mm.sample_video_frames(vids, every_n=4)
     vfeats = mm.decode_image_features(
         frames.select(
             F.concat_ws("#", "video_id", "frame_idx").alias("image_id"), "bytes"
         )
     )
+    _mid = F.split("image_id", "#")[0]
+    _pref = F.split(_mid, "-")[0]
     vrows = vfeats.select(
-        F.split("image_id", "#")[0].alias("media_id"),
-        F.lit("video").alias("kind"),
+        _mid.alias("media_id"),
+        F.when(_pref == "vid", F.lit("video")).otherwise(_pref).alias("kind"),
         F.split("image_id", "#")[1].cast("int").alias("k"),
         F.col("phash").alias("m1"),
         (F.col("w").cast("long") * F.col("h")).alias("m2"),
@@ -631,20 +646,30 @@ def _media_suite_oracle() -> str:
     """Serial replica of q_media_decode_suite: same numpy codecs, no Spark."""
     import numpy as np
 
+    from etlpy_spark.functions.gifcodec import encode_gif, iter_gif_frames
     from etlpy_spark.functions.imagecodec import phash64
     from etlpy_spark.functions.mediacodec import (
-        decode_wav, encode_wav, encode_y4m, iter_y4m_frames, wav_float,
+        decode_wav, encode_avi_mjpeg, encode_wav, encode_y4m,
+        iter_avi_mjpeg_frames, iter_y4m_frames, wav_float,
     )
+
+    def _frame_row(mid, kind, idx, px):
+        return (mid, kind, idx, phash64(px), px.shape[0] * px.shape[1],
+                float(np.round(px.astype(np.float64).mean(), 4)))
 
     rows = []
     for i in range(6):
         blob = encode_y4m(_media_video_frames(i), colorspace="C444")
         for idx, px in iter_y4m_frames(blob, every_n=4):
-            rows.append((
-                f"vid-{i:04d}", "video", idx, phash64(px),
-                px.shape[0] * px.shape[1],
-                float(np.round(px.astype(np.float64).mean(), 4)),
-            ))
+            rows.append(_frame_row(f"vid-{i:04d}", "video", idx, px))
+    for i in range(3):
+        blob = encode_avi_mjpeg(_media_video_frames(i), fps=10, quality=96)
+        for idx, px in iter_avi_mjpeg_frames(blob, every_n=4):
+            rows.append(_frame_row(f"avi-{i:04d}", "avi", idx, px))
+    for i in range(3):
+        blob = encode_gif(_media_video_frames(i))
+        for idx, px, _ in iter_gif_frames(blob, every_n=4):
+            rows.append(_frame_row(f"gif-{i:04d}", "gif", idx, px))
     for i in range(4):
         pcm, rate = _media_wav_pcm(i)
         samples, _ = decode_wav(encode_wav(pcm, rate))

@@ -228,9 +228,26 @@ def decode_jpg_image(data: bytes) -> np.ndarray:
     return decode_jpeg(data)
 
 
+def encode_gif_image(px: np.ndarray) -> bytes:
+    """Real single-frame GIF89a (functions/gifcodec.py — from-scratch LZW +
+    palette). ≤256 unique colors round-trips bitwise; true-color sources pay
+    the deterministic cube quantization (~25 dB on the procedural fixtures —
+    a palette-format property, so gif is decode-supported on the crawl path
+    but NOT one of the PSNR≥40 lossy table formats)."""
+    from etlpy_spark.functions.gifcodec import encode_gif_image as _enc
+
+    return _enc(px)
+
+
+def decode_gif_image(data: bytes) -> np.ndarray:
+    from etlpy_spark.functions.gifcodec import decode_gif_image as _dec
+
+    return _dec(data)
+
+
 _ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png,
         "y4m": encode_y4m_image, "jpg": encode_jpg_image,
-        "jpgp": encode_jpgp_image}
+        "jpgp": encode_jpgp_image, "gif": encode_gif_image}
 
 
 def encode(px: np.ndarray, fmt: str) -> bytes:
@@ -249,6 +266,8 @@ def decode(data: bytes) -> np.ndarray:
         return decode_y4m_image(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpg_image(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_image(data)
     raise ValueError("unknown image format")
 
 
@@ -278,6 +297,8 @@ def sniff_format(data: bytes) -> str:
         return "y4m"
     if data[:2] == b"\xff\xd8":
         return "jpg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 

@@ -3,8 +3,9 @@ environment — so the formats are the *uncompressed* real-world ones).
 
 The reference engine sniffs downloaded media by magic bytes and treats the
 payload as an opaque blob (reference spider.py:303-314 GetImageFormat); we
-go further and actually decode the two container formats that need no
-entropy codec:
+go further and actually decode the containers — the entropy-free ones here,
+plus AVI/MJPEG (below) riding the from-scratch T.81 JPEG codec and animated
+GIF in functions/gifcodec.py:
 
 - **WAV** (RIFF/WAVE, PCM): canonical chunked RIFF parse — ``fmt `` +
   ``data`` chunks, unknown chunks (LIST/fact/cue) skipped with odd-size
@@ -236,13 +237,119 @@ def decode_y4m(data: bytes) -> tuple[list[np.ndarray], dict]:
     return [f for _, f in iter_y4m_frames(data)], params
 
 
+# ---------------------------------------------------------------------------
+# AVI / MJPEG — the first *compressed* video container the engine demuxes.
+# Motion-JPEG stores each frame as an independent baseline/progressive JPEG
+# in a '00dc' chunk, so the from-scratch T.81 codec (functions/jpegcodec.py)
+# is the only entropy coder needed, frames have no inter-frame dependency,
+# and 1-in-N sampling *seeks* over skipped frames via the explicit chunk
+# sizes — O(sampled) decode work, the property the distributed frame-sample
+# operator relies on. Inter-frame codecs (H.264/VP9/...) genuinely need
+# external libraries and still raise upstream.
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 30,
+                     quality: int = 96) -> bytes:
+    """Mux RGB uint8 frames (all h×w×3, same shape) as a canonical
+    RIFF/AVI MJPEG file: LIST hdrl (avih + strl/strh/strf with fourcc
+    'MJPG'), LIST movi with one '00dc' JPEG chunk per frame (word-aligned),
+    and an idx1 keyframe index (offsets relative to the 'movi' fourcc, the
+    convention common demuxers expect)."""
+    from etlpy_spark.functions.jpegcodec import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    blobs = []
+    for px in frames:
+        if px.shape[:2] != (h, w):
+            raise ValueError("all frames must share one geometry")
+        blobs.append(encode_jpeg(px, quality=quality))
+    max_size = max(len(b) for b in blobs)
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,        # microseconds per frame
+        max_size * fps,          # max bytes/sec (upper bound)
+        0,                       # padding granularity
+        0x10,                    # AVIF_HASINDEX
+        len(frames), 0, 1,       # total frames, initial frames, streams
+        max_size, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, len(frames),
+                      max_size, -1, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks, idx, off = [], [], 4  # offsets relative to the movi fourcc
+    for b in blobs:
+        c = chunk(b"00dc", b)
+        movi_chunks.append(c)
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(b)))
+        off += len(c)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def iter_avi_mjpeg_frames(data: bytes, every_n: int = 1):
+    """Yield (frame_idx, rgb_frame) for every ``every_n``-th MJPEG frame.
+
+    Tolerant RIFF walk (skips JUNK/unknown chunks with the odd-size pad,
+    recurses only into the movi LIST); skipped frames advance by the chunk
+    size — no JPEG decode, no byte scan."""
+    from etlpy_spark.functions.jpegcodec import decode_jpeg
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    end = min(8 + struct.unpack("<I", data[4:8])[0], len(data))
+    pos, movi = 12, None
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cid == b"LIST" and data[pos + 8 : pos + 12] == b"movi":
+            movi = (pos + 12, pos + 8 + size)
+            break
+        pos += 8 + size + (size & 1)
+    if movi is None:
+        raise ValueError("AVI stream has no movi list")
+    pos, mend = movi
+    idx = 0
+    while pos + 8 <= mend:
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cid in (b"00dc", b"00db"):
+            if idx % every_n == 0:
+                yield idx, decode_jpeg(data[pos + 8 : pos + 8 + size])
+            idx += 1
+        pos += 8 + size + (size & 1)
+
+
 def sniff_media(data: bytes) -> str:
     """Magic-byte container sniff (the reference's GetImageFormat idea,
     spider.py:303-314, extended to A/V containers)."""
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     if data[:9] == _Y4M_MAGIC:
         return "y4m"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if data[:4] == b"RAW0":
         return "rawcat"
     return "unknown"

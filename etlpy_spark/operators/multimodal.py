@@ -4,12 +4,12 @@ Policy (task brief): media rides as opaque ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as Arrow-
 batched pandas UDFs over ``mapInPandas``. The Spark-side plumbing — schema,
 partitioning, UDF signatures, batch shapes — is real and tested; the *image*
-path is fully real (our numpy raw/PPM/PNG codecs + DCT pHash,
-functions/imagecodec.py), and so are audio/video for the uncompressed
-container formats: WAV integer PCM and YUV4MPEG2 are decoded natively
-(functions/mediacodec.py). Only entropy-coded formats (MP3/H.264/...)
-still need codec libraries this container doesn't ship and raise
-``NotImplementedError``.
+path is fully real (our numpy raw/PPM/PNG/JPEG/GIF codecs + DCT pHash,
+functions/imagecodec.py), and so are audio/video for WAV integer PCM,
+YUV4MPEG2, AVI/MJPEG and animated GIF (functions/{media,gif}codec.py —
+MJPEG and GIF ride our from-scratch JPEG and LZW entropy coders). Only
+inter-frame codecs (MP3/H.264/VP9/...) still need libraries this
+container doesn't ship and raise ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -209,15 +209,24 @@ def sample_video_frames(df: DataFrame, every_n: int = 10, id_col: str = "video_i
 
     Containers are sniffed per row: YUV4MPEG2 streams are demuxed for real
     (functions/mediacodec.py — skipped frames are seeked over in O(1), so
-    1-in-N sampling pays decode for only the sampled frames), and RAW0
-    concatenations are sliced. Inter-frame-compressed formats need ffmpeg
-    and raise."""
+    1-in-N sampling pays decode for only the sampled frames), AVI/MJPEG
+    chunks seek the same way and decode through the from-scratch JPEG
+    codec, animated GIFs composite per the disposal rules with LZW paid
+    only on the sampled frames' dependency chains
+    (functions/gifcodec.py), and RAW0 concatenations are sliced.
+    Inter-frame-compressed formats (H.264/VP9/...) need ffmpeg and
+    raise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
+        from etlpy_spark.functions.gifcodec import iter_gif_frames
         from etlpy_spark.functions.imagecodec import encode_raw
-        from etlpy_spark.functions.mediacodec import iter_y4m_frames, sniff_media
+        from etlpy_spark.functions.mediacodec import (
+            iter_avi_mjpeg_frames,
+            iter_y4m_frames,
+            sniff_media,
+        )
 
         for pdf in batches:
             out = {k: [] for k in ("video_id", "frame_idx", "bytes")}
@@ -226,6 +235,16 @@ def sample_video_frames(df: DataFrame, every_n: int = 10, id_col: str = "video_i
                 kind = sniff_media(blob)
                 if kind == "y4m":
                     for idx, px in iter_y4m_frames(blob, every_n=every_n):
+                        out["video_id"].append(vid)
+                        out["frame_idx"].append(idx)
+                        out["bytes"].append(encode_raw(px))
+                elif kind == "avi":
+                    for idx, px in iter_avi_mjpeg_frames(blob, every_n=every_n):
+                        out["video_id"].append(vid)
+                        out["frame_idx"].append(idx)
+                        out["bytes"].append(encode_raw(px))
+                elif kind == "gif":
+                    for idx, px, _ in iter_gif_frames(blob, every_n=every_n):
                         out["video_id"].append(vid)
                         out["frame_idx"].append(idx)
                         out["bytes"].append(encode_raw(px))
@@ -242,7 +261,8 @@ def sample_video_frames(df: DataFrame, every_n: int = 10, id_col: str = "video_i
                 else:
                     raise NotImplementedError(
                         "inter-frame-compressed video needs ffmpeg, not available "
-                        "here; YUV4MPEG2 and RAW0-concat streams are demuxed natively"
+                        "here; YUV4MPEG2, AVI/MJPEG, animated GIF and RAW0-concat "
+                        "streams are demuxed natively"
                     )
             yield pd.DataFrame(out)
 
