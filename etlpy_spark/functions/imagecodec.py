@@ -145,39 +145,12 @@ def encode_png(px: np.ndarray) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    assert data[:8] == b"\x89PNG\r\n\x1a\n"
-    pos, w, h, idat = 8, 0, 0, b""
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            w, h, bitdepth, ctype = struct.unpack(">IIBB", payload[:10])
-            assert bitdepth == 8 and ctype == 2, "decoder supports 8-bit RGB only"
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    raw = zlib.decompress(idat)
-    stride = w * 3 + 1
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-    filters = arr[:, 0]
-    if not filters.any():  # all filter-0 (what our encoder emits): one reshape
-        return arr[:, 1:].reshape(h, w, 3).copy()
-    px = np.empty((h, w, 3), dtype=np.uint8)
-    prev = np.zeros(w * 3, dtype=np.uint8)
-    for y in range(h):
-        ftype, body = int(filters[y]), arr[y, 1:].copy()
-        if ftype == 0:
-            line = body
-        elif ftype == 2:  # Up
-            line = (body + prev).astype(np.uint8)
-        else:  # only filters we emit/accept
-            raise ValueError(f"unsupported PNG filter {ftype}")
-        px[y] = line.reshape(w, 3)
-        prev = line
-    return px
+    """Full PNG decode (functions/pngcodec.py): every color type, bit
+    depths 1..16, all five filters, Adam7, tRNS — real-web coverage; the
+    writer above stays the byte-stable minimal RGB8/filter-0 form."""
+    from etlpy_spark.functions.pngcodec import decode_png as _dec
+
+    return _dec(data)
 
 
 def encode_y4m_image(px: np.ndarray) -> bytes:
