@@ -179,6 +179,22 @@ def _media_wav_pcm(i: int):
     return (np.stack([pcm, -pcm], axis=1) if i % 2 else pcm[:, None]), rate
 
 
+def _media_wav_blob(i: int) -> bytes:
+    """WAV fixture i, shared by the Spark generator and the serial oracle.
+    Clips 0..3: integer PCM (format 1, varying rate/channels); clip 4: the
+    same waveform as IEEE float32 inside a WAVE_FORMAT_EXTENSIBLE header;
+    clip 5: G.711 u-law (format 7) — the real-web variants the parser
+    gained in round 4."""
+    from etlpy_spark.functions.mediacodec import encode_wav
+
+    pcm, rate = _media_wav_pcm(i % 4)
+    if i < 4:
+        return encode_wav(pcm, rate)
+    if i == 4:
+        return encode_wav((pcm.astype("float32") / 32768.0), rate, extensible=True)
+    return encode_wav(pcm, rate, law="mu")
+
+
 def _media_jpeg_row(i: int):
     """One JPEG suite row, shared by the Spark UDF and the serial oracle
     (same kernel both sides → bit-exact parity): encode fixture image i
@@ -205,9 +221,11 @@ def q_media_decode_suite(spark, sf_dir):
     from-scratch T.81 codec) and 3 animated GIFs (from-scratch LZW,
     functions/gifcodec.py) are demuxed — every-4th-frame sampling seeks
     over skipped Y4M/MJPEG frames and skips LZW for GIF frames no sampled
-    frame depends on — and each sampled frame is pHashed; 4 WAV clips
-    (varying rate/width/channels) are parsed for real by the RIFF chunk
-    walker; 8 fixture images go through the from-scratch baseline JPEG
+    frame depends on — and each sampled frame is pHashed; 6 WAV clips
+    (integer PCM at varying rate/channels, IEEE float32 inside a
+    WAVE_FORMAT_EXTENSIBLE header, G.711 u-law) are parsed for real by
+    the RIFF chunk walker; 8 fixture images go through the from-scratch
+    baseline JPEG
     codec (functions/jpegcodec.py — varying quality, with and without
     restart markers) and the decoded pixels are PSNR-scored against the
     originals (the north rule's lossy invariant). Output rows:
@@ -242,15 +260,11 @@ def q_media_decode_suite(spark, sf_dir):
             yield pd.DataFrame({"video_id": ids, "bytes": blobs})
 
     def gen_clips(batches):
-        from etlpy_spark.functions.mediacodec import encode_wav
-
         for pdf in batches:
-            ids, blobs = [], []
-            for i in pdf["id"]:
-                pcm, rate = _media_wav_pcm(int(i))
-                ids.append(f"clip-{int(i):04d}")
-                blobs.append(encode_wav(pcm, rate))
-            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+            yield pd.DataFrame({
+                "clip_id": [f"clip-{int(i):04d}" for i in pdf["id"]],
+                "bytes": [_media_wav_blob(int(i)) for i in pdf["id"]],
+            })
 
     vids = spark.range(0, 12, 1, 3).mapInPandas(gen_vids, schema="video_id string, bytes binary")
     frames = mm.sample_video_frames(vids, every_n=4)
@@ -269,7 +283,7 @@ def q_media_decode_suite(spark, sf_dir):
         (F.col("w").cast("long") * F.col("h")).alias("m2"),
         F.col("mean_lum").alias("v"),
     )
-    clips = spark.range(0, 4, 1, 2).mapInPandas(gen_clips, schema="clip_id string, bytes binary")
+    clips = spark.range(0, 6, 1, 2).mapInPandas(gen_clips, schema="clip_id string, bytes binary")
     afeats = mm.decode_audio_features(clips)
     arows = afeats.select(
         F.col("clip_id").alias("media_id"),
@@ -649,7 +663,7 @@ def _media_suite_oracle() -> str:
     from etlpy_spark.functions.gifcodec import encode_gif, iter_gif_frames
     from etlpy_spark.functions.imagecodec import phash64
     from etlpy_spark.functions.mediacodec import (
-        decode_wav, encode_avi_mjpeg, encode_wav, encode_y4m,
+        decode_wav, encode_avi_mjpeg, encode_y4m,
         iter_avi_mjpeg_frames, iter_y4m_frames, wav_float,
     )
 
@@ -670,9 +684,8 @@ def _media_suite_oracle() -> str:
         blob = encode_gif(_media_video_frames(i))
         for idx, px, _ in iter_gif_frames(blob, every_n=4):
             rows.append(_frame_row(f"gif-{i:04d}", "gif", idx, px))
-    for i in range(4):
-        pcm, rate = _media_wav_pcm(i)
-        samples, _ = decode_wav(encode_wav(pcm, rate))
+    for i in range(6):
+        samples, _ = decode_wav(_media_wav_blob(i))
         f = wav_float(samples)
         mono = f.mean(axis=1)
         rows.append((

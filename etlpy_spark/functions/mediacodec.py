@@ -39,28 +39,100 @@ import numpy as np
 _WAV_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
 
 
-def encode_wav(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """Interleaved integer-PCM WAV. ``pcm``: (n,) or (n, channels), dtype
-    uint8 / int16 / int32."""
+# G.711 companding (ITU-T G.711 / the public-domain Sun g711.c formulas),
+# vectorized. Telephony and ASR corpora carry these constantly; the
+# canonical self-consistency test (compress(expand(code)) == code for all
+# 256 codes) pins both directions.
+
+
+def mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """u-law uint8 → int16."""
+    u = (~codes.astype(np.uint8)).astype(np.int32)
+    sign = u & 0x80
+    e = (u >> 4) & 7
+    m = u & 0x0F
+    x = (((m << 3) + 0x84) << e) - 0x84
+    return np.where(sign != 0, -x, x).astype(np.int16)
+
+
+def mulaw_compress(pcm: np.ndarray) -> np.ndarray:
+    """int16 → u-law uint8 (linear 0 encodes to 0xFF)."""
+    x = pcm.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    e = (np.floor(np.log2(mag)).astype(np.int32) - 7)
+    m = (mag >> (e + 3)) & 0x0F
+    return (~(sign | (e << 4) | m) & 0xFF).astype(np.uint8)
+
+
+def alaw_expand(codes: np.ndarray) -> np.ndarray:
+    """A-law uint8 → int16."""
+    a = codes.astype(np.int32) ^ 0x55
+    sign = a & 0x80
+    seg = (a >> 4) & 7
+    # reconstruction is already at 16-bit scale: the encoder's >>3 to the
+    # 13-bit domain is baked into these constants (Sun g711.c form)
+    t = ((a & 0x0F) << 4) + 8
+    t = np.where(seg >= 1, t + 0x100, t)
+    t = np.where(seg > 1, t << (seg - 1), t)
+    return np.where(sign != 0, t, -t).astype(np.int16)
+
+
+def alaw_compress(pcm: np.ndarray) -> np.ndarray:
+    """int16 → A-law uint8 (linear 0 encodes to 0xD5)."""
+    x = pcm.astype(np.int32)
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.minimum(np.where(x >= 0, x, -x - 1) >> 3, 0xFFF)
+    # 13-bit magnitude → segment: 0 below 0x20, else floor(log2)-4 (1..7)
+    seg = np.where(mag > 0x1F, np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 4, 0)
+    m = np.where(seg == 0, (mag >> 1) & 0x0F, (mag >> seg) & 0x0F)
+    return (((seg << 4) | m) ^ mask).astype(np.uint8)
+
+
+_EXT_GUID_TAIL = struct.pack("<HH", 0, 0x10) + b"\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int = 16000, law: str | None = None,
+               extensible: bool = False) -> bytes:
+    """Interleaved WAV. ``pcm``: (n,) or (n, channels) —
+    uint8/int16/int32 → integer PCM (format 1); float32/float64 → IEEE
+    float (format 3, exact); int16 with ``law='mu'``/``'a'`` → G.711
+    companded 8-bit (formats 7/6). ``extensible`` wraps the format in a
+    WAVE_FORMAT_EXTENSIBLE header (format 0xFFFE + subformat GUID), the
+    layout multi-channel tools emit."""
     if pcm.ndim == 1:
         pcm = pcm[:, None]
     n, ch = pcm.shape
-    bits = pcm.dtype.itemsize * 8
-    # width alone is not enough: float32/uint32 share itemsizes with the
-    # integer PCM dtypes and an astype would silently truncate (float
-    # audio -> all-zero samples). Reject anything but the exact PCM kinds.
     kind = pcm.dtype.kind
-    if not ((kind == "u" and bits == 8) or (kind == "i" and bits in (16, 32))):
-        raise ValueError(
-            f"unsupported PCM dtype {pcm.dtype}: uint8/int16/int32 required "
-            "(scale float audio to integer PCM first)"
-        )
-    data = np.ascontiguousarray(pcm.astype(_WAV_DTYPES[bits], copy=False)).tobytes()
+    if law is not None:
+        if kind != "i" or pcm.dtype.itemsize != 2:
+            raise ValueError("G.711 companding needs int16 input")
+        codes = (mulaw_compress if law == "mu" else alaw_compress)(pcm)
+        fmt_code, bits = (7 if law == "mu" else 6), 8
+        data = np.ascontiguousarray(codes).tobytes()
+    elif kind == "f":
+        bits = pcm.dtype.itemsize * 8
+        fmt_code = 3
+        data = np.ascontiguousarray(pcm.astype(f"<f{bits // 8}", copy=False)).tobytes()
+    else:
+        bits = pcm.dtype.itemsize * 8
+        # width alone is not enough: uint16/uint32 share itemsizes with the
+        # integer PCM dtypes and an astype would silently corrupt samples.
+        if not ((kind == "u" and bits == 8) or (kind == "i" and bits in (16, 32))):
+            raise ValueError(
+                f"unsupported PCM dtype {pcm.dtype}: uint8/int16/int32 or "
+                "float32/float64 required"
+            )
+        fmt_code = 1
+        data = np.ascontiguousarray(pcm.astype(_WAV_DTYPES[bits], copy=False)).tobytes()
     block = ch * bits // 8
-    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, bits)
+    base = struct.pack("<HHIIHH", 0xFFFE if extensible else fmt_code, ch,
+                       sample_rate, sample_rate * block, block, bits)
+    if extensible:
+        base += struct.pack("<HHI", 22, bits, 0) + struct.pack("<I", fmt_code) + _EXT_GUID_TAIL
     body = (
         b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fmt " + struct.pack("<I", len(base)) + base
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -68,7 +140,9 @@ def encode_wav(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """→ (samples shaped (n, channels), sample_rate). Bit-exact inverse of
-    ``encode_wav``; tolerant chunk walk (skips LIST/fact/... with RIFF's
+    ``encode_wav`` for integer PCM and IEEE float; G.711 u-law/A-law data
+    expands to int16; WAVE_FORMAT_EXTENSIBLE resolves through its
+    subformat GUID. Tolerant chunk walk (skips LIST/fact/... with RIFF's
     odd-size pad byte)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
@@ -81,28 +155,49 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             if len(payload) < 16:
                 raise ValueError("truncated fmt chunk")
-            fmt = struct.unpack("<HHIIHH", payload[:16])
+            fmt = payload  # raw bytes: extensible headers carry 24 more
         elif cid == b"data":
             raw = payload
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, ch, rate, _, _, bits = fmt
-    if audio_format != 1:
-        raise ValueError(f"only integer PCM supported (format {audio_format})")
+    audio_format, ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat GUID
+        if len(fmt) < 26:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE header")
+        audio_format = struct.unpack("<H", fmt[24:26])[0]
     if ch < 1:
         raise ValueError(f"bad channel count {ch}")
-    dt = _WAV_DTYPES.get(bits)
-    if dt is None:
-        raise ValueError(f"unsupported PCM width {bits}")
-    width = np.dtype(dt).itemsize
+    if audio_format == 3:  # IEEE float
+        if bits not in (32, 64):
+            raise ValueError(f"bad IEEE-float width {bits}")
+        dt = np.dtype(f"<f{bits // 8}")
+    elif audio_format in (6, 7):  # G.711 A-law / u-law
+        if bits != 8:
+            raise ValueError(f"G.711 is 8-bit, got {bits}")
+        dt = np.dtype(np.uint8)
+    elif audio_format == 1:
+        dt = _WAV_DTYPES.get(bits)
+        if dt is None:
+            raise ValueError(f"unsupported PCM width {bits}")
+        dt = np.dtype(dt)
+    else:
+        raise ValueError(f"unsupported WAV format {audio_format}")
+    width = dt.itemsize
     usable = len(raw) // (width * ch) * (width * ch)
     samples = np.frombuffer(raw[:usable], dtype=dt).reshape(-1, ch)
+    if audio_format == 6:
+        samples = alaw_expand(samples)
+    elif audio_format == 7:
+        samples = mulaw_expand(samples)
     return samples, rate
 
 
 def wav_float(samples: np.ndarray) -> np.ndarray:
-    """Normalize integer PCM to [-1, 1) float64 (uint8 is offset-binary)."""
+    """Normalize integer PCM to [-1, 1) float64 (uint8 is offset-binary);
+    IEEE-float samples pass through unscaled."""
+    if samples.dtype.kind == "f":
+        return samples.astype(np.float64)
     if samples.dtype == np.uint8:
         return (samples.astype(np.float64) - 128.0) / 128.0
     bits = samples.dtype.itemsize * 8

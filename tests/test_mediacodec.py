@@ -208,19 +208,80 @@ def test_sniff_media():
     assert sniff_media(b"\xff\xd8\xff") == "unknown"
 
 
-def test_wav_rejects_non_integer_pcm_dtypes():
-    """float32 shares the 32-bit itemsize with int32; an astype would
-    silently truncate normalized float audio to all-zero samples —
-    regression: the width-only check accepted it."""
+def test_wav_rejects_ambiguous_integer_dtypes():
+    """uint16/uint32 share itemsizes with the PCM int dtypes; an astype
+    would silently corrupt samples — regression: the width-only check
+    accepted them. (float32/float64 are now legal: they encode as real
+    IEEE-float WAV, format 3 — see the G.711/float tests below.)"""
     from etlpy_spark.functions.mediacodec import encode_wav
 
-    t = np.arange(1000, dtype=np.float64)
-    with pytest.raises(ValueError, match="PCM dtype"):
-        encode_wav(np.sin(t / 20).astype(np.float32), 16000)
     with pytest.raises(ValueError, match="PCM dtype"):
         encode_wav(np.full(100, 40000, dtype=np.uint16), 16000)
     with pytest.raises(ValueError, match="PCM dtype"):
         encode_wav(np.arange(100, dtype=np.uint32), 16000)
+
+
+# ---------------------------------------------------------------------------
+# real-web WAV variants: IEEE float, G.711 u-law/A-law, WAVE_FORMAT_EXTENSIBLE
+
+
+def test_wav_ieee_float_roundtrip_exact():
+    t = np.arange(1000, dtype=np.float64)
+    f32 = (np.sin(t / 7.0) * 0.8).astype(np.float32).reshape(-1, 2)
+    s, rate = decode_wav(encode_wav(f32, 44100))
+    assert rate == 44100 and s.dtype == np.float32 and np.array_equal(s, f32)
+    assert np.array_equal(wav_float(s), f32.astype(np.float64))  # no rescale
+    f64 = f32.astype(np.float64)
+    s, _ = decode_wav(encode_wav(f64, 48000))
+    assert s.dtype == np.float64 and np.array_equal(s, f64)
+
+
+def test_g711_self_consistency_all_codes():
+    """compress(expand(code)) == code for every 8-bit code — the canonical
+    G.711 correctness pin. u-law's negative zero (0x7F) re-encodes to the
+    positive zero 0xFF, the spec's one intentional collision."""
+    from etlpy_spark.functions.mediacodec import (
+        alaw_compress, alaw_expand, mulaw_compress, mulaw_expand,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    back = mulaw_compress(mulaw_expand(codes))
+    assert ((back == codes) | ((codes == 0x7F) & (back == 0xFF))).all()
+    assert np.array_equal(alaw_compress(alaw_expand(codes)), codes)
+    # spec spot vectors: linear zero
+    assert mulaw_compress(np.array([0], np.int16))[0] == 0xFF
+    assert alaw_compress(np.array([0], np.int16))[0] == 0xD5
+
+
+def test_g711_wav_roundtrip_snr():
+    t = np.arange(8000, dtype=np.float64)
+    sig = (np.sin(t / 13.0) * 20000).astype(np.int16)
+    for law in ("mu", "a"):
+        s, rate = decode_wav(encode_wav(sig, 8000, law=law))
+        assert rate == 8000 and s.dtype == np.int16
+        err = (s[:, 0].astype(np.float64) - sig) ** 2
+        snr = 10 * np.log10((sig.astype(np.float64) ** 2).mean() / err.mean())
+        assert snr > 35.0  # companded 8-bit: ~37 dB on a full-scale sine
+
+
+def test_wav_extensible_header_resolves_subformat():
+    t = np.arange(2000, dtype=np.float64)
+    pcm = (np.sin(t / 9.0) * 12000).astype(np.int16)
+    s, rate = decode_wav(encode_wav(pcm, 16000, extensible=True))
+    assert rate == 16000 and np.array_equal(s[:, 0], pcm)
+    f32 = (np.sin(t / 5.0) * 0.5).astype(np.float32)
+    s, _ = decode_wav(encode_wav(f32, 22050, extensible=True))
+    assert s.dtype == np.float32 and np.array_equal(s[:, 0], f32)
+    s, _ = decode_wav(encode_wav(pcm, 8000, law="a", extensible=True))
+    assert s.dtype == np.int16
+    # truncated extensible header fails loudly
+    import struct as _struct
+
+    blob = bytearray(encode_wav(pcm, 16000, extensible=True))
+    fmt_at = bytes(blob).index(b"fmt ")
+    blob[fmt_at + 4 : fmt_at + 8] = _struct.pack("<I", 16)  # claim plain size
+    with pytest.raises(ValueError):
+        decode_wav(bytes(blob))
 
 
 def test_wav_malformed_header_fields_raise_valueerror():
