@@ -218,9 +218,25 @@ def decode_gif_image(data: bytes) -> np.ndarray:
     return _dec(data)
 
 
+def encode_bmp_image(px: np.ndarray) -> bytes:
+    """Plain 24-bit BMP (functions/bmpcodec.py — decode side covers the
+    real-web variants: palette/16/32-bit, bitfields, RLE8, top-down).
+    Lossless, like raw/ppm/png."""
+    from etlpy_spark.functions.bmpcodec import encode_bmp as _enc
+
+    return _enc(px)
+
+
+def decode_bmp_image(data: bytes) -> np.ndarray:
+    from etlpy_spark.functions.bmpcodec import decode_bmp as _dec
+
+    return _dec(data)
+
+
 _ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png,
         "y4m": encode_y4m_image, "jpg": encode_jpg_image,
-        "jpgp": encode_jpgp_image, "gif": encode_gif_image}
+        "jpgp": encode_jpgp_image, "gif": encode_gif_image,
+        "bmp": encode_bmp_image}
 
 
 def encode(px: np.ndarray, fmt: str) -> bytes:
@@ -241,6 +257,8 @@ def decode(data: bytes) -> np.ndarray:
         return decode_jpg_image(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_image(data)
+    if data[:2] == b"BM":
+        return decode_bmp_image(data)
     raise ValueError("unknown image format")
 
 
@@ -272,6 +290,8 @@ def sniff_format(data: bytes) -> str:
         return "jpg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:2] == b"BM":
+        return "bmp"
     return "unknown"
 
 
