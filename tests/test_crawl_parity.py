@@ -280,6 +280,44 @@ def test_lossy_format_crawl_psnr_gate(spark, lossy_fmt):
         shutil.rmtree(wd, ignore_errors=True)
 
 
+@pytest.mark.parametrize("fmt", ["bmp", "gif"])
+def test_bmp_gif_format_crawl_parity(spark, fmt):
+    """Round-4 containers on the crawl path end-to-end: with the web
+    serving BMP (lossless — decoded pixels must equal the rendered
+    originals exactly) or GIF (palette format — the cube quantization is
+    deterministic, so the crawl still matches the serial oracle bitwise
+    and pHash-exactly; PSNR is finite but not gated, a format property
+    documented in functions/gifcodec.py)."""
+    from etlpy_spark.functions.imagecodec import render_pixels
+
+    web = WebConfig(
+        n_hosts=3, n_cats=2, pages_per_cat=8, politeness_budget=2,
+        skew_host0=2, force_fmt=fmt,
+    )
+    orc = crawl_oracle(seed_urls(web, n_per_host=2), web, max_rounds=2)
+    wd = tempfile.mkdtemp(prefix=f"crawl_{fmt}_")
+    try:
+        cr = SparkCrawler(spark, wd, CrawlConfig(web=web))
+        cr.run(seed_urls(web, n_per_host=2), max_rounds=2)
+        assert cr.crawl_log_list() == orc.crawl_log
+        rows = {r.image_id: r for r in cr.images.read().collect()}
+        assert rows and set(rows) == set(orc.images)
+        for iid, got in rows.items():
+            exp = orc.images[iid]
+            assert got.fmt == fmt == exp["fmt"]
+            assert bytes(got.bytes) == exp["bytes"]  # same codec → bitwise
+            assert got.phash == exp["phash"] and got.decode_error is None
+            px = decode(bytes(got.bytes))
+            orig = render_pixels(iid, web.seed, web.dim_scale)
+            assert px.shape == orig.shape
+            if fmt == "bmp":
+                assert np.array_equal(px, orig)  # lossless container
+            else:
+                assert psnr(px, orig) > 20.0  # deterministic cube quantizer
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
 def test_rollback_time_travel(spark):
     """Snapshot tables support time travel: after 3 rounds, the round-1
     frontier is still readable (per-round lineage, north_rule)."""
