@@ -608,13 +608,12 @@ def _ann_ivf_oracle(k: int = 10, n_cells: int = 16, nprobe: int = 4, sample: int
 
 
 def _image_pipeline_oracle(n: int = 200, size: int = 16) -> str:
-    import numpy as np
-
     from etlpy_spark.functions.imagecodec import (
         decode,
         encode_ppm,
         image_bytes,
         phash64,
+        resize_area,
         sniff_format,
     )
 
@@ -625,10 +624,7 @@ def _image_pipeline_oracle(n: int = 200, size: int = 16) -> str:
         px = decode(b)
         h, w, _ = px.shape
         rows.append((iid, "orig", w, h, sniff_format(b), phash64(px)))
-        yi = (np.arange(size) * h // size).clip(0, h - 1)
-        xi = (np.arange(size) * w // size).clip(0, w - 1)
-        small = px[np.ix_(yi, xi)]
-        tb = encode_ppm(small)
+        tb = encode_ppm(resize_area(px, size))  # kernel shared with resize_images
         rows.append((iid, "thumb", size, size, sniff_format(tb), phash64(decode(tb))))
     return _values(rows, "image_id, stage, w, h, fmt, phash")
 

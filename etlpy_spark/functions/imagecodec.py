@@ -196,9 +196,16 @@ def encode_jpgp_image(px: np.ndarray) -> bytes:
 
 
 def decode_jpg_image(data: bytes) -> np.ndarray:
-    from etlpy_spark.functions.jpegcodec import decode_jpeg
+    """From-scratch JPEG decode, honoring the EXIF orientation tag when an
+    APP1 segment carries one (phones store sensor-native pixels; ignoring
+    tag 274 feeds sideways images to every downstream operator)."""
+    from etlpy_spark.functions.jpegcodec import (
+        apply_orientation, decode_jpeg, exif_orientation,
+    )
 
-    return decode_jpeg(data)
+    px = decode_jpeg(data)
+    o = exif_orientation(data)
+    return apply_orientation(px, o) if o != 1 else px
 
 
 def encode_gif_image(px: np.ndarray) -> bytes:
@@ -302,6 +309,29 @@ def image_bytes(image_id: str, seed: int = 42, dim_scale: int = 1, force_fmt: st
 
 # ---------------------------------------------------------------------------
 # perceptual hash (64-bit DCT pHash) + PSNR
+
+
+def resize_area(px: np.ndarray, size: int = 16) -> np.ndarray:
+    """True area-average (anti-aliased box) resize to size×size: rows and
+    columns partition into ``size`` contiguous bins (one reduceat per
+    axis), each output pixel is the mean of its bin. Dimensions smaller
+    than ``size`` fall back to nearest-neighbor sampling on that axis
+    (empty bins have no area to average). The shared kernel for
+    resize_images and its serial oracle."""
+    h, w, _ = px.shape
+
+    def _axis(px64: np.ndarray, n: int, axis: int) -> np.ndarray:
+        if n < size:  # upsample: nearest
+            idx = (np.arange(size) * n // size).clip(0, n - 1)
+            return np.take(px64, idx, axis=axis)
+        bounds = (np.arange(size) * n) // size
+        counts = np.diff(np.append(bounds, n))
+        shape = [1, 1, 1]
+        shape[axis] = size
+        return np.add.reduceat(px64, bounds, axis=axis) / counts.reshape(shape)
+
+    out = _axis(_axis(px.astype(np.float64), h, 0), w, 1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
 def _resize_gray(px: np.ndarray, size: int = 32) -> np.ndarray:

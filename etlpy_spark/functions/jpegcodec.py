@@ -1224,3 +1224,97 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
         return np.repeat(y[..., None], 3, axis=2)
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (the one Exif field a pixel pipeline must honor: phones
+# store sensor-native pixels and record the display transform in APP1;
+# ignoring it feeds sideways images to every downstream operator)
+
+
+def exif_orientation(data: bytes) -> int:
+    """Orientation tag (1..8) from a JPEG's APP1 Exif segment, or 1 when
+    absent/unparseable (never raises on hostile segments): walks JPEG
+    markers to APP1 ``Exif\\0\\0``, then the TIFF header (II/MM byte
+    order) and IFD0 entries for tag 0x0112."""
+    if data[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    try:
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return 1
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker in (0xDA, 0xD9):  # entropy data / EOI: no APP1 found
+                return 1
+            (size,) = struct.unpack_from(">H", data, pos + 2)
+            seg = data[pos + 4 : pos + 2 + size]
+            pos += 2 + size
+            if marker != 0xE1 or seg[:6] != b"Exif\x00\x00":
+                continue
+            tiff = seg[6:]
+            if tiff[:2] == b"II":
+                bo = "<"
+            elif tiff[:2] == b"MM":
+                bo = ">"
+            else:
+                return 1
+            (ifd_off,) = struct.unpack_from(bo + "I", tiff, 4)
+            (n_entries,) = struct.unpack_from(bo + "H", tiff, ifd_off)
+            for i in range(n_entries):
+                at = ifd_off + 2 + 12 * i
+                tag, typ, _cnt = struct.unpack_from(bo + "HHI", tiff, at)
+                if tag == 0x0112 and typ == 3:  # SHORT
+                    (val,) = struct.unpack_from(bo + "H", tiff, at + 8)
+                    return val if 1 <= val <= 8 else 1
+            return 1
+    except (struct.error, IndexError):
+        return 1
+    return 1
+
+
+def apply_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """Transform stored pixels to display orientation (EXIF tag 274
+    semantics: 2 mirror-h, 3 rot180, 4 mirror-v, 5 transpose, 6 rot90 CW,
+    7 transverse, 8 rot90 CCW)."""
+    if orientation == 2:
+        px = px[:, ::-1]
+    elif orientation == 3:
+        px = px[::-1, ::-1]
+    elif orientation == 4:
+        px = px[::-1]
+    elif orientation == 5:
+        px = px.transpose(1, 0, 2)
+    elif orientation == 6:
+        px = np.rot90(px, k=-1)
+    elif orientation == 7:
+        px = np.rot90(px, k=-1)[:, ::-1]
+    elif orientation == 8:
+        px = np.rot90(px, k=1)
+    return np.ascontiguousarray(px)
+
+
+def insert_exif_orientation(jpeg: bytes, orientation: int,
+                            byte_order: str = "II") -> bytes:
+    """Splice a minimal APP1 Exif segment (one-entry IFD0 carrying tag
+    0x0112) right after SOI — how the tests build oriented files, and a
+    way to stamp orientation onto any emitted JPEG."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"bad orientation {orientation}")
+    bo = "<" if byte_order == "II" else ">"
+    tiff = (
+        byte_order.encode("ascii")
+        + struct.pack(bo + "HI", 42, 8)                 # magic + IFD0 offset
+        + struct.pack(bo + "H", 1)                      # one entry
+        + struct.pack(bo + "HHI", 0x0112, 3, 1)         # tag SHORT count=1
+        + struct.pack(bo + "H", orientation) + b"\x00\x00"
+        + struct.pack(bo + "I", 0)                      # no next IFD
+    )
+    payload = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpeg[:2] + seg + jpeg[2:]

@@ -53,22 +53,19 @@ def decode_image_features(df: DataFrame, id_col: str = "image_id",
 
 def resize_images(df: DataFrame, size: int = 16, id_col: str = "image_id",
                   bytes_col: str = "bytes") -> DataFrame:
-    """Block-average resize to size×size, re-encoded as PPM thumbnails."""
+    """Area-average (anti-aliased box) resize to size×size, re-encoded as
+    PPM thumbnails — imagecodec.resize_area, the kernel the serial oracle
+    shares (previously a strided subsample, which aliases high-frequency
+    content into thumbnails and pHashes)."""
     cols = (id_col, bytes_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from etlpy_spark.functions.imagecodec import decode, encode_ppm
+        from etlpy_spark.functions.imagecodec import decode, encode_ppm, resize_area
 
         for pdf in batches:
             out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt")}
             for iid, data in zip(pdf[cols[0]], pdf[cols[1]]):
-                px = decode(bytes(data))
-                h, w, _ = px.shape
-                yi = (np.arange(size) * h // size).clip(0, h - 1)
-                xi = (np.arange(size) * w // size).clip(0, w - 1)
-                small = px[np.ix_(yi, xi)]
+                small = resize_area(decode(bytes(data)), size)
                 out["image_id"].append(iid)
                 out["bytes"].append(encode_ppm(small))
                 out["w"].append(size)

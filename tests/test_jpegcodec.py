@@ -442,3 +442,65 @@ def test_fill_bytes_before_markers_are_skipped():
     for n_fill in (1, 3):
         padded = data[:sof] + b"\xff" * n_fill + data[sof:]
         assert np.array_equal(decode_jpeg(padded), base)
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation
+
+
+def test_exif_orientation_all_eight_both_byte_orders():
+    """A spliced APP1 segment must round-trip every orientation value in
+    both TIFF byte orders, and the imagecodec dispatch must decode to the
+    DISPLAY orientation (the reference transform computed in numpy here)."""
+    from etlpy_spark.functions.jpegcodec import (
+        apply_orientation, exif_orientation, insert_exif_orientation,
+    )
+
+    px = ic.render_pixels("img-5", 42, 1)
+    plain = encode_jpeg(px, quality=96)
+    base = decode_jpeg(plain)
+    assert exif_orientation(plain) == 1
+    for bo in ("II", "MM"):
+        for o in range(1, 9):
+            tagged = insert_exif_orientation(plain, o, byte_order=bo)
+            assert exif_orientation(tagged) == o, (bo, o)
+            # the pure codec never rotates; the image dispatch does
+            assert np.array_equal(decode_jpeg(tagged), base)
+            got = ic.decode(tagged)
+            exp = apply_orientation(base, o)
+            assert got.shape == exp.shape and np.array_equal(got, exp), (bo, o)
+
+
+def test_exif_orientation_inverse_pairs():
+    """Orientations 6 and 8 are inverse rotations; 5 and 7 are the two
+    diagonal flips (each self-inverse). Pins the transform directions —
+    the classic off-by-one is swapping CW/CCW."""
+    from etlpy_spark.functions.jpegcodec import apply_orientation
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    assert np.array_equal(apply_orientation(apply_orientation(px, 6), 8), px)
+    assert np.array_equal(apply_orientation(apply_orientation(px, 5), 5), px)
+    assert np.array_equal(apply_orientation(apply_orientation(px, 7), 7), px)
+    # 6 = rot90 CW: the top-left pixel lands on the top-right
+    assert np.array_equal(apply_orientation(px, 6)[0, -1], px[0, 0])
+
+
+def test_exif_hostile_segments_never_raise():
+    from etlpy_spark.functions.jpegcodec import exif_orientation, insert_exif_orientation
+
+    px = ic.render_pixels("img-6", 42, 1)
+    plain = encode_jpeg(px, quality=92)
+    tagged = insert_exif_orientation(plain, 6)
+    app1 = tagged.index(b"\xff\xe1")
+    # truncate inside the TIFF header
+    assert exif_orientation(tagged[: app1 + 12] + plain[2:]) == 1
+    # corrupt byte-order mark
+    bad = bytearray(tagged)
+    bad[app1 + 10 : app1 + 12] = b"ZZ"
+    assert exif_orientation(bytes(bad)) == 1
+    # orientation value out of range -> 1
+    assert exif_orientation(insert_exif_orientation(plain, 8).replace(
+        b"\x12\x01\x03\x00\x01\x00\x00\x00\x08\x00", 
+        b"\x12\x01\x03\x00\x01\x00\x00\x00\x63\x00", 1)) == 1
+    assert exif_orientation(b"\x00\x01") == 1
