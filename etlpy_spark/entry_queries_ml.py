@@ -180,11 +180,12 @@ def _media_wav_pcm(i: int):
 
 
 def _media_wav_blob(i: int) -> bytes:
-    """WAV fixture i, shared by the Spark generator and the serial oracle.
-    Clips 0..3: integer PCM (format 1, varying rate/channels); clip 4: the
-    same waveform as IEEE float32 inside a WAVE_FORMAT_EXTENSIBLE header;
-    clip 5: G.711 u-law (format 7) — the real-web variants the parser
-    gained in round 4."""
+    """Audio fixture i, shared by the Spark generator and the serial
+    oracle. Clips 0..3: integer-PCM WAV (format 1, varying rate/channels);
+    clip 4: the same waveform as IEEE float32 inside a
+    WAVE_FORMAT_EXTENSIBLE header; clip 5: G.711 u-law (format 7); clip 6:
+    FLAC (from-scratch lossless codec, mid/side stereo) — the real-web
+    variants the audio path gained in round 4."""
     from etlpy_spark.functions.mediacodec import encode_wav
 
     pcm, rate = _media_wav_pcm(i % 4)
@@ -192,7 +193,12 @@ def _media_wav_blob(i: int) -> bytes:
         return encode_wav(pcm, rate)
     if i == 4:
         return encode_wav((pcm.astype("float32") / 32768.0), rate, extensible=True)
-    return encode_wav(pcm, rate, law="mu")
+    if i == 5:
+        return encode_wav(pcm, rate, law="mu")
+    from etlpy_spark.functions.flaccodec import encode_flac
+
+    stereo, rate = _media_wav_pcm(1)  # clip 1 is the stereo waveform
+    return encode_flac(stereo, rate, stereo_mode="mid_side", partition_order=2)
 
 
 def _media_jpeg_row(i: int):
@@ -221,11 +227,11 @@ def q_media_decode_suite(spark, sf_dir):
     from-scratch T.81 codec) and 3 animated GIFs (from-scratch LZW,
     functions/gifcodec.py) are demuxed — every-4th-frame sampling seeks
     over skipped Y4M/MJPEG frames and skips LZW for GIF frames no sampled
-    frame depends on — and each sampled frame is pHashed; 6 WAV clips
-    (integer PCM at varying rate/channels, IEEE float32 inside a
-    WAVE_FORMAT_EXTENSIBLE header, G.711 u-law) are parsed for real by
-    the RIFF chunk walker; 8 fixture images go through the from-scratch
-    baseline JPEG
+    frame depends on — and each sampled frame is pHashed; 7 audio clips
+    (integer-PCM WAV at varying rate/channels, IEEE float32 inside a
+    WAVE_FORMAT_EXTENSIBLE header, G.711 u-law, and a mid/side FLAC
+    through the from-scratch Rice/fixed-predictor codec) are decoded for
+    real; 8 fixture images go through the from-scratch baseline JPEG
     codec (functions/jpegcodec.py — varying quality, with and without
     restart markers) and the decoded pixels are PSNR-scored against the
     originals (the north rule's lossy invariant). Output rows:
@@ -283,7 +289,7 @@ def q_media_decode_suite(spark, sf_dir):
         (F.col("w").cast("long") * F.col("h")).alias("m2"),
         F.col("mean_lum").alias("v"),
     )
-    clips = spark.range(0, 6, 1, 2).mapInPandas(gen_clips, schema="clip_id string, bytes binary")
+    clips = spark.range(0, 7, 1, 2).mapInPandas(gen_clips, schema="clip_id string, bytes binary")
     afeats = mm.decode_audio_features(clips)
     arows = afeats.select(
         F.col("clip_id").alias("media_id"),
@@ -680,8 +686,14 @@ def _media_suite_oracle() -> str:
         blob = encode_gif(_media_video_frames(i))
         for idx, px, _ in iter_gif_frames(blob, every_n=4):
             rows.append(_frame_row(f"gif-{i:04d}", "gif", idx, px))
-    for i in range(6):
-        samples, _ = decode_wav(_media_wav_blob(i))
+    for i in range(7):
+        blob = _media_wav_blob(i)
+        if blob[:4] == b"fLaC":
+            from etlpy_spark.functions.flaccodec import decode_flac
+
+            samples, _ = decode_flac(blob)
+        else:
+            samples, _ = decode_wav(blob)
         f = wav_float(samples)
         mono = f.mean(axis=1)
         rows.append((

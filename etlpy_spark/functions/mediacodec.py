@@ -445,6 +445,8 @@ def sniff_media(data: bytes) -> str:
         return "y4m"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:4] == b"fLaC":
+        return "flac"
     if data[:4] == b"RAW0":
         return "rawcat"
     return "unknown"

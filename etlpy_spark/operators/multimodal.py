@@ -4,10 +4,11 @@ Policy (task brief): media rides as opaque ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as Arrow-
 batched pandas UDFs over ``mapInPandas``. The Spark-side plumbing — schema,
 partitioning, UDF signatures, batch shapes — is real and tested; the *image*
-path is fully real (our numpy raw/PPM/PNG/JPEG/GIF codecs + DCT pHash,
-functions/imagecodec.py), and so are audio/video for WAV integer PCM,
-YUV4MPEG2, AVI/MJPEG and animated GIF (functions/{media,gif}codec.py —
-MJPEG and GIF ride our from-scratch JPEG and LZW entropy coders). Only
+path is fully real (our numpy raw/PPM/PNG/JPEG/GIF/BMP codecs + DCT
+pHash, functions/imagecodec.py), and so are audio/video for WAV
+(PCM/float/G.711), FLAC, YUV4MPEG2, AVI/MJPEG and animated GIF
+(functions/{media,flac,gif}codec.py — MJPEG, GIF and FLAC ride our
+from-scratch JPEG, LZW and Rice entropy coders). Only perceptual /
 inter-frame codecs (MP3/H.264/VP9/...) still need libraries this
 container doesn't ship and raise ``NotImplementedError``.
 """
@@ -149,10 +150,11 @@ FRAME_DDL = "video_id string, frame_idx int, bytes binary"
 def decode_audio_features(df: DataFrame, id_col: str = "clip_id",
                           bytes_col: str = "bytes", _fake: bool = False) -> DataFrame:
     """Audio decode → (n_samples, sample_rate, n_channels, duration_s,
-    rms, zero_crossings). WAV (RIFF integer PCM, any width/channels) is
-    decoded for real via the chunk-walking parser in
-    functions/mediacodec.py; ``_fake=True`` additionally accepts headerless
-    blobs as 16 kHz mono int16 PCM (plumbing tests). rms is computed on
+    rms, zero_crossings). WAV (integer PCM / IEEE float / G.711, any
+    width/channels — chunk-walking parser in functions/mediacodec.py) and
+    FLAC (from-scratch decoder, functions/flaccodec.py) are decoded for
+    real; ``_fake=True`` additionally accepts headerless blobs as 16 kHz
+    mono int16 PCM (plumbing tests). rms is computed on
     full-scale-normalized samples, so it is comparable across PCM widths;
     zero_crossings counts sign changes of the channel-mean signal."""
 
@@ -170,14 +172,18 @@ def decode_audio_features(df: DataFrame, id_col: str = "clip_id",
                 kind = sniff_media(b)
                 if kind == "wav":
                     samples, rate = decode_wav(b)
+                elif kind == "flac":
+                    from etlpy_spark.functions.flaccodec import decode_flac
+
+                    samples, rate = decode_flac(b)
                 elif _fake:
                     samples = np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2").reshape(-1, 1)
                     rate = 16000
                 else:
                     raise NotImplementedError(
-                        "compressed audio needs a codec library (e.g. "
-                        "soundfile/ffmpeg) not available in this environment; "
-                        "WAV integer PCM is decoded natively"
+                        "perceptual audio codecs (MP3/AAC/Vorbis) need "
+                        "libraries not available in this environment; WAV "
+                        "(PCM/float/G.711) and FLAC are decoded natively"
                     )
                 f = wav_float(samples)
                 mono = f.mean(axis=1)
