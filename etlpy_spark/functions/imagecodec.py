@@ -240,10 +240,25 @@ def decode_bmp_image(data: bytes) -> np.ndarray:
     return _dec(data)
 
 
+def encode_tiff_image(px: np.ndarray) -> bytes:
+    """LZW-compressed RGB TIFF (functions/tiffcodec.py — the decode side
+    covers baseline TIFF 6.0: strips, PackBits/LZW, palette/gray/bilevel,
+    predictor 2, both byte orders). Lossless."""
+    from etlpy_spark.functions.tiffcodec import encode_tiff_ex
+
+    return encode_tiff_ex(px, compression=5, predictor=2)
+
+
+def decode_tiff_image(data: bytes) -> np.ndarray:
+    from etlpy_spark.functions.tiffcodec import decode_tiff as _dec
+
+    return _dec(data)
+
+
 _ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png,
         "y4m": encode_y4m_image, "jpg": encode_jpg_image,
         "jpgp": encode_jpgp_image, "gif": encode_gif_image,
-        "bmp": encode_bmp_image}
+        "bmp": encode_bmp_image, "tiff": encode_tiff_image}
 
 
 def encode(px: np.ndarray, fmt: str) -> bytes:
@@ -266,6 +281,8 @@ def decode(data: bytes) -> np.ndarray:
         return decode_gif_image(data)
     if data[:2] == b"BM":
         return decode_bmp_image(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff_image(data)
     raise ValueError("unknown image format")
 
 
@@ -299,6 +316,8 @@ def sniff_format(data: bytes) -> str:
         return "gif"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return "unknown"
 
 
