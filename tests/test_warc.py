@@ -1,0 +1,153 @@
+"""Tests for the WARC source (sources/warc.py): record framing, gzip
+member layout, HTTP unwrapping, the Spark reader, and an end-to-end
+archive-replay pipeline over the synthetic web."""
+
+import gzip
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+from etlpy_spark.sources.warc import (
+    iter_warc_records,
+    read_warc,
+    write_warc,
+)
+
+
+def _mk_records(n=5, host="h0"):
+    recs = []
+    for i in range(n):
+        body = f"<html><body>doc {i}</body></html>".encode()
+        recs.append({
+            "warc_type": "response",
+            "url": f"http://{host}.example/p{i}",
+            "date": f"2026-01-0{i % 9 + 1}T00:00:00Z",
+            "http_status": 200,
+            "http_content_type": "text/html",
+            "payload": body,
+        })
+    return recs
+
+
+def test_roundtrip_plain_and_gzip(tmp_path):
+    recs = _mk_records()
+    for compress in (False, True):
+        p = str(tmp_path / (f"t{compress}.warc" + (".gz" if compress else "")))
+        write_warc(p, recs, compress=compress)
+        data = open(p, "rb").read()
+        if compress:
+            assert data[:2] == b"\x1f\x8b"
+            # one gzip MEMBER per record: stdlib gzip sees them all
+            assert gzip.decompress(data).count(b"WARC/1.0") == len(recs) + 1
+        got = list(iter_warc_records(data))
+        assert got[0]["warc_type"] == "warcinfo"
+        resp = got[1:]
+        assert len(resp) == len(recs)
+        for r, exp in zip(resp, recs):
+            assert r["warc_type"] == "response"
+            assert r["url"] == exp["url"] and r["date"] == exp["date"]
+            assert r["http_status"] == 200
+            assert r["http_content_type"] == "text/html"
+            assert r["payload"] == exp["payload"]
+            assert r["record_id"].startswith("<urn:sha1:")
+
+
+def test_deterministic_record_ids(tmp_path):
+    p1, p2 = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc.gz")
+    write_warc(p1, _mk_records())
+    write_warc(p2, _mk_records())
+    assert open(p1, "rb").read() == open(p2, "rb").read()  # byte-stable
+
+
+def test_truncated_and_malformed_raise(tmp_path):
+    p = str(tmp_path / "t.warc")
+    write_warc(p, _mk_records(2), compress=False)
+    data = open(p, "rb").read()
+    with pytest.raises(ValueError, match="truncated WARC record block"):
+        list(iter_warc_records(data[: len(data) - 30]))
+    with pytest.raises(ValueError, match="version"):
+        list(iter_warc_records(b"NOT A WARC\r\n\r\n"))
+    # gzip member cut mid-stream
+    gz = open(str(tmp_path / "g.warc.gz"), "wb")
+    write_warc(str(tmp_path / "g.warc.gz"), _mk_records(2))
+    gzdata = open(str(tmp_path / "g.warc.gz"), "rb").read()
+    with pytest.raises(ValueError, match="gzip"):
+        list(iter_warc_records(gzdata[: len(gzdata) - 10]))
+
+
+def test_non_http_records_carry_raw_block(tmp_path):
+    p = str(tmp_path / "m.warc")
+    write_warc(p, [{
+        "warc_type": "resource", "url": "http://h.example/blob",
+        "payload": b"\x00\x01binary", "content_type": "application/octet-stream",
+    }], compress=False)
+    recs = list(iter_warc_records(open(p, "rb").read()))
+    assert recs[1]["warc_type"] == "resource"
+    assert recs[1]["block"] == b"\x00\x01binary"
+    assert "http_status" not in recs[1]
+
+
+def test_spark_reader_matches_serial(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    all_recs = {}
+    for f in range(3):
+        recs = _mk_records(4, host=f"h{f}")
+        write_warc(str(d / f"seg-{f}.warc.gz"), recs)
+        for r in recs:
+            all_recs[r["url"]] = r["payload"]
+    df = read_warc(spark, str(d) + "/*.warc.gz")
+    rows = df.filter("warc_type = 'response'").collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert bytes(r.payload) == all_recs[r.url]
+        assert r.http_status == 200
+    # warcinfo rows are present until filtered
+    assert read_warc(spark, str(d) + "/*.warc.gz").count() == 15
+
+
+def test_archive_replay_pipeline(spark, tmp_path):
+    """End-to-end crawl replay: archive synthetic-web pages into WARC
+    segments, read them back through Spark, and extract links/captions
+    with the SAME parser the live crawl uses — counts must match the
+    generator's ground truth."""
+    from etlpy_spark.sources.synthetic_web import (
+        WebConfig, page, parse_page, seed_urls,
+    )
+
+    web = WebConfig(n_hosts=2, n_cats=2, pages_per_cat=4)
+    urls = seed_urls(web, n_per_host=3)
+    recs, truth = [], {}
+    for u in urls:
+        html = page(u, web)["html"]
+        truth[u] = parse_page(html)
+        recs.append({
+            "warc_type": "response", "url": u, "http_status": 200,
+            "payload": html.encode(), "date": "2026-02-02T00:00:00Z",
+        })
+    p = str(tmp_path / "replay.warc.gz")
+    write_warc(p, recs)
+
+    import pandas as pd
+
+    def extract(batches):
+        from etlpy_spark.sources.synthetic_web import parse_page as pp
+
+        for pdf in batches:
+            out = {"url": [], "n_links": [], "n_images": []}
+            for u, payload in zip(pdf["url"], pdf["payload"]):
+                parsed = pp(bytes(payload).decode())
+                out["url"].append(u)
+                out["n_links"].append(len(parsed["links"]))
+                out["n_images"].append(len(parsed["image_ids"]))
+            yield pd.DataFrame(out)
+
+    df = read_warc(spark, p).filter("warc_type = 'response'") \
+        .mapInPandas(extract, schema="url string, n_links int, n_images int")
+    got = {r.url: (r.n_links, r.n_images) for r in df.collect()}
+    assert set(got) == set(urls)
+    for u in urls:
+        assert got[u] == (len(truth[u]["links"]), len(truth[u]["image_ids"]))
