@@ -139,6 +139,17 @@ class CrawlConfig:
     #       filter_broadcast_max_bytes, else broadcast.
     filter_delivery: str = "auto"
     filter_broadcast_max_bytes: int = 64 << 20
+    # archive replay: a glob of WARC segments (sources/warc.py). When set,
+    # page HTML and image bytes come from the archive (joined by URL /
+    # image id) instead of the live fetcher — the Common Crawl workflow,
+    # where the corpus IS the archive. Politeness, ranking, seen-set and
+    # ordering semantics are identical; an archive miss behaves like a
+    # 404 (empty page / undecodable blob). The archive is materialized
+    # once per crawler into workdir parquet sorted by key, so each
+    # round's join reads columnar data, not re-gunzipped WARC; at the
+    # 100 TB point the pages table would be bucketed by url so the
+    # per-round join co-locates without reshuffling the archive.
+    archive_path: str = ""
 
 
 def _fail_once(fail_dir: str | None, tag: str, pid: int) -> None:
@@ -237,6 +248,42 @@ class SparkCrawler:
         self.metrics = SnapshotTable(spark, os.path.join(workdir, "metrics"))
         self._blooms: dict[int, BloomFilter] | None = None
         self._img_blooms: dict[int, BloomFilter] | None = None
+        self._archive_ready = False
+
+    # -- archive replay (cfg.archive_path) ---------------------------------
+
+    def _ensure_archive(self) -> None:
+        """Materialize the WARC archive ONCE into workdir parquet, sorted
+        by key: pages (url, html) and image blobs (image_id, abytes). Each
+        round then joins columnar data instead of re-gunzipping WARC; at
+        scale this table would be bucketed by the join key."""
+        if self._archive_ready or not self.cfg.archive_path:
+            return
+        from etlpy_spark.sources.warc import read_warc
+
+        pages_dir = os.path.join(self.workdir, "archive_pages")
+        imgs_dir = os.path.join(self.workdir, "archive_images")
+        if not os.path.exists(pages_dir):
+            recs = read_warc(self.spark, self.cfg.archive_path)
+            recs.filter(F.col("warc_type") == "response").select(
+                "url", F.col("payload").cast("string").alias("html")
+            ).sortWithinPartitions("url").write.mode("overwrite").parquet(pages_dir)
+            recs.filter(
+                (F.col("warc_type") == "resource")
+                & F.col("url").startswith("urn:image:")
+            ).select(
+                F.expr("substring(url, 11)").alias("image_id"),
+                F.col("payload").alias("abytes"),
+            ).sortWithinPartitions("image_id").write.mode("overwrite").parquet(imgs_dir)
+        self._archive_ready = True
+
+    def _archive_pages(self):
+        self._ensure_archive()
+        return self.spark.read.parquet(os.path.join(self.workdir, "archive_pages"))
+
+    def _archive_images(self):
+        self._ensure_archive()
+        return self.spark.read.parquet(os.path.join(self.workdir, "archive_images"))
 
     # -- vectorized url helpers -------------------------------------------
 
@@ -804,7 +851,14 @@ class SparkCrawler:
         selected = selected.drop("__eprio__")
         _t = _tlog("fetch_rank", _t)
 
-        # fetch inside politeness buckets (salted by host hash)
+        # fetch inside politeness buckets (salted by host hash). Archive
+        # replay joins the page HTML in BEFORE bucketing (left join: a
+        # miss is a 404); live mode's plan is untouched.
+        if cfg.archive_path:
+            selected = selected.join(
+                self._archive_pages().withColumnRenamed("html", "__html__"),
+                "url", "left",
+            )
         buckets = selected.repartition(cfg.n_buckets, F.pmod(F.xxhash64("host"), F.lit(cfg.n_buckets)))
         web = cfg.web
 
@@ -830,13 +884,19 @@ class SparkCrawler:
             log = {"fetch_seq": [], "url": []}
             for pdf in batches:
                 out = {"fetch_seq": [], "kind": [], "pos": [], "value": [], "caption": [], "part": []}
-                for fs, u in zip(pdf["fetch_seq"], pdf["url"]):
+                # archive replay: the joined __html__ column IS the fetch
+                htmls = pdf["__html__"] if "__html__" in pdf.columns else None
+                for j, (fs, u) in enumerate(zip(pdf["fetch_seq"], pdf["url"])):
                     # fetch → parse → extract, like the reference spider
                     # (spider.py:211-261): links/images come from the parsed
                     # markup, not from the generator's internal lists —
                     # parse_page's round-trip exactness vs page() is
                     # differentially tested, so oracle parity is unaffected
-                    pg = parse_page(page(u, web)["html"])
+                    if htmls is not None:
+                        h = htmls.iloc[j]
+                        pg = parse_page(h if isinstance(h, str) else "")
+                    else:
+                        pg = parse_page(page(u, web)["html"])
                     for i, l in enumerate(pg["links"]):
                         out["fetch_seq"].append(fs); out["kind"].append("link")
                         out["pos"].append(i); out["value"].append(l)
@@ -898,6 +958,11 @@ class SparkCrawler:
                 )
                 .select("image_id", "__f__.caption", "__f__.part")
             )
+            if cfg.archive_path:
+                # replay: blobs ride in from the archive (left join —
+                # a missing blob decodes to a decode_error row, like a
+                # dead image link in a live crawl)
+                refs = refs.join(self._archive_images(), "image_id", "left")
             img_cleanup = None
             have_table = self.images.current_version() is not None
             use_ib = cfg.use_image_bloom and cfg.images_direct_write
@@ -935,8 +1000,15 @@ class SparkCrawler:
                 from etlpy_spark.sources.synthetic_web import fetch_image
 
                 rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "decode_error", "first_round", "lineage_part")}
-                for iid, cap, part in zip(sub["image_id"], sub["caption"], sub["part"]):
-                    data = fetch_image(iid, web)
+                ab = sub["abytes"] if "abytes" in sub.columns else None
+                for j, (iid, cap, part) in enumerate(
+                    zip(sub["image_id"], sub["caption"], sub["part"])
+                ):
+                    if ab is not None:
+                        v = ab.iloc[j]
+                        data = bytes(v) if v is not None else b""
+                    else:
+                        data = fetch_image(iid, web)
                     # skip-with-reason: a codec this engine refuses
                     # (progressive JPEG, garbage) becomes a decode_error
                     # row — dims/phash need decoded pixels, fmt is sniffed

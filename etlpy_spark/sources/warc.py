@@ -162,6 +162,47 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         yield rec
 
 
+def archive_synthetic_web(cfg, out_dir: str, segments: int = 3) -> int:
+    """Archive the whole synthetic web (every canonical page URL plus
+    every referenced image blob) into ``segments`` .warc.gz files — the
+    fixture for archive-replay crawl tests. Pages become ``response``
+    records keyed by canonical URL; image blobs become ``resource``
+    records keyed by ``urn:image:<image_id>``. Deterministic: same cfg →
+    byte-identical segments. Returns the number of records written."""
+    import os
+
+    from etlpy_spark.sources.synthetic_web import fetch_image, make_url, page
+
+    os.makedirs(out_dir, exist_ok=True)
+    recs: list[dict] = []
+    image_ids: set[str] = set()
+    for k in range(cfg.n_hosts):
+        for c in range(cfg.n_cats):
+            for n in range(1, cfg.pages_per_cat + 1):
+                u = make_url(k, c, n)
+                pg = page(u, cfg)
+                image_ids.update(pg["image_ids"])
+                recs.append({
+                    "warc_type": "response", "url": u, "http_status": 200,
+                    "http_content_type": "text/html",
+                    "payload": pg["html"].encode(),
+                    "date": "2026-01-01T00:00:00Z",
+                })
+    for iid in sorted(image_ids):
+        recs.append({
+            "warc_type": "resource", "url": f"urn:image:{iid}",
+            "payload": fetch_image(iid, cfg),
+            "content_type": "application/octet-stream",
+            "date": "2026-01-01T00:00:00Z",
+        })
+    for s in range(segments):
+        write_warc(
+            os.path.join(out_dir, f"seg-{s:03d}.warc.gz"),
+            recs[s::segments],
+        )
+    return len(recs)
+
+
 WARC_DDL = (
     "path string, warc_type string, url string, date string, "
     "record_id string, http_status int, http_content_type string, "

@@ -151,3 +151,43 @@ def test_archive_replay_pipeline(spark, tmp_path):
     assert set(got) == set(urls)
     for u in urls:
         assert got[u] == (len(truth[u]["links"]), len(truth[u]["image_ids"]))
+
+
+def test_archive_replay_crawl_parity(spark, tmp_path):
+    """Full crawl from a WARC archive (cfg.archive_path): page HTML and
+    image blobs come from the archived segments instead of the live
+    fetcher, and the crawl must match the LIVE crawl bitwise — crawl
+    order, seen set, and every image row including bytes and pHash. This
+    is the Common Crawl workflow: the corpus IS the archive."""
+    from etlpy_spark.crawl.frontier import CrawlConfig, SparkCrawler
+    from etlpy_spark.sources.synthetic_web import WebConfig, seed_urls
+    from etlpy_spark.sources.warc import archive_synthetic_web
+
+    web = WebConfig(n_hosts=3, n_cats=2, pages_per_cat=6, politeness_budget=2)
+    seeds = seed_urls(web, n_per_host=2)
+    arc_dir = str(tmp_path / "archive")
+    n_recs = archive_synthetic_web(web, arc_dir, segments=3)
+    assert n_recs > web.n_hosts * web.n_cats * web.pages_per_cat  # pages + blobs
+
+    live_wd, replay_wd = str(tmp_path / "live"), str(tmp_path / "replay")
+    live = SparkCrawler(spark, live_wd, CrawlConfig(web=web))
+    live.run(seeds, max_rounds=2)
+    replay = SparkCrawler(
+        spark, replay_wd,
+        CrawlConfig(web=web, archive_path=arc_dir + "/*.warc.gz"),
+    )
+    replay.run(seeds, max_rounds=2)
+
+    assert replay.crawl_log_list() == live.crawl_log_list()
+    live_seen = sorted(r.url for r in live.seen.read().collect())
+    replay_seen = sorted(r.url for r in replay.seen.read().collect())
+    assert replay_seen == live_seen
+    live_imgs = {r.image_id: r for r in live.images.read().collect()}
+    replay_imgs = {r.image_id: r for r in replay.images.read().collect()}
+    assert set(replay_imgs) == set(live_imgs) and live_imgs
+    for iid, a in live_imgs.items():
+        b = replay_imgs[iid]
+        assert bytes(a.bytes) == bytes(b.bytes), iid
+        assert (a.w, a.h, a.fmt, a.phash, a.caption, a.decode_error) == (
+            b.w, b.h, b.fmt, b.phash, b.caption, b.decode_error
+        ), iid
