@@ -162,6 +162,56 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         yield rec
 
 
+def html_to_text(html: str) -> str:
+    """Visible text of an HTML page (tag-stripped, whitespace-normalized)
+    — the WET-extraction step of a Common Crawl pipeline. Malformed markup
+    yields an empty string rather than killing a task."""
+    if not html:
+        return ""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(html)
+    except ET.ParseError:
+        return ""
+    return " ".join("".join(root.itertext()).split())
+
+
+def warc_to_documents(spark, path: str):
+    """WARC archive(s) → a ``documents``-shaped DataFrame
+    (doc_id, url, date, text): HTTP html responses tag-stripped to
+    visible text. The front door of the training-corpus pipeline —
+    feed the result straight into ``operators.corpus.prepare_corpus``
+    (annotate → quality/repetition filter → PII redact → dedup →
+    sample → pack). Same parallel shape as :func:`read_warc`: one task
+    per segment, no shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path).filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_content_type").startswith("text/html")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "url": [], "date": [], "text": []}
+            for rid, u, d, payload in zip(
+                pdf["record_id"], pdf["url"], pdf["date"], pdf["payload"]
+            ):
+                out["doc_id"].append(rid)
+                out["url"].append(u)
+                out["date"].append(d)
+                out["text"].append(
+                    html_to_text(bytes(payload).decode("utf-8", "replace"))
+                )
+            yield pd.DataFrame(out)
+
+    return recs.mapInPandas(
+        run, schema="doc_id string, url string, date string, text string"
+    )
+
+
 def archive_synthetic_web(cfg, out_dir: str, segments: int = 3) -> int:
     """Archive the whole synthetic web (every canonical page URL plus
     every referenced image blob) into ``segments`` .warc.gz files — the

@@ -191,3 +191,36 @@ def test_archive_replay_crawl_parity(spark, tmp_path):
         assert (a.w, a.h, a.fmt, a.phash, a.caption, a.decode_error) == (
             b.w, b.h, b.fmt, b.phash, b.caption, b.decode_error
         ), iid
+
+
+def test_warc_to_documents_feeds_corpus_pipeline(spark, tmp_path):
+    """WARC → documents → prepare_corpus, end to end: archived pages
+    tag-strip to visible text (matching serial html_to_text), and the
+    corpus pipeline's annotate/filter stages run over the result."""
+    from etlpy_spark.operators.corpus import annotate_corpus
+    from etlpy_spark.sources.synthetic_web import WebConfig
+    from etlpy_spark.sources.warc import (
+        archive_synthetic_web, html_to_text, iter_warc_records, warc_to_documents,
+    )
+
+    web = WebConfig(n_hosts=2, n_cats=2, pages_per_cat=5)
+    arc_dir = str(tmp_path / "arc")
+    archive_synthetic_web(web, arc_dir, segments=2)
+
+    docs = warc_to_documents(spark, arc_dir + "/*.warc.gz")
+    rows = {r.url: r.text for r in docs.collect()}
+    assert len(rows) == web.n_hosts * web.n_cats * web.pages_per_cat
+    # serial replica over the same archive bytes
+    import glob as _glob
+
+    serial = {}
+    for f in sorted(_glob.glob(arc_dir + "/*.warc.gz")):
+        for rec in iter_warc_records(open(f, "rb").read()):
+            if rec["warc_type"] == "response":
+                serial[rec["url"]] = html_to_text(rec["payload"].decode())
+    assert rows == serial
+    assert all(t.startswith("http://") for t in rows.values())  # h1 = url text
+
+    ann = annotate_corpus(docs)
+    got = ann.select("doc_id", "lang_pred", "quality", "n_tokens").collect()
+    assert len(got) == len(rows) and all(r.n_tokens > 0 for r in got)
