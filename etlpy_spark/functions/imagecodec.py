@@ -397,3 +397,36 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)
+
+
+def ssim(a: np.ndarray, b: np.ndarray, window: int = 8) -> float:
+    """Mean structural similarity (Wang et al. 2004) on the luma plane,
+    uniform ``window``×``window`` moments via integral images (one cumsum
+    per moment — no per-window loop). PSNR misses structural artifacts
+    (blocking, ringing, banding) that SSIM is sensitive to, so codec
+    gates can use both. Returns 1.0 for identical images; range
+    (-1, 1]."""
+    if a.shape != b.shape:
+        raise ValueError("SSIM needs same-shape images")
+    gray = np.array([0.299, 0.587, 0.114])
+    x = (a.astype(np.float64) @ gray) if a.ndim == 3 else a.astype(np.float64)
+    y = (b.astype(np.float64) @ gray) if b.ndim == 3 else b.astype(np.float64)
+    h, w = x.shape
+    win = min(window, h, w)
+
+    def box(m: np.ndarray) -> np.ndarray:
+        # win×win window sums from an integral image (valid positions)
+        ii = np.zeros((h + 1, w + 1))
+        ii[1:, 1:] = m.cumsum(0).cumsum(1)
+        return (ii[win:, win:] - ii[:-win, win:] - ii[win:, :-win]
+                + ii[:-win, :-win]) / (win * win)
+
+    mx, my = box(x), box(y)
+    vx = box(x * x) - mx * mx
+    vy = box(y * y) - my * my
+    cov = box(x * y) - mx * my
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    s = ((2 * mx * my + c1) * (2 * cov + c2)) / (
+        (mx * mx + my * my + c1) * (vx + vy + c2)
+    )
+    return float(s.mean())

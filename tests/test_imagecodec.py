@@ -43,3 +43,26 @@ def test_spec_and_caption_stable():
     assert w in (32, 64, 128) and h in (32, 64, 128) and fmt in ic.FORMATS
     cap = ic.caption_for("img-000000000001")
     assert cap.endswith("#1") and len(cap.split()) == 5  # "adj noun at place #seq"
+
+
+def test_ssim_properties_and_codec_gates():
+    """SSIM sanity: identity = 1; invariant ranking (structure noise hurts
+    more than a small uniform luminance shift at matched PSNR is the
+    metric's whole point); the real JPEG codec at q96 keeps SSIM high."""
+    import numpy as np
+
+    from etlpy_spark.functions.imagecodec import psnr, render_pixels, ssim
+    from etlpy_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    px = render_pixels("img-000000000030")
+    assert ssim(px, px) == 1.0
+    rng = np.random.default_rng(9)
+    noisy = np.clip(px.astype(int) + rng.integers(-25, 26, px.shape), 0, 255).astype(np.uint8)
+    shifted = np.clip(px.astype(int) + 14, 0, 255).astype(np.uint8)  # ~same PSNR
+    assert abs(psnr(noisy, px) - psnr(shifted, px)) < 3.0
+    assert ssim(shifted, px) > ssim(noisy, px)  # structure beats luminance
+    assert 0.0 < ssim(noisy, px) < 1.0
+    dec = decode_jpeg(encode_jpeg(px, quality=96))
+    assert ssim(dec, px) > 0.95
+    with __import__("pytest").raises(ValueError, match="same-shape"):
+        ssim(px, px[:-1])
