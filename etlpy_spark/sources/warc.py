@@ -162,19 +162,41 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         yield rec
 
 
+import re as _re
+
+_DROP_BLOCKS = _re.compile(
+    r"<(script|style|noscript)\b[^>]*>.*?</\1\s*>", _re.I | _re.S
+)
+_COMMENTS = _re.compile(r"<!--.*?-->", _re.S)
+_TAGS = _re.compile(r"<[^>]*>")
+_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
+             "&apos;": "'", "&nbsp;": " ", "&#39;": "'"}
+
+
 def html_to_text(html: str) -> str:
     """Visible text of an HTML page (tag-stripped, whitespace-normalized)
-    — the WET-extraction step of a Common Crawl pipeline. Malformed markup
-    yields an empty string rather than killing a task."""
+    — the WET-extraction step of a Common Crawl pipeline. Well-formed
+    markup goes through a real parse (ElementTree itertext); real-world
+    malformed HTML (unclosed tags, bare ampersands — i.e. most of the
+    web) falls back to a tolerant extractor that drops script/style/
+    comment blocks, strips tags, and decodes the common entities. Never
+    raises."""
     if not html:
         return ""
     import xml.etree.ElementTree as ET
 
     try:
         root = ET.fromstring(html)
+        return " ".join("".join(root.itertext()).split())
     except ET.ParseError:
-        return ""
-    return " ".join("".join(root.itertext()).split())
+        pass
+    t = _COMMENTS.sub(" ", html)
+    t = _DROP_BLOCKS.sub(" ", t)
+    t = _TAGS.sub(" ", t)
+    for ent, ch in _ENTITIES.items():
+        t = t.replace(ent, ch)
+    t = _re.sub(r"&#(\d{1,7});", lambda m: chr(int(m.group(1))) if int(m.group(1)) < 0x110000 else " ", t)
+    return " ".join(t.split())
 
 
 def warc_to_documents(spark, path: str):

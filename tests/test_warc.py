@@ -224,3 +224,27 @@ def test_warc_to_documents_feeds_corpus_pipeline(spark, tmp_path):
     ann = annotate_corpus(docs)
     got = ann.select("doc_id", "lang_pred", "quality", "n_tokens").collect()
     assert len(got) == len(rows) and all(r.n_tokens > 0 for r in got)
+
+
+def test_html_to_text_tolerates_real_world_markup():
+    """Most of the web is not XML-clean: unclosed tags, bare ampersands,
+    script/style payloads, comments, numeric entities. The fallback
+    extractor must still produce the visible text, and the clean-markup
+    path must stay on the exact parser."""
+    from etlpy_spark.sources.warc import html_to_text
+
+    clean = "<html><body><p>hello <b>world</b></p></body></html>"
+    assert html_to_text(clean) == "hello world"
+    messy = (
+        "<html><head><script>var x = '<p>not text</p>';</script>"
+        "<style>p { color: red }</style></head>"
+        "<body><!-- comment -->Tom &amp; Jerry &#8212; S1<br>"
+        "<p>unclosed paragraph<div>next & bare amp</div>"
+    )
+    out = html_to_text(messy)
+    assert "not text" not in out and "color" not in out and "comment" not in out
+    assert "Tom & Jerry" in out and "— S1" in out
+    assert "unclosed paragraph" in out and "next & bare amp" in out
+    assert html_to_text("") == ""
+    # huge numeric entity doesn't crash
+    assert html_to_text("<p>x &#999999999; y") .startswith("x")
