@@ -287,3 +287,89 @@ def encode_bmp_ex(
 def encode_bmp(px: np.ndarray) -> bytes:
     """Plain 24-bit bottom-up BMP."""
     return encode_bmp_ex(px, bpp=24)
+
+
+# ---------------------------------------------------------------------------
+# ICO — the favicon container every crawl meets at /favicon.ico. Each entry
+# is either a PNG (modern) or a headerless BMP "DIB" whose height field
+# counts BOTH the XOR image and the 1-bit AND transparency mask.
+
+
+def encode_ico(images: list[np.ndarray], png: bool = False) -> bytes:
+    """Mux RGB frames as an ICO: PNG entries (``png=True``, the modern
+    form) or 24-bit DIB entries with an all-opaque AND mask."""
+    if not images:
+        raise ValueError("need at least one image")
+    blobs = []
+    for px in images:
+        h, w = px.shape[:2]
+        if not (1 <= w <= 256 and 1 <= h <= 256):
+            raise ValueError("ICO images are 1..256 px per side")
+        if png:
+            from etlpy_spark.functions.pngcodec import encode_png_ex
+
+            blobs.append(encode_png_ex(px))
+        else:
+            bmp = encode_bmp_ex(px, bpp=24)
+            (off,) = struct.unpack("<I", bmp[10:14])
+            dib = bytearray(bmp[14:])
+            dib[8:12] = struct.pack("<i", 2 * h)  # height counts the AND mask
+            and_stride = ((w + 31) // 32) * 4
+            blobs.append(bytes(dib[: off - 14]) + bytes(dib[off - 14 :])
+                         + b"\x00" * (and_stride * h))
+    out = struct.pack("<HHH", 0, 1, len(images))
+    data_at = 6 + 16 * len(images)
+    for px, blob in zip(images, blobs):
+        h, w = px.shape[:2]
+        out += struct.pack(
+            "<BBBBHHII", w & 0xFF, h & 0xFF, 0, 0, 1, 32 if png else 24,
+            len(blob), data_at,
+        )
+        data_at += len(blob)
+    return out + b"".join(blobs)
+
+
+def decode_ico(data: bytes) -> np.ndarray:
+    """Largest image of an ICO → (h, w, 3) uint8 RGB. PNG entries route
+    through the full PNG decoder; DIB entries synthesize a BMP file
+    header (height halved back) and apply the AND mask over white."""
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO stream")
+    (count,) = struct.unpack("<H", data[4:6])
+    if count == 0:
+        raise ValueError("ICO stream has no images")
+    best = None
+    for i in range(count):
+        at = 6 + 16 * i
+        w, h = data[at] or 256, data[at + 1] or 256
+        size, off = struct.unpack("<II", data[at + 8 : at + 16])
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, data[off : off + size])
+    w, h, blob = best
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        from etlpy_spark.functions.pngcodec import decode_png
+
+        return decode_png(blob)
+    if len(blob) < 40:
+        raise ValueError("truncated ICO DIB")
+    (hdr_size,) = struct.unpack("<I", blob[:4])
+    dib = bytearray(blob)
+    dib[8:12] = struct.pack("<i", h)  # un-double the height
+    _, _, _, bpp, comp = struct.unpack("<iihHI", bytes(dib[4:20]))
+    (n_colors,) = struct.unpack("<I", bytes(dib[32:36]))
+    pal = (n_colors or (1 << bpp)) * 4 if bpp <= 8 else 0
+    masks = 12 if comp == 3 else 0
+    data_off = 14 + hdr_size + masks + pal
+    bmp = struct.pack("<2sIHHI", b"BM", data_off + len(dib), 0, 0, data_off) + bytes(dib)
+    px = decode_bmp(bmp)
+    if bpp < 32:  # AND mask: 1 = transparent, composited over white
+        xor_bytes = _stride(w * bpp) * h
+        and_stride = ((w + 31) // 32) * 4
+        mask_at = data_off - 14 + xor_bytes
+        mask_raw = bytes(dib[mask_at : mask_at + and_stride * h])
+        if len(mask_raw) == and_stride * h:
+            rows = np.frombuffer(mask_raw, np.uint8).reshape(h, and_stride)
+            bits = np.unpackbits(rows, axis=1)[:, :w].astype(bool)[::-1]
+            px = px.copy()
+            px[bits] = 255
+    return px

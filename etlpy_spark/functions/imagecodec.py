@@ -283,6 +283,10 @@ def decode(data: bytes) -> np.ndarray:
         return decode_bmp_image(data)
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff_image(data)
+    if data[:4] == b"\x00\x00\x01\x00":  # ICO (favicon container)
+        from etlpy_spark.functions.bmpcodec import decode_ico
+
+        return decode_ico(data)
     raise ValueError("unknown image format")
 
 
@@ -318,6 +322,8 @@ def sniff_format(data: bytes) -> str:
         return "bmp"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if data[:4] == b"\x00\x00\x01\x00":
+        return "ico"
     return "unknown"
 
 

@@ -155,3 +155,51 @@ def test_prop_bmp_roundtrip(w, h, variant, top_down, seed):
                                  masks=(0xF800, 0x07E0, 0x001F))
             out = decode_bmp(blob)
             assert np.abs(out.astype(int) - px.astype(int)).max() <= 9
+
+
+# ---------------------------------------------------------------------------
+# ICO — the favicon container (BMP DIBs or PNGs inside)
+
+
+def test_ico_dib_and_png_entries():
+    import struct as _s
+
+    from etlpy_spark.functions.bmpcodec import decode_ico, encode_ico
+
+    px16 = render_pixels("img-000000000040")[:16, :16]
+    px32 = render_pixels("img-000000000041")[:32, :32]
+    for png in (False, True):
+        ico = encode_ico([px16, px32], png=png)
+        assert sniff_format(ico) == "ico"
+        out = decode_ico(ico)  # largest entry wins
+        assert np.array_equal(out, px32), png
+        assert np.array_equal(decode(ico), px32)  # imagecodec dispatch
+    # width/height byte 0 means 256
+    big = np.tile(px32, (8, 8, 1))
+    assert np.array_equal(decode_ico(encode_ico([big])), big)
+
+
+def test_ico_and_mask_transparency():
+    import struct as _s
+
+    from etlpy_spark.functions.bmpcodec import decode_ico, encode_ico
+
+    px16 = render_pixels("img-000000000042")[:16, :16]
+    ico = bytearray(encode_ico([px16]))
+    size, off = _s.unpack("<II", ico[14:22])
+    xor = ((16 * 24 + 31) // 32) * 4 * 16
+    ico[off + 40 + xor] = 0x80  # top-left bit of the bottom-up first row
+    out = decode_ico(bytes(ico))
+    assert (out[15, 0] == 255).all()  # masked pixel -> white
+    assert np.array_equal(out[0], px16[0])  # rest untouched
+
+
+def test_ico_hostile_inputs():
+    from etlpy_spark.functions.bmpcodec import decode_ico, encode_ico
+
+    with pytest.raises(ValueError, match="not an ICO"):
+        decode_ico(b"xx")
+    with pytest.raises(ValueError, match="no images"):
+        decode_ico(b"\x00\x00\x01\x00\x00\x00")
+    with pytest.raises(ValueError, match="1..256"):
+        encode_ico([np.zeros((300, 16, 3), np.uint8)])
