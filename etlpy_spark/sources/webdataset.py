@@ -86,6 +86,30 @@ def read_tar(spark, path: str):
     return files.mapInPandas(run, schema=TAR_DDL)
 
 
+def read_zip(spark, path: str):
+    """zip shard(s) → (shard, name, bytes) DataFrame (datasets that ship
+    zipped instead of tarred); same one-task-per-shard shape."""
+    import zipfile
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def run(batches):
+        for pdf in batches:
+            out = {"shard": [], "name": [], "bytes": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
+                    for info in zf.infolist():
+                        if not info.is_dir():
+                            out["shard"].append(p)
+                            out["name"].append(info.filename)
+                            out["bytes"].append(zf.read(info))
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(run, schema=TAR_DDL)
+
+
 def read_webdataset(spark, path: str):
     """WebDataset shard(s) → one row per SAMPLE:
     (shard, key, exts, files: map<ext, bytes>). Feed the map entries to

@@ -113,3 +113,26 @@ def test_webdataset_image_caption_pipeline(spark, tmp_path):
         px = render_pixels(iid)
         assert (r.h, r.w) == px.shape[:2] and r.fmt == "png"
         assert r.caption == caption_for(iid, 42)
+
+
+def test_read_zip_matches_serial(spark, tmp_path):
+    import io
+    import zipfile
+
+    from etlpy_spark.sources.webdataset import read_zip
+
+    d = tmp_path / "zips"
+    d.mkdir()
+    truth = {}
+    for s in range(2):
+        p = str(d / f"z-{s}.zip")
+        with zipfile.ZipFile(p, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("dir/", "")  # directory entries are skipped
+            for i in range(3):
+                name, blob = f"d/{s}-{i}.bin", bytes([s, i]) * 50
+                zf.writestr(name, blob)
+                truth[name] = blob
+    rows = read_zip(spark, str(d) + "/*.zip").collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert bytes(r.bytes) == truth[r.name]
