@@ -265,16 +265,22 @@ class SparkCrawler:
         imgs_dir = os.path.join(self.workdir, "archive_images")
         if not os.path.exists(pages_dir):
             recs = read_warc(self.spark, self.cfg.archive_path)
-            recs.filter(F.col("warc_type") == "response").select(
-                "url", F.col("payload").cast("string").alias("html")
+            # Real WARC corpora hold multiple captures of one URL; keep
+            # exactly ONE record per join key (latest by date, record_id
+            # tiebreak) so the replay joins never multiply selected rows
+            # and fetched == n_selected stays an invariant (r4 advisory).
+            cap = F.max_by(F.col("payload"), F.struct("date", "record_id"))
+            recs.filter(F.col("warc_type") == "response").groupBy("url").agg(
+                cap.cast("string").alias("html")
             ).sortWithinPartitions("url").write.mode("overwrite").parquet(pages_dir)
             recs.filter(
                 (F.col("warc_type") == "resource")
                 & F.col("url").startswith("urn:image:")
-            ).select(
-                F.expr("substring(url, 11)").alias("image_id"),
-                F.col("payload").alias("abytes"),
-            ).sortWithinPartitions("image_id").write.mode("overwrite").parquet(imgs_dir)
+            ).groupBy(
+                F.expr("substring(url, 11)").alias("image_id")
+            ).agg(cap.alias("abytes")).sortWithinPartitions(
+                "image_id"
+            ).write.mode("overwrite").parquet(imgs_dir)
         self._archive_ready = True
 
     def _archive_pages(self):

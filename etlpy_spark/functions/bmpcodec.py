@@ -116,11 +116,22 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP bit depth {bpp}")
 
     masks = None
-    if comp == 3:  # BI_BITFIELDS: masks follow the info header (or live in V4+)
+    if comp == 3:  # BI_BITFIELDS
         if bpp not in (16, 32):
             raise ValueError("BI_BITFIELDS needs 16/32-bit pixels")
-        masks = struct.unpack("<III", data[pal_off : pal_off + 12])
-        pal_off += 12 if hdr_size == 40 else 0
+        if hdr_size == 40:
+            # BITMAPINFOHEADER: three mask DWORDs follow the header.
+            if len(data) < pal_off + 12:
+                raise ValueError("truncated BMP bitfields masks")
+            masks = struct.unpack("<III", data[pal_off : pal_off + 12])
+            pal_off += 12
+        else:
+            # V4/V5 (hdr_size 52/108/124): masks are header-internal fields
+            # at header offset 40 → file offset 54; palette stays at
+            # 14+hdr_size (r4 advisory).
+            if len(data) < 66:
+                raise ValueError("truncated BMP V4/V5 bitfields header")
+            masks = struct.unpack("<III", data[54:66])
     elif comp == 1:
         if bpp != 8:
             raise ValueError("BI_RLE8 needs 8-bit pixels")

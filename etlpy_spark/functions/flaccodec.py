@@ -191,7 +191,10 @@ def _best_rice_param(res: np.ndarray, max_param: int = 14) -> int:
     if len(res) == 0:
         return 0
     mean = float(np.abs(res.astype(np.float64)).mean())
-    p = max(0, int(np.log2(mean + 1)))
+    # clamp the estimate BEFORE building the search window: 24-bit-scale
+    # residuals put log2(mean) past max_param, which used to make the
+    # range empty (min() on no candidates).
+    p = min(max(0, int(np.log2(mean + 1))), max_param)
     best = min(range(max(0, p - 1), min(p + 2, max_param) + 1),
                key=lambda k: _rice_cost(res, k))
     return best
@@ -415,6 +418,13 @@ def encode_flac(
     if pcm.dtype.kind != "i":
         raise ValueError("FLAC input must be integer PCM")
     bps = 16 if pcm.dtype.itemsize <= 2 else 24
+    if bps == 24 and pcm.size and (
+        int(pcm.max()) > 0x7FFFFF or int(pcm.min()) < -0x800000
+    ):
+        # _BitWriter would silently mask to 24 bits, breaking the
+        # decode∘encode==identity invariant (r4 advisory) — refuse instead.
+        raise ValueError("FLAC encoder supports ≤24-bit samples; "
+                         "int32 input exceeds ±2^23")
     n, ch = pcm.shape
     if not 1 <= ch <= 8:
         raise ValueError(f"bad channel count {ch}")

@@ -1291,7 +1291,10 @@ def apply_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
     elif orientation == 6:
         px = np.rot90(px, k=-1)
     elif orientation == 7:
-        px = np.rot90(px, k=-1)[:, ::-1]
+        # anti-diagonal transpose (transverse); NOT rot90(k=-1)[:, ::-1],
+        # which algebraically collapses to orientation 5's main-diagonal
+        # transpose (r4 advisory).
+        px = px.transpose(1, 0, 2)[::-1, ::-1]
     elif orientation == 8:
         px = np.rot90(px, k=1)
     return np.ascontiguousarray(px)

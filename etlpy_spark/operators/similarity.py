@@ -16,6 +16,17 @@ def _vec(col: str | Column) -> Column:
     return c.cast("array<double>")
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Global top-k of a (vec_id, cos) frame WITHOUT an unpartitioned
+    Window: ``orderBy().limit(k)`` plans as TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows), then rank is stamped
+    over only the k survivors — a window over k rows is O(k), not
+    O(corpus). Tie-break on vec_id keeps the output deterministic."""
+    topk = scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
 def _cos_math(V, q):
     """Cosine of each row of a (n, dim) float64 batch vs q —
     batch-size-invariant (sum(axis=1) reductions only, no BLAS gemm; see
@@ -86,12 +97,7 @@ def brute_force_topk(
             F.col(id_col).alias("vec_id"),
             cosine(_vec(vec_col), qlit).alias("cos"),
         )
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "rank")
-    )
+    return _rank_topk(scored, k).select("vec_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -202,11 +208,8 @@ def ivf_topk(
         .select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
         .mapInPandas(assign_score, schema=f"vec_id {id_type}, cos double")
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "rank", F.round("cos", 6).alias("cos"))
+    return _rank_topk(scored, k).select(
+        "vec_id", "rank", F.round("cos", 6).alias("cos")
     )
 
 
@@ -372,9 +375,6 @@ def query_ivf(
     scored = pruned.select("vec_id", "v").mapInPandas(
         score, schema=f"vec_id {index.id_type}, cos double"
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "rank", F.round("cos", 6).alias("cos"))
+    return _rank_topk(scored, k).select(
+        "vec_id", "rank", F.round("cos", 6).alias("cos")
     )

@@ -287,27 +287,32 @@ def read_warc(spark, path: str):
     binaryFile (no shuffle; parallelism = file count — the Common Crawl
     shape, where segments are ~1 GB and number in the thousands).
     warcinfo records are kept (filter on warc_type to drop them);
-    non-HTTP records carry the raw block as payload."""
-    import pandas as pd
-
+    non-HTTP records carry the raw block as payload. Records flush in
+    bounded pandas frames (the webdataset ``CHUNK_BYTES`` budget), so a
+    dense segment never materializes as ONE frame; binaryFile still caps
+    a single segment at Spark's 2 GB binary-cell ceiling."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(_warc_rows, schema=WARC_DDL)
 
-    def run(batches):
-        for pdf in batches:
-            out = {k: [] for k in (
-                "path", "warc_type", "url", "date", "record_id",
-                "http_status", "http_content_type", "payload",
-            )}
-            for p, content in zip(pdf["path"], pdf["content"]):
-                for rec in iter_warc_records(bytes(content)):
-                    out["path"].append(p)
-                    out["warc_type"].append(rec["warc_type"])
-                    out["url"].append(rec["url"])
-                    out["date"].append(rec["date"])
-                    out["record_id"].append(rec["record_id"])
-                    out["http_status"].append(rec.get("http_status"))
-                    out["http_content_type"].append(rec.get("http_content_type"))
-                    out["payload"].append(rec.get("payload", rec["block"]))
-            yield pd.DataFrame(out)
 
-    return files.mapInPandas(run, schema=WARC_DDL)
+def _warc_rows(batches, budget: int | None = None):
+    """mapInPandas body for :func:`read_warc` — module-level with an
+    explicit budget so tests can drive it with plain pandas batches and
+    assert the per-yield bound."""
+    from etlpy_spark.sources.webdataset import CHUNK_BYTES, _Chunker
+
+    cols = ("path", "warc_type", "url", "date", "record_id",
+            "http_status", "http_content_type", "payload")
+    ck = _Chunker(cols, CHUNK_BYTES if budget is None else budget)
+    for pdf in batches:
+        for p, content in zip(pdf["path"], pdf["content"]):
+            for rec in iter_warc_records(bytes(content)):
+                payload = rec.get("payload", rec["block"])
+                ck.add(
+                    (p, rec["warc_type"], rec["url"], rec["date"],
+                     rec["record_id"], rec.get("http_status"),
+                     rec.get("http_content_type"), payload),
+                    len(payload),
+                )
+                yield from ck.flush_if_full()
+    yield from ck.flush()

@@ -21,12 +21,21 @@ WDS_DDL = "shard string, key string, exts array<string>, files map<string, binar
 TAR_DDL = "shard string, name string, bytes binary"
 
 
+#: Per-yield frame budget for the shard readers: flush to Spark once the
+#: accumulated member payload crosses this many bytes (or at each archive
+#: boundary), so a dense shard never materializes as ONE pandas frame.
+CHUNK_BYTES = 64 << 20
+
+
 def _split_key(name: str) -> tuple[str, str]:
     """member name → (sample key, extension). WebDataset convention: the
-    key is everything up to the FIRST dot of the basename (so
-    ``a/0001.seg.png`` → key ``a/0001``, ext ``seg.png``)."""
-    base, dot, ext = name.partition(".")
-    return base, ext
+    key is everything up to the first dot of the BASENAME (so
+    ``a/0001.seg.png`` → key ``a/0001``, ext ``seg.png``; a dotted
+    directory like ``v1.2/0001.jpg`` keys as ``v1.2/0001``, not ``v1``
+    — r4 advisory)."""
+    d = name.rfind("/") + 1
+    base, _, ext = name[d:].partition(".")
+    return name[:d] + base, ext
 
 
 def iter_tar_members(data: bytes) -> Iterator[tuple[str, bytes]]:
@@ -67,67 +76,126 @@ def write_webdataset(path: str, samples: list[tuple[str, dict]],
                 tf.addfile(info, io.BytesIO(blob))
 
 
+class _Chunker:
+    """Accumulate rows for a mapInPandas body and flush a bounded pandas
+    frame whenever the payload budget is crossed — so a dense archive
+    yields many small frames instead of one giant one (per-task memory is
+    O(CHUNK_BYTES), not O(shard))."""
+
+    def __init__(self, cols: tuple[str, ...], budget: int = CHUNK_BYTES):
+        self.cols = cols
+        self.budget = budget
+        self.out: dict[str, list] = {c: [] for c in cols}
+        self.pending = 0
+
+    def add(self, row: tuple, nbytes: int):
+        for c, v in zip(self.cols, row):
+            self.out[c].append(v)
+        self.pending += nbytes
+
+    def flush_if_full(self):
+        if self.pending >= self.budget:
+            yield from self.flush()
+
+    def flush(self):
+        import pandas as pd
+
+        if self.out[self.cols[0]]:
+            yield pd.DataFrame(self.out)
+            self.out = {c: [] for c in self.cols}
+            self.pending = 0
+
+
+def _tar_rows(batches, budget: int = CHUNK_BYTES):
+    """mapInPandas body for :func:`read_tar` — module-level with an
+    explicit budget so tests can drive it with plain pandas batches and
+    assert the per-yield bound."""
+    ck = _Chunker(("shard", "name", "bytes"), budget)
+    for pdf in batches:
+        for p, content in zip(pdf["path"], pdf["content"]):
+            for name, blob in iter_tar_members(bytes(content)):
+                ck.add((p, name, blob), len(blob))
+                yield from ck.flush_if_full()
+    yield from ck.flush()
+
+
 def read_tar(spark, path: str):
-    """tar shard(s) → (shard, name, bytes) DataFrame; one task per shard."""
-    import pandas as pd
-
+    """tar shard(s) → (shard, name, bytes) DataFrame; one task per shard,
+    bounded per-yield frames (``CHUNK_BYTES``). Note binaryFile caps a
+    single shard at 2 GB (one Spark binary cell); use
+    :func:`read_tar_stream` for oversized shards."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(_tar_rows, schema=TAR_DDL)
 
-    def run(batches):
-        for pdf in batches:
-            out = {"shard": [], "name": [], "bytes": []}
-            for p, content in zip(pdf["path"], pdf["content"]):
-                for name, blob in iter_tar_members(bytes(content)):
-                    out["shard"].append(p)
-                    out["name"].append(name)
-                    out["bytes"].append(blob)
-            yield pd.DataFrame(out)
 
-    return files.mapInPandas(run, schema=TAR_DDL)
+def _tar_stream_rows(batches, budget: int = CHUNK_BYTES):
+    ck = _Chunker(("shard", "name", "bytes"), budget)
+    for pdf in batches:
+        for p in pdf["path"]:
+            local = p[5:] if p.startswith("file:") else p
+            with tarfile.open(local, mode="r|*") as tf:
+                for m in tf:
+                    if not m.isfile():
+                        continue
+                    f = tf.extractfile(m)
+                    if f is None:
+                        continue
+                    blob = f.read()
+                    ck.add((p, m.name, blob), len(blob))
+                    yield from ck.flush_if_full()
+    yield from ck.flush()
+
+
+def read_tar_stream(spark, path: str):
+    """Streaming variant of :func:`read_tar` for shards past binaryFile's
+    2 GB column ceiling: the task opens the shard by PATH and streams
+    members (``tarfile`` ``r|*`` mode — sequential, constant memory), so
+    neither the whole shard nor more than ``CHUNK_BYTES`` of members is
+    ever resident. Local/NFS paths here; on a cluster the open() seam is
+    where an HDFS/S3 streaming client plugs in."""
+    files = spark.read.format("binaryFile").load(path).select("path")
+    return files.mapInPandas(_tar_stream_rows, schema=TAR_DDL)
+
+
+def _zip_rows(batches, budget: int = CHUNK_BYTES):
+    import zipfile
+
+    ck = _Chunker(("shard", "name", "bytes"), budget)
+    for pdf in batches:
+        for p, content in zip(pdf["path"], pdf["content"]):
+            with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
+                for info in zf.infolist():
+                    if not info.is_dir():
+                        blob = zf.read(info)
+                        ck.add((p, info.filename, blob), len(blob))
+                        yield from ck.flush_if_full()
+    yield from ck.flush()
 
 
 def read_zip(spark, path: str):
     """zip shard(s) → (shard, name, bytes) DataFrame (datasets that ship
-    zipped instead of tarred); same one-task-per-shard shape."""
-    import zipfile
-
-    import pandas as pd
-
+    zipped instead of tarred); same one-task-per-shard shape, bounded
+    per-yield frames."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(_zip_rows, schema=TAR_DDL)
 
-    def run(batches):
-        for pdf in batches:
-            out = {"shard": [], "name": [], "bytes": []}
-            for p, content in zip(pdf["path"], pdf["content"]):
-                with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
-                    for info in zf.infolist():
-                        if not info.is_dir():
-                            out["shard"].append(p)
-                            out["name"].append(info.filename)
-                            out["bytes"].append(zf.read(info))
-            yield pd.DataFrame(out)
 
-    return files.mapInPandas(run, schema=TAR_DDL)
+def _wds_rows(batches, budget: int = CHUNK_BYTES):
+    ck = _Chunker(("shard", "key", "exts", "files"), budget)
+    for pdf in batches:
+        for p, content in zip(pdf["path"], pdf["content"]):
+            for key, sample in iter_webdataset_samples(bytes(content)):
+                nbytes = sum(len(b) for b in sample.values())
+                ck.add((p, key, sorted(sample), sample), nbytes)
+                yield from ck.flush_if_full()
+    yield from ck.flush()
 
 
 def read_webdataset(spark, path: str):
     """WebDataset shard(s) → one row per SAMPLE:
     (shard, key, exts, files: map<ext, bytes>). Feed the map entries to
     the image/text operators (e.g. ``F.element_at(files, 'jpg')`` →
-    decode_image_features)."""
-    import pandas as pd
-
+    decode_image_features). Samples flush in bounded frames; one sample's
+    members must still fit in memory (they are one row)."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-
-    def run(batches):
-        for pdf in batches:
-            out = {"shard": [], "key": [], "exts": [], "files": []}
-            for p, content in zip(pdf["path"], pdf["content"]):
-                for key, sample in iter_webdataset_samples(bytes(content)):
-                    out["shard"].append(p)
-                    out["key"].append(key)
-                    out["exts"].append(sorted(sample))
-                    out["files"].append(sample)
-            yield pd.DataFrame(out)
-
-    return files.mapInPandas(run, schema=WDS_DDL)
+    return files.mapInPandas(_wds_rows, schema=WDS_DDL)

@@ -47,3 +47,31 @@ def test_window_group_limit_prunes_same_rows_as_full_window(spark):
     assert sorted(r.seq for r in pruned.collect()) == sorted(
         r.seq for r in full.collect()
     )
+
+
+def test_ann_topk_plans_take_ordered_not_global_window(spark, tmp_path):
+    """Every ANN top-k (brute force, fused IVF, persisted-index query)
+    must plan the global k-selection as TakeOrderedAndProject — a
+    per-partition heap merged on the driver — never as an unpartitioned
+    Window funneling the whole scored set through one task (the r4
+    scale-killer in query_ivf)."""
+    from etlpy_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+
+    idx = sim.build_ivf_index(emb, str(tmp_path / "ivf"), n_cells=8)
+    plans = {
+        "brute": sim.brute_force_topk(emb, qv, k=10),
+        "ivf_fused": sim.ivf_topk(emb, qv, k=10, n_cells=8, nprobe=4),
+        "ivf_index": sim.query_ivf(spark, idx, qv, k=10, nprobe=4),
+    }
+    for name, df in plans.items():
+        df.collect()  # finalize under AQE
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, (name, plan[:2000])
+        # any Window that remains ranks the k survivors AFTER the take —
+        # it must appear above TakeOrderedAndProject in the tree, i.e.
+        # the take is its descendant, never the other way round
+        if "Window" in plan:
+            assert plan.index("Window") < plan.index("TakeOrderedAndProject"), name
