@@ -45,7 +45,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etlpy_spark.crawl.seen import BloomFilter, filter_spec, new_filter
+from etlpy_spark.crawl.filterstate import FilterState, PairFolder
+from etlpy_spark.crawl.seen import filter_spec
 from etlpy_spark.sources.catalog import SnapshotTable
 from etlpy_spark.sources.synthetic_web import WebConfig
 
@@ -86,7 +87,7 @@ class CrawlConfig:
     n_buckets: int = 8  # politeness fetch buckets
     use_bloom: bool = True
     bloom_fpp: float = 0.01
-    bloom_capacity: int = 1 << 16  # per shard, sandbox-sized
+    bloom_capacity: int = 1 << 16  # per (shard, sub) filter unit, sandbox-sized
     # below this row count a single-partition window rank is cheaper than
     # the two-phase ranged rank (extra shuffle + counts job)
     rank_threshold: int = 20_000
@@ -246,8 +247,21 @@ class SparkCrawler:
         )
         self.log = SnapshotTable(spark, os.path.join(workdir, "crawl_log"))
         self.metrics = SnapshotTable(spark, os.path.join(workdir, "metrics"))
-        self._blooms: dict[int, BloomFilter] | None = None
-        self._img_blooms: dict[int, BloomFilter] | None = None
+        # filter AUTHORITY = persisted (shard, sub, bits) state tables;
+        # the driver holds these handles (geometry + snapshot meta), never
+        # filter bytes — fold-forward and probes are distributed
+        # (crawl/filterstate.py). sub seeds match the respective write
+        # jobs' sub-partitioning hashes: a pair's sub-filter only contains
+        # its own sub's keys, so probe and write routing MUST agree.
+        n_sub = max(1, max(cfg.n_buckets, cfg.n_shards) // cfg.n_shards)
+        self.seen_bits = FilterState(
+            spark, os.path.join(workdir, "seen_bits"), self._filter_geom(),
+            cfg.n_shards, n_sub, sub_seed=7,
+        )
+        self.image_bits = FilterState(
+            spark, os.path.join(workdir, "image_bits"), self._filter_geom(),
+            cfg.n_shards, n_sub, sub_seed=1,
+        )
         self._archive_ready = False
 
     # -- archive replay (cfg.archive_path) ---------------------------------
@@ -401,108 +415,60 @@ class SparkCrawler:
         cfg = self.cfg
         return filter_spec(cfg.seen_filter, cfg.bloom_capacity, cfg.bloom_fpp)
 
-    def _build_shard_blooms(self, rows: DataFrame, col: str = "url") -> list:
-        """Distributed filter construction: hash every key into per-shard
-        filters IN EXECUTORS, ship only the ~KB serialized filters to the
-        driver (which ORs partial filters per shard — idempotent). The
-        previous driver-side toPandas + add_many was O(all keys) SERIAL per
-        round — the single largest Amdahl term at millions of URLs/round.
-
-        NB the shuffle is an EXPLICIT repartition, not a groupBy: AQE
-        coalesces ENSURE_REQUIREMENTS shuffles by INPUT bytes, and these
-        key rows are tiny while the per-key compute is not — a groupBy
-        here collapses to ~1 task and serializes the stage (measured 4.5x
-        on the image axis). repartition(n, cols) pins the partition count;
-        mapInPandas builds partial filters per partition."""
-        spec = self._filter_geom()
-        nb = max(self.cfg.n_buckets, self.cfg.n_shards)
-
-        def build_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from etlpy_spark.crawl.seen import new_filter as _nf
-
-            filters: dict = {}
-            for pdf in batches:
-                for s, g in pdf.groupby("shard"):
-                    f = filters.get(int(s))
-                    if f is None:
-                        f = filters[int(s)] = _nf(spec)
-                    f.add_many(g[col].to_numpy())
-            if filters:
-                yield pd.DataFrame(
-                    {
-                        "shard": list(filters),
-                        "bits": [f.to_bytes() for f in filters.values()],
-                    }
-                )
-
-        sub = F.pmod(F.xxhash64(F.col(col), F.lit(7)), F.lit(max(1, nb // self.cfg.n_shards)))
-        return (
-            rows.select("shard", col)
-            .repartition(nb, F.col("shard"), sub)
-            .mapInPandas(build_parts, schema="shard int, bits binary")
-            .collect()
-        )
-
-    def _fold_shard_bits(self, blooms: dict, parts: list) -> dict:
-        """Fold per-shard serialized filter rows (shard, bits, ...) into
-        ``blooms``: bitwise OR for Bloom, fingerprint re-insertion for
-        cuckoo (both idempotent)."""
-        spec = self._filter_geom()
-        for r in parts:
-            tgt = blooms.setdefault(int(r["shard"]), new_filter(spec))
-            tgt.merge_bytes(bytes(r["bits"]))
-        return blooms
-
-    def _merge_shard_blooms(self, parts: list) -> None:
-        self._blooms = self._fold_shard_bits(self._blooms or {}, parts)
-
     def _commit_seen(self, urls_round: DataFrame) -> int:
-        """Commit this round's new URLs to the seen table and fold them into
-        the per-shard Blooms in ONE Spark job: each task writes its own
-        parquet part file (pyarrow, executor-side) AND returns its ~KB
-        Bloom bitsets; the driver ORs bitsets and manifest-commits the
-        files. Returns the number of URLs committed (from the bitset rows —
-        no separate count job).
+        """Commit this round's new URLs to the seen table and fold them
+        into the (shard, sub) filter STATE TABLE in ONE Spark job: each
+        task writes its own seen parquet part file (pyarrow,
+        executor-side), reads its pairs' previous-version filter files,
+        folds its new keys in, and writes the new-version filter files —
+        the driver collects only per-partition COUNT rows and then
+        manifest-commits both tables (plus hard-linking untouched pairs
+        forward, an O(#files) metadata pass). No filter bytes ever reach
+        the driver. Returns the number of URLs committed.
 
         Retry/speculation-safe: each task buffers its partition, sorts by
         url and writes ONE deterministic ``part-{pid:05d}.parquet`` via tmp
         + atomic rename — a re-run replaces its own identical row set (the
         partition's content is a pure function of the round's input)
-        instead of adding a duplicate part file. On disk the rows are the
-        slim (url, round) layout with DELTA_BYTE_ARRAY urls — shard and
-        url_hash are derivable and 8-byte random hashes don't compress, so
-        the r2 4-column layout cost 3.8x the write bytes."""
+        instead of adding a duplicate part file; filter pair files follow
+        the same deterministic-name protocol (filterstate.write_pair). On
+        disk the rows are the slim (url, round) layout with
+        DELTA_BYTE_ARRAY urls — shard and url_hash are derivable and
+        8-byte random hashes don't compress, so the r2 4-column layout
+        cost 3.8x the write bytes."""
         cfg = self.cfg
+        state = self.seen_bits
         rows = urls_round.select(
-            F.pmod(F.xxhash64("url"), F.lit(cfg.n_shards)).cast("int").alias("shard"),
+            state.shard_expr("url").alias("shard"),
+            state.sub_expr("url").alias("__sub__"),
             "url",
             "round",
         )
         if not cfg.use_bloom:
-            _, n = self.seen.append_counted(rows.drop("shard"))
+            _, n = self.seen.append_counted(rows.drop("shard", "__sub__"))
             return n
         import time as _time
         _t = _time.time()
-        self._load_blooms()
-        spec = self._filter_geom()
+        self._ensure_seen_bits()
+        spec = state.spec
         v, data_dir = self.seen.begin_external()
+        bv, bits_dir = state.begin()
+        prev_dir = state.latest_dir()
         fail_dir = os.environ.get("ETLPY_FAIL_ONCE_DIR")
-        _t = _tlog("    seen.load_blooms+begin", _t)
+        _t = _tlog("    seen.ensure_bits+begin", _t)
 
         # explicit repartition, NOT groupBy: AQE would coalesce the
         # groupBy shuffle by input bytes and serialize the write+filter
-        # stage (key rows are narrow; see _build_shard_blooms). Partial
-        # per-shard filters from different partitions OR together on the
-        # driver (idempotent), and shards are derivable so mixed-shard
-        # part files are fine.
+        # stage (key rows are narrow while the per-key work is not).
+        # The (shard, sub) partitioner puts every pair wholly in one
+        # task, so the task's fold is the COMPLETE new state for its
+        # pairs — no driver merge step exists anymore.
         def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import uuid
 
             import pyarrow as pa
             import pyarrow.parquet as pq
             from pyspark import TaskContext
-
-            from etlpy_spark.crawl.seen import new_filter as _nf
 
             pid = TaskContext.get().partitionId() if TaskContext.get() else 0
             parts = [pdf for pdf in batches if len(pdf)]
@@ -522,30 +488,21 @@ class SparkCrawler:
                 use_dictionary=["round"],
             )
             os.replace(tmp, os.path.join(data_dir, f"part-{pid:05d}.parquet"))
-            filters: dict = {}
-            counts: dict = {}
-            for s, g in pdf.groupby("shard"):
-                f = filters[int(s)] = _nf(spec)
-                f.add_many(g["url"].to_numpy())
-                counts[int(s)] = len(g)
-            yield pd.DataFrame(
-                {
-                    "shard": list(filters),
-                    "bits": [f.to_bytes() for f in filters.values()],
-                    "n": [counts[s] for s in filters],
-                }
-            )
+            folder = PairFolder(prev_dir, bits_dir, spec)
+            for (s, u), g in pdf.groupby(["shard", "__sub__"]):
+                folder.add(int(s), int(u), g["url"].to_numpy())
+            folder.flush()
+            yield pd.DataFrame({"n": [len(pdf)]})
 
         nb = max(cfg.n_buckets, cfg.n_shards)
-        sub = F.pmod(F.xxhash64("url", F.lit(7)), F.lit(max(1, nb // cfg.n_shards)))
-        job = rows.repartition(nb, F.col("shard"), sub).mapInPandas(
-            write_parts, schema="shard int, bits binary, n long"
+        job = rows.repartition(nb, F.col("shard"), F.col("__sub__")).mapInPandas(
+            write_parts, schema="n long"
         )
         parts = job.collect()
         _t = _tlog("    seen.write_job", _t)
-        self._merge_shard_blooms(parts)
+        state.finish(bv, bits_dir, prev_dir)
         self.seen.commit_external(v, data_dir)
-        _t = _tlog("    seen.fold+commit", _t)
+        _t = _tlog("    seen.link+commit", _t)
         return sum(int(r["n"]) for r in parts)
 
     def _append_metrics_row(self, m: dict) -> None:
@@ -579,71 +536,63 @@ class SparkCrawler:
         os.replace(tmp, os.path.join(data_dir, "part-00000.parquet"))
         self.metrics.commit_external(v, data_dir, meta={"round": int(m["round"])})
 
-    def _load_blooms(self) -> dict[int, BloomFilter]:
-        if self._blooms is not None:
-            return self._blooms
-        self._blooms = {}
-        if self.seen.current_version() is not None:
-            rows = self.seen.read().select(
-                F.pmod(F.xxhash64("url"), F.lit(self.cfg.n_shards))
-                .cast("int")
-                .alias("shard"),
-                "url",
+    def _ensure_seen_bits(self) -> FilterState:
+        """Guarantee the seen filter state matches the seen table. The
+        common case (state table committed last round) is a META check —
+        zero Spark jobs, zero bytes. A pre-filter-table workdir (resume
+        across layouts) or a ``forget`` invalidation pays ONE distributed
+        rebuild pass over the exact table; a brand-new crawl pays nothing
+        (the seed commit's fold creates version 1)."""
+        if not self.seen_bits.exists() and self.seen.current_version() is not None:
+            self.seen_bits.rebuild_from(self.seen.read(), "url")
+        return self.seen_bits
+
+    def _ensure_image_bits(self) -> FilterState:
+        """Image-id twin of :meth:`_ensure_seen_bits` — folded forward by
+        each round's image write job; rebuilt from the image table only
+        on resume over a pre-filter-table workdir."""
+        if not self.image_bits.exists() and self.images.current_version() is not None:
+            self.image_bits.rebuild_from(
+                self.images.read().select("image_id"), "image_id"
             )
-            self._merge_shard_blooms(self._build_shard_blooms(rows))
-        return self._blooms
+        return self.image_bits
 
-    def _load_img_blooms(self) -> dict[int, BloomFilter]:
-        """Per-shard Blooms over the image table's image_id column — built
-        once per crawler (resume pays one distributed pass over the table),
-        then folded forward by each round's shard write job."""
-        if self._img_blooms is not None:
-            return self._img_blooms
-        self._img_blooms = {}
-        if self.images.current_version() is not None:
-            rows = self.images.read().select(
-                F.pmod(F.xxhash64("image_id"), F.lit(self.cfg.n_shards))
-                .cast("int")
-                .alias("shard"),
-                "image_id",
-            )
-            self._img_blooms = self._fold_shard_bits(
-                {}, self._build_shard_blooms(rows, col="image_id")
-            )
-        return self._img_blooms
+    def _probe_filters(self, df: DataFrame, key_col: str, state: FilterState):
+        """Mark every row of ``df`` with ``__maybe__`` — whether its
+        (shard, sub) filter might contain ``key_col`` (False where the
+        pair has no filter yet, i.e. definitely new). Adds ``__shard__``
+        (kept for downstream shard-routing) and returns
+        ``(probed_df, cleanup_fn)``. Filters come FROM THE STATE TABLE —
+        the driver never folds or retains bitsets.
 
-    def _probe_filters(self, df: DataFrame, key_col: str, filters: dict):
-        """Mark every row of ``df`` with ``__maybe__`` — whether its shard's
-        seen filter might contain ``key_col`` (False where the shard has no
-        filter yet, i.e. definitely new). Adds ``__shard__`` (kept for
-        downstream shard-routing) and returns ``(probed_df, cleanup_fn)``.
+        Two delivery modes (cfg.filter_delivery, default auto by the
+        state's total_bytes snapshot meta):
 
-        Two delivery modes (cfg.filter_delivery, default auto by total
-        serialized size):
+        - broadcast: the driver reads the pair files with pyarrow (plain
+          file IO, not a Spark job — gated small by
+          filter_broadcast_max_bytes, and transient) and broadcasts once.
+          Each worker deserializes ONLY the pairs present in its batches,
+          once per round (memoized via seen.cached_filter keyed by a
+          per-round token).
+        - sharded: zero broadcast, zero driver bytes. Keys repartition by
+          (shard, sub) and cogroup against the state table's
+          (shard, sub, bits) scan; each task gets exactly its own pair's
+          bitset through the shuffle and deserializes it once.
+          Per-executor residency = the pairs it probes — the only shape
+          that survives the 10^10-URL design point where the full filter
+          set is tens of GB.
 
-        - broadcast: one broadcast of all shard bitsets. Each worker
-          deserializes ONLY the shards present in its batches, once per
-          round (memoized via seen.cached_filter keyed by a per-round
-          token) — probe cost is O(shards in batch), not O(all shards)
-          per batch. Residency is still O(all shards) per executor, so
-          this path is gated on total bytes.
-        - sharded: zero broadcast. Keys repartition by (shard, sub) and
-          cogroup against a (shard, sub, bits) DataFrame; each task gets
-          exactly its own shard's bitset through the shuffle and
-          deserializes it once. Per-executor residency = the shards it
-          probes; network = one copy of each bitset per sub-split, not
-          per executor. sub = n_buckets // n_shards keeps parallelism at
-          fetch-bucket level (a shard's bitset is shipped sub times —
-          at the design point n_shards is large and sub small).
-        """
+        The sub hash uses the STATE's seed (the same one its write jobs
+        partition by): each pair's sub-filter contains only its own sub's
+        keys, so routing must agree bit-for-bit."""
         cfg, spark = self.cfg, self.spark
-        spec = self._filter_geom()
-        blobs = {int(s): f.to_bytes() for s, f in filters.items()}
-        total = sum(len(b) for b in blobs.values())
+        spec = state.spec
+        total = state.total_bytes()
         mode = cfg.filter_delivery
         if mode == "auto":
             mode = "sharded" if total > cfg.filter_broadcast_max_bytes else "broadcast"
-        shard_col = F.pmod(F.xxhash64(key_col), F.lit(cfg.n_shards)).cast("int")
+        shard_col = state.shard_expr(key_col)
+        sub_col = state.sub_expr(key_col)
 
         if mode == "broadcast":
             import uuid
@@ -651,41 +600,46 @@ class SparkCrawler:
             from pyspark.sql.functions import pandas_udf
 
             token = uuid.uuid4().hex
-            bcast = spark.sparkContext.broadcast((token, spec, blobs))
+            n_sub = state.n_sub
+            bcast = spark.sparkContext.broadcast((token, spec, state.collect_blobs()))
 
             @pandas_udf("boolean")
-            def maybe(keys: pd.Series, shards: pd.Series) -> pd.Series:
+            def maybe(keys: pd.Series, shards: pd.Series, subs: pd.Series) -> pd.Series:
                 import numpy as np
 
                 from etlpy_spark.crawl.seen import cached_filter as _cf
 
                 _tok, _spec, _parts = bcast.value
                 sh = shards.to_numpy()
+                su = subs.to_numpy()
                 ka = keys.to_numpy()
                 out = np.zeros(len(ka), dtype=bool)
-                for s in np.unique(sh):
-                    d = _parts.get(int(s))
+                for p in np.unique(sh.astype(np.int64) * n_sub + su):
+                    key = (int(p) // n_sub, int(p) % n_sub)
+                    m = (sh == key[0]) & (su == key[1])
+                    d = _parts.get(key)
                     if d is None:
-                        continue  # no filter for this shard yet → all new
-                    f = _cf(_tok, int(s), _spec, d)
-                    m = sh == s
+                        continue  # no filter for this pair yet → all new
+                    f = _cf(_tok, key, _spec, d)
                     out[m] = f.might_contain_many(ka[m])
                 return pd.Series(out)
 
-            probed = df.withColumn("__shard__", shard_col).withColumn(
-                "__maybe__", maybe(F.col(key_col), F.col("__shard__"))
+            probed = (
+                df.withColumn("__shard__", shard_col)
+                .withColumn("__sub__", sub_col)
+                .withColumn(
+                    "__maybe__",
+                    maybe(F.col(key_col), F.col("__shard__"), F.col("__sub__")),
+                )
+                .drop("__sub__")
             )
             return probed, bcast.destroy
 
         # sharded cogroup delivery
         from pyspark.sql.types import BooleanType, StructField, StructType
 
-        n_sub = max(1, cfg.n_buckets // cfg.n_shards)
-        rows = [(s, sub, b) for s, b in blobs.items() for sub in range(n_sub)]
-        bits_df = spark.createDataFrame(rows, "shard int, sub int, bits binary")
-        keyed = df.withColumn("__shard__", shard_col).withColumn(
-            "__sub__", F.pmod(F.xxhash64(key_col, F.lit(11)), F.lit(n_sub)).cast("int")
-        )
+        bits_df = state.bits_df()
+        keyed = df.withColumn("__shard__", shard_col).withColumn("__sub__", sub_col)
         # fresh StructType — StructType.add would mutate keyed's CACHED
         # schema object and desync it from the actual plan
         out_schema = StructType(
@@ -698,7 +652,7 @@ class SparkCrawler:
             from etlpy_spark.crawl.seen import filter_from_bytes as _fb
 
             # per-task residency contract: a cogroup task sees AT MOST its
-            # own (shard, sub) bitset row — never another shard's bytes
+            # own (shard, sub) bitset row — never another pair's bytes
             if len(bdf) > 1:
                 raise ValueError(
                     f"probe task received {len(bdf)} filter rows for one group"
@@ -982,7 +936,7 @@ class SparkCrawler:
                 # reach the probe tasks shard-locally past the broadcast
                 # size gate (see _probe_filters).
                 refs, img_cleanup = self._probe_filters(
-                    refs, "image_id", self._load_img_blooms()
+                    refs, "image_id", self._ensure_image_bits()
                 )
                 fresh = refs.filter(~F.col("__maybe__")).drop("__maybe__")
                 to_check = (
@@ -1039,17 +993,26 @@ class SparkCrawler:
 
             if cfg.images_direct_write:
                 # bytes go Python→pyarrow→disk INSIDE the task; the Spark
-                # job only carries a (shard, bits, n) row per group. Skips
-                # the Arrow transfer, the JVM row copy and the JVM parquet
-                # encode for the ~300 KB binary payloads — on the memory-
+                # job only carries a count row per group. Skips the Arrow
+                # transfer, the JVM row copy and the JVM parquet encode
+                # for the ~300 KB binary payloads — on the memory-
                 # bandwidth-bound image axis those copies were the engine
                 # overhead on top of the raw codec kernel. Groups are
-                # (shard, sub-split): sub-split restores the old
-                # n_buckets-way parallelism; bitsets OR per shard on the
-                # driver, folding this round's ids into the image Blooms
-                # in the SAME job that writes the bytes.
+                # (shard, sub): the SAME task that writes the bytes folds
+                # this round's ids into its pairs' image filters
+                # (previous-version read + add + new-version write — see
+                # crawl/filterstate.py), so no filter bytes reach the
+                # driver.
                 v, data_dir = self.images.begin_external()
-                wspec = self._filter_geom()
+                istate = self.image_bits
+                use_ib = cfg.use_image_bloom
+                if use_ib:
+                    self._ensure_image_bits()
+                    ibv, ibits_dir = istate.begin()
+                    prev_ib = istate.latest_dir()
+                else:
+                    ibv, ibits_dir, prev_ib = None, None, None
+                wspec = istate.spec
                 fail_dir = os.environ.get("ETLPY_FAIL_ONCE_DIR")
 
                 # explicit repartition, NOT groupBy+applyInPandas: this
@@ -1057,8 +1020,7 @@ class SparkCrawler:
                 # the whole fetch+decode+phash+parquet pipeline — AQE
                 # coalesces the groupBy shuffle by input bytes and ran the
                 # entire image axis in ONE task (measured 4.5x slower at
-                # 8 cores). repartition(n, cols) pins the partition count;
-                # partial per-shard bitsets OR on the driver as before.
+                # 8 cores). repartition(n, cols) pins the partition count.
                 #
                 # Retry/speculation safety: a task CANNOT buffer its whole
                 # partition of ~300 KB payloads (memory must not scale with
@@ -1069,7 +1031,9 @@ class SparkCrawler:
                 # wins, a losing/retried attempt discards its dir, and
                 # commit_external sweeps .inprogress leftovers. Either
                 # attempt's dir holds the same row set (the partition is a
-                # pure function of the round's input).
+                # pure function of the round's input). Filter pair files
+                # are deterministic-named and recomputed identically by a
+                # retry (filterstate.write_pair).
                 def write_part_imgs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     import shutil
                     import uuid
@@ -1077,8 +1041,6 @@ class SparkCrawler:
                     import pyarrow as pa
                     import pyarrow.parquet as pq
                     from pyspark import TaskContext
-
-                    from etlpy_spark.crawl.seen import new_filter as _nf
 
                     pid = TaskContext.get().partitionId() if TaskContext.get() else 0
                     attempt = os.path.join(
@@ -1092,8 +1054,8 @@ class SparkCrawler:
                         ("decode_error", pa.string()),
                         ("first_round", pa.int32()), ("lineage_part", pa.int32()),
                     ])
-                    filters: dict = {}
-                    counts: dict = {}
+                    folder = PairFolder(prev_ib, ibits_dir, wspec)
+                    n = 0
                     chunk_no = 0
                     wrote = False
                     for pdf in batches:
@@ -1110,12 +1072,9 @@ class SparkCrawler:
                             # injected AFTER a chunk landed: the retry must
                             # supersede a PARTIALLY-written attempt dir
                             _fail_once(fail_dir, "images", pid)
-                        for s, g in pdf.groupby("__shard__"):
-                            f = filters.get(int(s))
-                            if f is None:
-                                f = filters[int(s)] = _nf(wspec)
-                            f.add_many(g["image_id"].to_numpy())
-                            counts[int(s)] = counts.get(int(s), 0) + len(g)
+                        for (s, u), g in pdf.groupby(["__shard__", "__sub__"]):
+                            folder.add(int(s), int(u), g["image_id"].to_numpy())
+                            n += len(g)
                     if not wrote:
                         shutil.rmtree(attempt, ignore_errors=True)
                         return
@@ -1126,35 +1085,23 @@ class SparkCrawler:
                         # another attempt of this partition already
                         # committed the identical row set — yield to it
                         shutil.rmtree(attempt, ignore_errors=True)
-                    yield pd.DataFrame(
-                        {
-                            "shard": list(filters),
-                            "bits": [f.to_bytes() for f in filters.values()],
-                            "n": [counts[s] for s in filters],
-                        }
-                    )
+                    folder.flush()
+                    yield pd.DataFrame({"n": [n]})
 
-                subs = max(1, cfg.n_buckets // cfg.n_shards)
                 if "__shard__" not in refs.columns:
-                    refs = refs.withColumn(
-                        "__shard__",
-                        F.pmod(F.xxhash64("image_id"), F.lit(cfg.n_shards)).cast("int"),
-                    )
+                    refs = refs.withColumn("__shard__", istate.shard_expr("image_id"))
+                refs = refs.withColumn("__sub__", istate.sub_expr("image_id"))
                 _ti = _time.time()
-                parts = (
+                (
                     refs.repartition(
-                        cfg.n_buckets,
-                        F.col("__shard__"),
-                        F.pmod(F.xxhash64("image_id", F.lit(1)), F.lit(subs)),
+                        cfg.n_buckets, F.col("__shard__"), F.col("__sub__")
                     )
-                    .mapInPandas(write_part_imgs, schema="shard int, bits binary, n long")
+                    .mapInPandas(write_part_imgs, schema="n long")
                     .collect()
                 )
                 _ti = _tlog("  image_write_job", _ti)
-                if cfg.use_image_bloom:
-                    self._img_blooms = self._fold_shard_bits(
-                        self._img_blooms or {}, parts
-                    )
+                if use_ib:
+                    istate.finish(ibv, ibits_dir, prev_ib)
                 _, n_imgs = self.images.commit_external(v, data_dir, meta={"round": rnd})
                 _ti = _tlog("  image_commit", _ti)
                 if img_cleanup is not None:
@@ -1222,7 +1169,7 @@ class SparkCrawler:
             # reach the probe tasks shard-locally past the broadcast size
             # gate (see _probe_filters)
             links, bloom_cleanup = self._probe_filters(
-                links, "url", self._load_blooms()
+                links, "url", self._ensure_seen_bits()
             )
             definitely_new = links.filter(~F.col("__maybe__")).drop("__maybe__", "__shard__")
             to_check = links.filter(F.col("__maybe__")).drop("__maybe__", "__shard__")
@@ -1410,7 +1357,7 @@ class SparkCrawler:
         rewrite per takedown request is not a thing. Accumulated tombstones
         auto-compact past the threshold. The in-memory shard filters are
         invalidated and lazily rebuilt from the updated table by the next
-        round's ``_load_blooms`` (one distributed pass).
+        round's ``_ensure_seen_bits`` (one distributed pass).
 
         The rebuild — not ``CuckooFilter.delete_many`` — is the correct path
         for the SHARED filters: ``add_many``/``merge`` collapse colliding
@@ -1434,7 +1381,7 @@ class SparkCrawler:
                 self.spark.createDataFrame([], SEEN_DDL), hits, key="url",
                 compact_threshold=self.cfg.frontier_compact_threshold,
             )
-            self._blooms = None  # rebuilt distributed, on demand
+            self.seen_bits.invalidate()  # rebuilt distributed, on demand
         hits.unpersist()
         return int(removed)
 

@@ -317,13 +317,15 @@ class CuckooFilter:
 _PROBE_CACHE: dict = {"token": None, "filters": {}}
 
 
-def cached_filter(token: str, shard: int, spec: tuple, data: bytes):
+def cached_filter(token: str, key, spec: tuple, data: bytes):
+    """``key`` is any hashable filter-unit id — a shard int historically,
+    a (shard, sub) pair under the filter-state-table layout."""
     if _PROBE_CACHE["token"] != token:
         _PROBE_CACHE["token"] = token
         _PROBE_CACHE["filters"] = {}
-    f = _PROBE_CACHE["filters"].get(shard)
+    f = _PROBE_CACHE["filters"].get(key)
     if f is None:
-        f = _PROBE_CACHE["filters"][shard] = filter_from_bytes(spec, data)
+        f = _PROBE_CACHE["filters"][key] = filter_from_bytes(spec, data)
     return f
 
 

@@ -159,12 +159,11 @@ def test_sharded_filter_delivery_parity(spark, oracle):
 
 def test_probe_filters_modes_agree(spark):
     """_probe_filters must produce the identical __maybe__ column in
-    broadcast and sharded modes, including shards with no filter yet
-    (definitely-new) — on urls crafted to hit both present and absent
-    shards."""
+    broadcast and sharded modes, including (shard, sub) pairs with no
+    filter yet (definitely-new) — on urls crafted to hit both present
+    and absent pairs. Filters are served FROM THE STATE TABLE in both
+    modes; the crawler object holds no filter bytes."""
     from pyspark.sql import functions as F
-
-    from etlpy_spark.crawl.seen import new_filter
 
     wd = tempfile.mkdtemp(prefix="probe_modes_")
     try:
@@ -172,31 +171,34 @@ def test_probe_filters_modes_agree(spark):
         df = spark.createDataFrame([(u,) for u in urls], "url string")
         cfg = CrawlConfig(web=WEB, n_shards=4, n_buckets=8)
         cr = SparkCrawler(spark, wd, cfg)
-        spec = cr._filter_geom()
-        # filters for shards 0 and 2 only; shard 1/3 have none → all-new
+        state = cr.seen_bits
+        # index the first 100 urls of shards 0 and 2 only; every pair of
+        # shards 1/3 stays absent → definitely-new
         shard = {
             r["url"]: r["s"]
             for r in df.select(
-                "url", F.pmod(F.xxhash64("url"), F.lit(4)).cast("int").alias("s")
+                "url", state.shard_expr("url").alias("s")
             ).collect()
         }
-        filters = {}
-        for s in (0, 2):
-            f = filters[s] = new_filter(spec)
-            f.add_many([u for u in urls[:100] if shard[u] == s])
+        indexed = [u for u in urls[:100] if shard[u] in (0, 2)]
+        state.rebuild_from(
+            spark.createDataFrame([(u,) for u in indexed], "url string"), "url"
+        )
+        assert state.total_bytes() > 0 and state.exists()
         results = {}
         for mode in ("broadcast", "sharded"):
             cr.cfg.filter_delivery = mode
-            probed, cleanup = cr._probe_filters(df, "url", filters)
+            probed, cleanup = cr._probe_filters(df, "url", state)
             results[mode] = {
                 r["url"]: (r["__shard__"], r["__maybe__"]) for r in probed.collect()
             }
             if cleanup is not None:
                 cleanup()
         assert results["broadcast"] == results["sharded"]
-        # sanity: the filtered prefix is maybe-seen, absent shards all-new
-        assert all(
-            results["sharded"][u][1] for u in urls[:100] if shard[u] in (0, 2)
+        # sanity: every indexed url is maybe-seen, absent shards all-new
+        assert all(results["sharded"][u][1] for u in indexed)
+        assert not any(
+            results["sharded"][u][1] for u in urls if shard[u] in (1, 3)
         )
         assert not any(
             results["sharded"][u][1] for u in urls if shard[u] in (1, 3)

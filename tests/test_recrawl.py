@@ -71,7 +71,7 @@ def test_forget_then_recrawl_rediscovers(spark, drained):
     assert parent is not None, "fixture web must contain a linking page"
     assert cr.forget([link]) == 1
     assert link not in cr.seen_urls_list()
-    assert cr._blooms is None  # filters invalidated → distributed rebuild
+    assert cr.seen_bits._stale  # filter state invalidated → distributed rebuild
     # retraction is O(changed): an equality-delete tombstone commit
     # (merge-on-read), never a full-table rewrite
     snap = cr.seen.snapshot(cr.seen.current_version())
