@@ -134,12 +134,20 @@ def q_repeat_ft_dedup(spark, sf_dir):
 
 def q_column_ops_chain(spark, sf_dir):
     """AutoIndexTF + AddNewTF + RenameTF + DeleteTF + TrimTF + StrExtractTF
-    in ONE chain on customer (round-3 driver-slot consolidation; every
-    stage is load-bearing for the oracle hash)."""
+    + FileExistFT in ONE chain on customer (round-3/5 driver-slot
+    consolidation; every stage is load-bearing for the oracle hash —
+    FileExistFT probes an existing parquet path for even keys and a
+    missing one for odd keys)."""
     df = (
         _t(spark, sf_dir, "customer")
         .withColumn("padded", F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" \t")))
         .withColumn("wrapped", F.concat(F.lit("<<"), F.col("c_mktsegment"), F.lit(">>")))
+        .withColumn(
+            "path",
+            F.when(
+                F.col("c_custkey") % 2 == 0, F.lit(f"{sf_dir}/region.parquet")
+            ).otherwise(F.lit(f"{sf_dir}/no_such_table.parquet")),
+        )
     )
     df = _orded(df, "c_custkey")
     stages = [
@@ -150,9 +158,12 @@ def q_column_ops_chain(spark, sf_dir):
         Stage("AddNewTF", {"NewValue": "temp", "NewColumn": "tmp"}),
         Stage("RenameTF", {"Column": "c_mktsegment", "NewColumn": "name"}),
         Stage("DeleteTF", {"Column": "tmp"}),
+        Stage("FileExistFT", {"Column": "path", "NewColumn": "does_exist"}),
     ]
     out = compile_stages(_ctx(spark, sf_dir), stages, df)
-    return finalize(out).select("c_custkey", "idx", "tag", "name", "seg1", "seg2")
+    return finalize(out).select(
+        "c_custkey", "idx", "tag", "name", "seg1", "seg2", "does_exist"
+    )
 
 
 def q_regex_ops_chain(spark, sf_dir):
@@ -343,7 +354,9 @@ def oracle_sql() -> dict[str, str]:
         "column_ops_chain": """
             SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS idx,
                    'const' AS tag, c_mktsegment AS name,
-                   c_mktsegment AS seg1, c_mktsegment AS seg2
+                   c_mktsegment AS seg1, c_mktsegment AS seg2,
+                   CASE WHEN c_custkey % 2 = 0 THEN 'True' ELSE 'False' END
+                       AS does_exist
             FROM customer
         """,
         "regex_ops_chain": """

@@ -301,14 +301,72 @@ def q_write_read_file_text(spark, sf_dir):
     return written.unionByName(reads)
 
 
-def q_file_exist_ft(spark, sf_dir):
-    df = spark.createDataFrame(
-        [(1, f"{sf_dir}/region.parquet"), (2, f"{sf_dir}/no_such_table.parquet")],
-        "id long, path string",
+# WARC → documents under the hard driver signal (r4 verdict #7).
+# FileExistFT's old standalone slot moved into column_ops_chain
+# (entry_queries.py) to keep the contract at EXACTLY 50 queries.
+
+_WARC_FIXTURE: dict = {}
+
+
+def _warc_fixture_dir() -> str:
+    """Deterministic WARC segments archived from the synthetic web —
+    built once per process into a temp dir (same cfg → byte-identical
+    segments, so the Spark query and the serial oracle read the same
+    corpus)."""
+    if "dir" not in _WARC_FIXTURE:
+        import tempfile
+
+        from etlpy_spark.sources.synthetic_web import WebConfig
+        from etlpy_spark.sources.warc import archive_synthetic_web
+
+        d = tempfile.mkdtemp(prefix="warc_docs_fixture_")
+        archive_synthetic_web(
+            WebConfig(n_hosts=2, n_cats=2, pages_per_cat=6), d, segments=2
+        )
+        _WARC_FIXTURE["dir"] = d
+    return _WARC_FIXTURE["dir"]
+
+
+def q_warc_documents(spark, sf_dir):
+    """warc_to_documents: WARC segments → documents-shaped rows (HTML
+    responses tag-stripped to visible text) — the Common Crawl front door
+    of the corpus pipeline. Output (url, n_chars, text_md5) so the hash
+    pins the EXACT extracted text; oracle = serial iter_warc_records +
+    html_to_text replica over the same segments."""
+    from etlpy_spark.sources.warc import warc_to_documents
+
+    docs = warc_to_documents(spark, _warc_fixture_dir() + "/*.warc.gz")
+    return docs.select(
+        "url",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
     )
-    df = _orded(df, "id")
-    st = Stage("FileExistFT", {"Column": "path", "NewColumn": "does_exist"})
-    return finalize(compile_stages(_ctx(spark, sf_dir), [st], df)).select("id", "does_exist")
+
+
+def _warc_documents_oracle() -> str:
+    import glob
+    import hashlib
+
+    from etlpy_spark.sources.warc import html_to_text, iter_warc_records
+
+    rows = []
+    for f in sorted(glob.glob(_warc_fixture_dir() + "/*.warc.gz")):
+        for rec in iter_warc_records(open(f, "rb").read()):
+            if rec["warc_type"] == "response" and str(
+                rec.get("http_content_type", "")
+            ).startswith("text/html"):
+                text = html_to_text(rec["payload"].decode("utf-8", "replace"))
+                rows.append((
+                    rec["url"], len(text),
+                    hashlib.md5(text.encode()).hexdigest(),
+                ))
+    inner = _values(rows, "url, n_chars, text_md5")
+    # BIGINT cast: Spark's length().cast('long') vs VALUES' INT32 would
+    # hash-mismatch on representation even with identical values
+    return (
+        "SELECT url, CAST(n_chars AS BIGINT) AS n_chars, text_md5 "
+        f"FROM ({inner}) AS w"
+    )
 
 
 def q_save_file_ex(spark, sf_dir):
@@ -572,7 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "db_ex_upsert": q_db_ex_upsert,
         "folder_ge": q_folder_ge,
         "write_read_file_text": q_write_read_file_text,
-        "file_exist_ft": q_file_exist_ft,
+        "warc_documents": q_warc_documents,
         "save_file_ex": q_save_file_ex,
         "etl_tf_sub": q_etl_tf_sub,
         "etl_ex_count": q_etl_ex_count,
@@ -605,7 +663,7 @@ def oracle_sql() -> dict[str, str]:
         "write_read_file_text": tbl(
             [("hello",), ("world",), ("etl",), ("file-content",)], "line"
         ),
-        "file_exist_ft": tbl([(1, "True"), (2, "False")], "id, does_exist"),
+        "warc_documents": _warc_documents_oracle(),
         "save_file_ex": tbl(
             [
                 ("http://h.example/a.jpg", "imgs/a.jpg", len(b"data|http://h.example/a.jpg")),
