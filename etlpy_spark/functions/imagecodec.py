@@ -255,10 +255,27 @@ def decode_tiff_image(data: bytes) -> np.ndarray:
     return _dec(data)
 
 
+def encode_webp_image(px: np.ndarray) -> bytes:
+    """Lossless WebP (RIFF/VP8L, functions/webpcodec.py — subtract-green +
+    canonical Huffman; the decode side covers the full VP8L feature set:
+    all 4 transforms, color cache, meta-Huffman, LZ77 plane codes).
+    Lossless, like raw/ppm/png."""
+    from etlpy_spark.functions.webpcodec import encode_webp as _enc
+
+    return _enc(px)
+
+
+def decode_webp_image(data: bytes) -> np.ndarray:
+    from etlpy_spark.functions.webpcodec import decode_webp as _dec
+
+    return _dec(data)
+
+
 _ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png,
         "y4m": encode_y4m_image, "jpg": encode_jpg_image,
         "jpgp": encode_jpgp_image, "gif": encode_gif_image,
-        "bmp": encode_bmp_image, "tiff": encode_tiff_image}
+        "bmp": encode_bmp_image, "tiff": encode_tiff_image,
+        "webp": encode_webp_image}
 
 
 def encode(px: np.ndarray, fmt: str) -> bytes:
@@ -287,6 +304,8 @@ def decode(data: bytes) -> np.ndarray:
         from etlpy_spark.functions.bmpcodec import decode_ico
 
         return decode_ico(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return decode_webp_image(data)
     raise ValueError("unknown image format")
 
 
@@ -324,6 +343,8 @@ def sniff_format(data: bytes) -> str:
         return "tiff"
     if data[:4] == b"\x00\x00\x01\x00":
         return "ico"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     return "unknown"
 
 

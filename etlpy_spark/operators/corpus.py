@@ -27,19 +27,32 @@ from etlpy_spark.operators.dedup import dedup_documents
 from etlpy_spark.operators.sampling import pack_sequences, stratified_sample
 
 
+def _token_count_col(text_col: str, bpe_merges):
+    """n_tokens source: the JVM regex proxy, or — when a merges table is
+    given — the training tokenizer's true BPE count (functions/bpe.py,
+    Arrow-batched)."""
+    if bpe_merges is None:
+        return tx.token_count(text_col)
+    from etlpy_spark.functions.bpe import bpe_token_count
+
+    return bpe_token_count(text_col, bpe_merges)
+
+
 def annotate_corpus(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     top_n: int = 2,
     dup_n: int = 3,
+    bpe_merges: list | None = None,
 ) -> DataFrame:
     """Attach the filterable signals: lang_pred, quality, n_tokens, and
     the four repetition fractions. One projection pass plus the
-    repetition aggregates' join (all map-side combinable)."""
+    repetition aggregates' join (all map-side combinable). With
+    ``bpe_merges``, n_tokens is the true training-tokenizer BPE count."""
     feats = df.withColumn("lang_pred", tx.lang_id(text_col)) \
         .withColumn("quality", tx.quality_score(text_col)) \
-        .withColumn("n_tokens", tx.token_count(text_col))
+        .withColumn("n_tokens", _token_count_col(text_col, bpe_merges))
     rep = tx.repetition_metrics(
         df, text_col=text_col, id_col=id_col, top_n=top_n, dup_n=dup_n
     ).drop("n_lines")
@@ -62,6 +75,7 @@ def prepare_corpus(
     seed: int = 0,
     pack_budget: int | None = None,
     checkpoint_dir: str | None = None,
+    bpe_merges: list | None = None,
 ) -> DataFrame:
     """df(text) -> training-ready corpus, one call.
 
@@ -78,7 +92,8 @@ def prepare_corpus(
     ``rand()``, no partition-order dependence — so the same input
     produces the same corpus on any cluster size or retry schedule.
     """
-    out = annotate_corpus(df, text_col=text_col, id_col=id_col)
+    out = annotate_corpus(df, text_col=text_col, id_col=id_col,
+                          bpe_merges=bpe_merges)
     out = out.filter(
         (F.col("quality") >= F.lit(min_quality))
         & (F.col("dup_line_frac") <= F.lit(max_dup_line_frac))
@@ -90,7 +105,7 @@ def prepare_corpus(
         # on n_tokens, and '[EMAIL]' tokenizes differently than the PII it
         # replaced -- stale counts would mis-fill context-window bins
         out = out.withColumn(text_col, tx.redact_pii(text_col)) \
-            .withColumn("n_tokens", tx.token_count(text_col))
+            .withColumn("n_tokens", _token_count_col(text_col, bpe_merges))
     if dedup_strategy is not None:
         out = dedup_documents(
             out,

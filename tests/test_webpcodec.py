@@ -1,0 +1,314 @@
+"""Unit tests for the WebP VP8L codec (functions/webpcodec.py): round-trip
+grids across every encoder mode, hand-built streams for decoder features the
+encoder doesn't emit (color cache, meta-Huffman), the spec's plane-code
+table, RIFF/VP8X container handling, alpha compositing, and the imagecodec
+dispatch + decode_error integration (reference spider.py:303-314 sniffs
+image formats by magic; WebP was the last common one falling to
+decode_error)."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etlpy_spark.functions.imagecodec import (
+    decode,
+    decode_or_error,
+    render_pixels,
+    sniff_format,
+)
+from etlpy_spark.functions.webpcodec import (
+    PLANE_CODES,
+    BitReader,
+    BitWriter,
+    HuffmanCode,
+    canonical_codes,
+    decode_vp8l,
+    decode_webp,
+    encode_vp8l,
+    encode_webp,
+    limited_huffman_lengths,
+    mux_webp,
+)
+
+# first 48 entries of the spec's published short-distance table
+_SPEC_PLANE_PREFIX = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+]
+
+
+def test_plane_code_table_matches_spec_prefix():
+    assert list(PLANE_CODES[:48]) == _SPEC_PLANE_PREFIX
+    assert len(PLANE_CODES) == 120
+    assert len(set(PLANE_CODES)) == 120
+
+
+def test_bit_io_roundtrip():
+    bw = BitWriter()
+    fields = [(0x2F, 8), (5, 3), (1, 1), (16383, 14), (0, 2), (123456, 20)]
+    for v, n in fields:
+        bw.write(v, n)
+    br = BitReader(bw.getvalue())
+    for v, n in fields:
+        assert br.read(n) == v
+
+
+def test_huffman_canonical_and_limited():
+    freqs = [0] * 10
+    for s, f in ((1, 50), (2, 30), (3, 10), (7, 5), (9, 5)):
+        freqs[s] = f
+    lengths = limited_huffman_lengths(freqs, 15)
+    # Kraft equality for a complete code
+    assert sum(1 << (15 - l) for l in lengths if l) == 1 << 15
+    codes = canonical_codes(lengths)
+    # decode what we encode, symbol by symbol
+    hc = HuffmanCode(lengths)
+    bw = BitWriter()
+    seq = [1, 2, 3, 7, 9, 1, 1, 2]
+    for s in seq:
+        c, n = codes[s]
+        bw.write_code(c, n)
+    br = BitReader(bw.getvalue())
+    assert [hc.read(br) for _ in seq] == seq
+
+
+def test_limited_huffman_respects_limit():
+    # exponential frequencies force deep trees without a limit
+    freqs = [1 << i for i in range(20)]
+    lengths = limited_huffman_lengths(freqs, 7)
+    assert max(lengths) <= 7
+    assert sum(1 << (7 - l) for l in lengths if l) == 1 << 7
+
+
+def test_roundtrip_grid_all_modes():
+    rng = np.random.RandomState(11)
+    for h, w in [(1, 1), (1, 17), (13, 1), (8, 8), (21, 37)]:
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for kw in (
+            dict(),
+            dict(subtract_green=False),
+            dict(rle=True),
+            dict(predictor_bits=2),
+            dict(predictor_bits=4, rle=True),
+        ):
+            blob = encode_webp(px, **kw)
+            assert blob[:4] == b"RIFF" and blob[8:12] == b"WEBP"
+            assert np.array_equal(decode_webp(blob), px), (h, w, kw)
+
+
+def test_palette_mode_with_bundling():
+    rng = np.random.RandomState(3)
+    base = np.array([[10, 20, 30], [200, 100, 0], [5, 5, 5], [255, 255, 255]],
+                    dtype=np.uint8)
+    for n_colors, shape in [(2, (7, 19)), (4, (9, 9)), (3, (5, 33))]:
+        idx = rng.randint(0, n_colors, shape)
+        px = base[:n_colors][idx]
+        blob = encode_webp(px, subtract_green=False, use_palette=True)
+        assert np.array_equal(decode_webp(blob), px), (n_colors, shape)
+        # bundling shrinks the stream vs the plain literal encoding
+        assert len(blob) < len(encode_webp(px))
+    # >16 colors: no bundling branch
+    big = rng.randint(0, 60, (12, 12))
+    pal = rng.randint(0, 256, (60, 3), dtype=np.uint8)
+    px = pal[big]
+    blob = encode_webp(px, subtract_green=False, use_palette=True)
+    assert np.array_equal(decode_webp(blob), px)
+
+
+def test_rle_compresses_runs_and_exercises_plane_codes():
+    px = np.tile(np.array([[40, 80, 120]], dtype=np.uint8), (16, 64, 1))
+    px[::4, ::8] = (200, 10, 30)  # sparse accents inside long runs
+    plain = encode_webp(px, rle=False)
+    rle = encode_webp(px, rle=True)
+    assert np.array_equal(decode_webp(rle), px)
+    assert len(rle) < len(plain) // 3
+
+
+def test_fixture_images_roundtrip_and_dispatch():
+    px = render_pixels("webp-fixture-0001")
+    blob = encode_webp(px)
+    assert sniff_format(blob) == "webp"
+    assert np.array_equal(decode(blob), px)  # imagecodec dispatch
+
+
+def test_single_color_image_zero_bit_codes():
+    px = np.full((6, 11, 3), 200, np.uint8)
+    for kw in (dict(), dict(rle=True), dict(subtract_green=False)):
+        assert np.array_equal(decode_webp(encode_webp(px, **kw)), px)
+
+
+def test_alpha_composites_over_white():
+    argb = np.zeros((2, 2, 4), dtype=np.uint8)
+    argb[:, :, 0] = 128  # half-transparent black
+    blob = mux_webp(b"VP8L", encode_vp8l(argb, subtract_green=False))
+    out = decode_webp(blob)
+    # 0*0.502 + 255*0.498 ~= 127
+    assert np.abs(out.astype(int) - 127).max() <= 1
+
+
+def test_vp8x_container_layout():
+    px = render_pixels("webp-fixture-0002")
+    payload = encode_vp8l(_to_argb(px))
+    h, w = px.shape[:2]
+    flags = struct.pack("<I", 0)
+    canvas = (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    vp8x_chunk = b"VP8X" + struct.pack("<I", 10) + flags + canvas
+    vp8l_chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        vp8l_chunk += b"\x00"
+    body = vp8x_chunk + vp8l_chunk
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    assert np.array_equal(decode_webp(blob), px)
+
+
+def _to_argb(px: np.ndarray) -> np.ndarray:
+    h, w, _ = px.shape
+    argb = np.empty((h, w, 4), dtype=np.uint8)
+    argb[:, :, 0] = 255
+    argb[:, :, 1:] = px
+    return argb
+
+
+def _bw_header(w: int, h: int) -> BitWriter:
+    bw = BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    return bw
+
+
+def test_color_cache_stream_hand_built():
+    """The encoder never emits a color cache; hand-build a stream with a
+    1-bit cache and verify hits reproduce inserted pixels."""
+    w, h = 4, 1
+    cache_size = 2
+    green_alpha = 256 + 24 + cache_size
+    # green symbols {7 (literal), 280 (cache idx 0)} — 280 exceeds the
+    # simple-code 8-bit symbol cap, so the green code must be normal-coded.
+    bw = _bw_header(w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # cache present
+    bw.write(1, 4)  # cache_bits=1
+    bw.write(0, 1)  # no meta
+    # green code: symbols 7 (literal) and 280 (cache idx 0) at 1 bit each
+    lengths = [0] * green_alpha
+    lengths[5] = 1  # green=5 hashes the pixel to cache slot 0
+    lengths[280] = 1
+    from etlpy_spark.functions.webpcodec import _write_huffman_code
+
+    _write_huffmans = _write_huffman_code
+    _write_huffmans(bw, lengths)  # green (normal path: symbol 280 > 255)
+    for chan_val in (50, 60, 255):  # red, blue, alpha single-symbol codes
+        l = [0] * 256
+        l[chan_val] = 1
+        _write_huffmans(bw, l)
+    l = [0] * 40
+    l[0] = 1
+    _write_huffmans(bw, l)  # distance (unused)
+    gcodes = canonical_codes(lengths)
+    # pixel 1: literal (a=255 r=50 g=5 b=60) -> inserted into cache slot 0
+    c, n = gcodes[5]
+    bw.write_code(c, n)
+    # channel codes are single-symbol -> zero bits each
+    # pixels 2..4: cache hits
+    v = (255 << 24) | (50 << 16) | (5 << 8) | 60
+    assert (0x1E35A7BD * v & 0xFFFFFFFF) >> 31 == 0  # slot 0 by construction
+    for _ in range(3):
+        c, n = gcodes[280]
+        bw.write_code(c, n)
+    argb = decode_vp8l(bytes(bw.getvalue()))
+    assert argb.shape == (1, 4, 4)
+    expect = np.array([255, 50, 5, 60], dtype=np.uint8)
+    assert np.array_equal(argb[0, 0], expect)
+    assert np.array_equal(argb[0, 3], expect)
+
+
+def test_meta_huffman_stream_hand_built():
+    """Two tiles, two code groups: left tile decodes green=5, right green=9."""
+    w, h = 8, 1
+    bw = _bw_header(w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta huffman present
+    bw.write(0, 3)  # huffman_bits = 2 -> tiles of 4 px; 2 tiles across
+    # entropy image: 2x1, meta index = (red<<8)|green -> indices 0 and 1
+    # subimage stream: no cache bit, then 5 codes; pixels: (a,r,g,b)
+    bw.write(0, 1)  # subimage: no color cache
+    # green of subimage must produce 0 then 1 -> simple 2-symbol code {0,1}
+    bw.write(1, 1)  # simple
+    bw.write(1, 1)  # two symbols
+    bw.write(0, 1)  # 1-bit first symbol
+    bw.write(0, 1)  # symbol0 = 0
+    bw.write(1, 8)  # symbol1 = 1
+    for chan_val in (0, 0, 255):  # red, blue, alpha constant
+        l = [0] * 256
+        l[chan_val] = 1
+        from etlpy_spark.functions.webpcodec import _write_huffman_code as _w
+
+        _w(bw, l)
+    l = [0] * 40
+    l[0] = 1
+    from etlpy_spark.functions.webpcodec import _write_huffman_code as _w
+
+    _w(bw, l)
+    # subimage pixels: green 0 (code 0) then green 1 (code 1)
+    bw.write(0, 1)
+    bw.write(1, 1)
+    # two groups, each: green single {5} or {9}, r/b/a single, dist single
+    for gval in (5, 9):
+        l = [0] * (256 + 24)
+        l[gval] = 1
+        _w(bw, l)
+        for chan_val in (1, 2, 255):
+            lc = [0] * 256
+            lc[chan_val] = 1
+            _w(bw, lc)
+        ld = [0] * 40
+        ld[0] = 1
+        _w(bw, ld)
+    # all codes are single-symbol -> zero data bits for 8 pixels
+    argb = decode_vp8l(bytes(bw.getvalue()))
+    assert list(argb[0, :, 2]) == [5] * 4 + [9] * 4
+    assert list(argb[0, :, 1]) == [1] * 8  # red constant across groups
+
+
+def test_truncated_and_garbage_streams_fail_cleanly():
+    px = render_pixels("webp-fixture-0003")
+    blob = encode_webp(px)
+    with pytest.raises(ValueError):
+        decode_webp(blob[:20])
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF\x04\x00\x00\x00WAVE")
+    # decode_or_error turns failures into (None, reason)
+    pxout, reason = decode_or_error(blob[: len(blob) // 2])
+    assert pxout is None and reason
+    pxout, reason = decode_or_error(blob)
+    assert reason is None and np.array_equal(pxout, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from(["plain", "nosg", "rle", "pred"]),
+)
+def test_hypothesis_roundtrip(w, h, seed, mode):
+    rng = np.random.RandomState(seed % (2**31))
+    px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    kw = {
+        "plain": dict(),
+        "nosg": dict(subtract_green=False),
+        "rle": dict(rle=True),
+        "pred": dict(predictor_bits=2),
+    }[mode]
+    assert np.array_equal(decode_webp(encode_webp(px, **kw)), px)
