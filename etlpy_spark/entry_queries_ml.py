@@ -221,6 +221,45 @@ def _media_jpeg_row(i: int):
             float(np.round(psnr(px, dec), 4)))
 
 
+def _media_webp_row(i: int):
+    """One WebP suite row, shared by the Spark UDF and the serial oracle:
+    encode fixture image i with the from-scratch VP8L codec (mode cycles
+    through the encoder's transform combinations so the decoder's
+    predictor/palette/LZ77 paths all sit under the driver hash), decode,
+    verify losslessness, report phash + stream size + mean luminance."""
+    import numpy as np
+
+    from etlpy_spark.functions.imagecodec import phash64, render_pixels
+    from etlpy_spark.functions.webpcodec import decode_webp, encode_webp
+
+    iid = f"wimg-{i:04d}"
+    px = render_pixels(iid, 42, 1)
+    mode = i % 4
+    kw = (dict(), dict(subtract_green=False), dict(rle=True),
+          dict(predictor_bits=3))[mode]
+    blob = encode_webp(px, **kw)
+    dec = decode_webp(blob)
+    if not np.array_equal(dec, px):
+        raise ValueError(f"VP8L round-trip mismatch for {iid}")
+    return (iid, mode, phash64(dec), len(blob),
+            float(np.round(dec.astype(np.float64).mean(), 4)))
+
+
+def _media_compressed_audio_blob(i: int) -> bytes:
+    """Deterministic compressed-audio fixtures for the triage rows."""
+    from etlpy_spark.functions.audiometa import make_adts, make_mpeg_audio, make_ogg
+
+    return (
+        lambda: make_mpeg_audio(40, layer=3, bitrate=128, rate=44100, channels=2),
+        lambda: make_mpeg_audio(24, layer=3, version="2", bitrate=64,
+                                rate=22050, channels=1),
+        lambda: make_mpeg_audio(30, layer=2, bitrate=192, rate=48000, channels=2),
+        lambda: make_ogg("vorbis", 7, rate=44100, channels=2, samples_per_page=4096),
+        lambda: make_ogg("opus", 5, rate=16000, channels=1, samples_per_page=960),
+        lambda: make_adts(20, rate=44100, channels=2),
+    )[i]()
+
+
 def q_media_decode_suite(spark, sf_dir):
     """Real A/V container decode, distributed: 6 YUV4MPEG2 videos, 3
     AVI/MJPEG videos (each frame an independent baseline JPEG through the
@@ -238,7 +277,14 @@ def q_media_decode_suite(spark, sf_dir):
     video/avi/gif → (vid, kind, k=frame_idx, m1=phash, m2=w*h,
     v=mean_lum); audio → (clip, 'audio', k=n_channels, m1=n_samples,
     m2=zero_crossings, v=rms); jpeg → (img, 'jpeg', k=quality,
-    m1=phash(decoded), m2=encoded_bytes, v=psnr). Oracle = serial numpy
+    m1=phash(decoded), m2=encoded_bytes, v=psnr). Round 5 adds: 6 WebP
+    rows (from-scratch VP8L codec, functions/webpcodec.py — encoder modes
+    cycle subtract-green/palette-free/RLE/predictor so the decoder's
+    transform paths sit under the hash; losslessness asserted in-kernel)
+    and 6 compressed-audio triage rows (kind 'ameta': MP3 CBR + MPEG-2
+    LIII + MP2 frame walks, Ogg Vorbis/Opus ident+granule, ADTS AAC —
+    functions/audiometa.py via the distributed audio_metadata operator;
+    k=channels, m1=samples, m2=frames, v=duration). Oracle = serial numpy
     replica (computed VALUES), the image_pipeline pattern."""
     import pandas as pd
 
@@ -316,7 +362,44 @@ def q_media_decode_suite(spark, sf_dir):
     jrows = spark.range(0, 8, 1, 2).mapInPandas(
         gen_jpeg, schema="media_id string, kind string, k int, m1 long, m2 long, v double"
     )
-    return vrows.unionByName(arows).unionByName(jrows)
+
+    def gen_webp(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "k", "m1", "m2", "v")}
+            for i in pdf["id"]:
+                iid, mode, m1, m2, v = _media_webp_row(int(i))
+                out["media_id"].append(iid)
+                out["kind"].append("webp")
+                out["k"].append(mode)
+                out["m1"].append(m1)
+                out["m2"].append(m2)
+                out["v"].append(v)
+            yield pd.DataFrame(out)
+
+    wrows = spark.range(0, 6, 1, 2).mapInPandas(
+        gen_webp, schema="media_id string, kind string, k int, m1 long, m2 long, v double"
+    )
+
+    def gen_ablobs(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "clip_id": [f"cmp-{int(i):04d}" for i in pdf["id"]],
+                "bytes": [_media_compressed_audio_blob(int(i)) for i in pdf["id"]],
+            })
+
+    ablobs = spark.range(0, 6, 1, 2).mapInPandas(
+        gen_ablobs, schema="clip_id string, bytes binary"
+    )
+    trows = mm.audio_metadata(ablobs).select(
+        F.col("clip_id").alias("media_id"),
+        F.lit("ameta").alias("kind"),
+        F.col("n_channels").alias("k"),
+        F.col("n_samples").alias("m1"),
+        F.col("n_frames").alias("m2"),
+        F.col("duration_s").alias("v"),
+    )
+    return (vrows.unionByName(arows).unionByName(jrows)
+            .unionByName(wrows).unionByName(trows))
 
 
 # ---------------------------------------------------------------------------
@@ -704,6 +787,15 @@ def _media_suite_oracle() -> str:
     for i in range(8):
         iid, quality, m1, m2, v = _media_jpeg_row(i)
         rows.append((iid, "jpeg", quality, m1, m2, v))
+    for i in range(6):
+        iid, mode, m1, m2, v = _media_webp_row(i)
+        rows.append((iid, "webp", mode, m1, m2, v))
+    from etlpy_spark.functions.audiometa import audio_metadata as _ameta
+
+    for i in range(6):
+        m = _ameta(_media_compressed_audio_blob(i))
+        rows.append((f"cmp-{i:04d}", "ameta", m["n_channels"], m["n_samples"],
+                     m["n_frames"], m["duration_s"]))
     return _values(rows, "media_id, kind, k, m1, m2, v")
 
 

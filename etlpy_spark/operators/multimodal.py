@@ -180,10 +180,13 @@ def decode_audio_features(df: DataFrame, id_col: str = "clip_id",
                     samples = np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2").reshape(-1, 1)
                     rate = 16000
                 else:
+                    from etlpy_spark.functions.audiometa import sniff_audio
+
                     raise NotImplementedError(
-                        "perceptual audio codecs (MP3/AAC/Vorbis) need "
-                        "libraries not available in this environment; WAV "
-                        "(PCM/float/G.711) and FLAC are decoded natively"
+                        f"perceptual codec '{sniff_audio(b)}': PCM decode "
+                        "needs libraries not in this environment (header "
+                        "metadata available via audio_metadata); WAV "
+                        "(PCM/float/G.711) and FLAC decode natively"
                     )
                 f = wav_float(samples)
                 mono = f.mean(axis=1)
@@ -203,6 +206,54 @@ def decode_audio_features(df: DataFrame, id_col: str = "clip_id",
             yield pd.DataFrame(out)
 
     return df.select(id_col, bytes_col).mapInPandas(run, schema=AUDIO_META_DDL)
+
+
+AUDIO_TRIAGE_DDL = (
+    "clip_id string, container string, codec string, sample_rate int, "
+    "n_channels int, n_frames long, n_samples long, duration_s double, "
+    "bitrate_kbps double, decode_error string"
+)
+
+
+def audio_metadata(df: DataFrame, id_col: str = "clip_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """Header-walk audio triage for EVERY format a crawl meets — including
+    the perceptual codecs whose PCM decode is out of from-scratch scope
+    (MP3/MP2/MP1 frame walk, Ogg Vorbis/Opus page+ident parse, ADTS AAC;
+    functions/audiometa.py). WAV/FLAC rows come from the real decoders.
+    Unrecognized/corrupt blobs become a ``decode_error`` row (skip with
+    reason — a pure function of the blob), never a task failure. Arrow-
+    batched mapInPandas; one pass over the bytes, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etlpy_spark.functions.audiometa import audio_metadata as meta
+
+        cols = ("clip_id", "container", "codec", "sample_rate", "n_channels",
+                "n_frames", "n_samples", "duration_s", "bitrate_kbps",
+                "decode_error")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for cid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    m = meta(bytes(data))
+                    err = None
+                except Exception as e:  # noqa: BLE001 — a row, not a crash
+                    m = {}
+                    msg = str(e).splitlines()[0] if str(e) else ""
+                    err = f"{type(e).__name__}: {msg}"
+                out["clip_id"].append(cid)
+                out["container"].append(m.get("container"))
+                out["codec"].append(m.get("codec"))
+                out["sample_rate"].append(m.get("sample_rate"))
+                out["n_channels"].append(m.get("n_channels"))
+                out["n_frames"].append(m.get("n_frames"))
+                out["n_samples"].append(m.get("n_samples"))
+                out["duration_s"].append(m.get("duration_s"))
+                out["bitrate_kbps"].append(m.get("bitrate_kbps"))
+                out["decode_error"].append(err)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema=AUDIO_TRIAGE_DDL)
 
 
 def sample_video_frames(df: DataFrame, every_n: int = 10, id_col: str = "video_id",
