@@ -24,9 +24,14 @@ encode side (valid VP8L, used for differential round-trips and fixtures):
   transform, optional run-length LZ77 (distance=1 copies) exercising both
   the plane-code and direct-distance branches
 
-Lossy VP8 intra decoding lives in vp8codec.py; ``decode_webp`` dispatches
-both. Everything is numpy/stdlib; called per-image inside Arrow-batched
-pandas UDFs (the multimodal decode path), zero per-row Python at plan level.
+Lossy VP8 (RFC 6386 intra) is a documented boundary: a faithful decoder
+needs the RFC's large constant probability/dequant tables, and reproducing
+those unverified would yield a codec that is self-consistent but not VP8 —
+so ``decode_webp`` refuses honestly with the frame dimensions in the error,
+and ``webp_info`` triages any WebP (kind, canvas, decodability) without
+pixel decode. Everything is numpy/stdlib; called per-image inside
+Arrow-batched pandas UDFs (the multimodal decode path), zero per-row Python
+at plan level.
 """
 
 from __future__ import annotations
@@ -939,11 +944,62 @@ def encode_vp8l(
     return bw.getvalue()
 
 
-def _decode_vp8_lossy(payload: bytes) -> np.ndarray:
-    """Lossy VP8 keyframe decode (RFC 6386 intra), via vp8codec."""
-    from etlpy_spark.functions.vp8codec import decode_vp8
+def vp8_frame_dims(payload: bytes) -> tuple[int, int]:
+    """Width/height from a VP8 keyframe's UNCOMPRESSED header (RFC 6386
+    §9.1): 3-byte frame tag, 3-byte start code 9D 01 2A, then 14-bit
+    width/height with 2-bit upscale fields. No entropy decode needed."""
+    if len(payload) < 10:
+        raise ValueError("VP8: truncated frame header")
+    tag = payload[0] | (payload[1] << 8) | (payload[2] << 16)
+    if tag & 1:
+        raise ValueError("VP8: not a keyframe")
+    if payload[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("VP8: bad keyframe start code")
+    w = (payload[6] | (payload[7] << 8)) & 0x3FFF
+    h = (payload[8] | (payload[9] << 8)) & 0x3FFF
+    return w, h
 
-    return decode_vp8(payload)
+
+def _decode_vp8_lossy(payload: bytes) -> np.ndarray:
+    """Documented boundary: full VP8 intra decode needs RFC 6386's large
+    constant tables (default coefficient probabilities, kf b-mode trees,
+    dequant lookups) — reproducing them unverified would yield a codec
+    that is self-consistent but not VP8, so this engine refuses honestly
+    (like inter-frame video) while still reporting frame dimensions for
+    triage (webp_info)."""
+    w, h = vp8_frame_dims(payload)
+    raise ValueError(
+        f"VP8 lossy (keyframe {w}x{h}): intra PCM decode not implemented "
+        "from scratch; lossless VP8L decodes natively"
+    )
+
+
+def webp_info(data: bytes) -> dict:
+    """Container triage without pixel decode: kind ('vp8l'/'vp8'/'vp8x'
+    wrapped variants), canvas width/height, and whether this engine can
+    decode the pixels."""
+    canvas = None
+    for tag, payload in _riff_chunks(data):
+        if tag == b"VP8X" and len(payload) >= 10:
+            w = 1 + int.from_bytes(payload[4:7], "little")
+            h = 1 + int.from_bytes(payload[7:10], "little")
+            canvas = (w, h)
+        elif tag == b"VP8L":
+            br = BitReader(payload)
+            if br.read(8) != 0x2F:
+                raise ValueError("VP8L: bad signature")
+            w = br.read(14) + 1
+            h = br.read(14) + 1
+            return {"kind": "vp8l", "w": w, "h": h, "decodable": True,
+                    "canvas": canvas or (w, h)}
+        elif tag == b"VP8 ":
+            w, h = vp8_frame_dims(payload)
+            return {"kind": "vp8", "w": w, "h": h, "decodable": False,
+                    "canvas": canvas or (w, h)}
+    if canvas:
+        return {"kind": "vp8x", "w": canvas[0], "h": canvas[1],
+                "decodable": False, "canvas": canvas}
+    raise ValueError("WebP: no image chunk found")
 
 
 # ---------------------------------------------------------------------------

@@ -312,3 +312,75 @@ def test_hypothesis_roundtrip(w, h, seed, mode):
         "pred": dict(predictor_bits=2),
     }[mode]
     assert np.array_equal(decode_webp(encode_webp(px, **kw)), px)
+
+
+def _vp8_keyframe_stub(w: int, h: int) -> bytes:
+    """Minimal VP8 keyframe UNCOMPRESSED header (RFC 6386 §9.1): frame tag
+    with keyframe bit 0, start code 9D 01 2A, 14-bit w/h (2-bit scale 0)."""
+    tag = 0  # keyframe, version 0, show_frame 0, partition size 0
+    return (
+        bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+        + b"\x9d\x01\x2a"
+        + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF)
+        + b"\x00" * 8
+    )
+
+
+def test_vp8_frame_dims_and_lossy_refusal():
+    from etlpy_spark.functions.webpcodec import vp8_frame_dims
+
+    payload = _vp8_keyframe_stub(320, 240)
+    assert vp8_frame_dims(payload) == (320, 240)
+    blob = mux_webp(b"VP8 ", payload)
+    with pytest.raises(ValueError, match=r"320x240.*not implemented"):
+        decode_webp(blob)
+    # crawl-facing path: typed decode_error, never an ImportError/crash
+    pxout, reason = decode_or_error(blob)
+    assert pxout is None
+    assert "VP8 lossy" in reason and "320x240" in reason
+    # bad start code / interframe refused with typed errors too
+    with pytest.raises(ValueError, match="start code"):
+        vp8_frame_dims(payload[:3] + b"\x00\x01\x2a" + payload[6:])
+    with pytest.raises(ValueError, match="keyframe"):
+        vp8_frame_dims(b"\x01" + payload[1:])
+    with pytest.raises(ValueError, match="truncated"):
+        vp8_frame_dims(payload[:8])
+
+
+def test_webp_info_triage():
+    from etlpy_spark.functions.webpcodec import webp_info
+
+    # lossless: decodable, exact dims
+    px = render_pixels("webp-fixture-0001")
+    info = webp_info(encode_webp(px))
+    assert info == {
+        "kind": "vp8l",
+        "w": px.shape[1],
+        "h": px.shape[0],
+        "decodable": True,
+        "canvas": (px.shape[1], px.shape[0]),
+    }
+    # lossy: triaged (dims from the uncompressed header), not decodable
+    info = webp_info(mux_webp(b"VP8 ", _vp8_keyframe_stub(64, 48)))
+    assert info["kind"] == "vp8" and (info["w"], info["h"]) == (64, 48)
+    assert info["decodable"] is False
+    # VP8X canvas wrapping a VP8L chunk: canvas reported from VP8X
+    # VP8X payload: flags(1)+reserved(3), then canvas w-1 / h-1 as 24-bit LE
+    vp8x = b"\x00\x00\x00\x00" + (15).to_bytes(3, "little") + (9).to_bytes(3, "little")
+    from etlpy_spark.functions.webpcodec import encode_vp8l as _enc_l
+
+    argb = np.zeros((10, 16, 4), dtype=np.uint8)
+    argb[:, :, 0] = 255
+    inner = _enc_l(argb)
+    body = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    if len(vp8x) & 1:
+        body += b"\x00"
+    body += b"VP8L" + struct.pack("<I", len(inner)) + inner
+    if len(inner) & 1:
+        body += b"\x00"
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    info = webp_info(blob)
+    assert info["kind"] == "vp8l" and info["canvas"] == (16, 10)
+    assert (info["w"], info["h"]) == (16, 10) and info["decodable"]
+    with pytest.raises(ValueError, match="no image chunk"):
+        webp_info(b"RIFF" + struct.pack("<I", 4) + b"WEBP")
