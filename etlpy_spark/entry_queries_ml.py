@@ -247,7 +247,8 @@ def _media_webp_row(i: int):
 
 def _media_compressed_audio_blob(i: int) -> bytes:
     """Deterministic compressed-audio fixtures for the triage rows."""
-    from etlpy_spark.functions.audiometa import make_adts, make_mpeg_audio, make_ogg
+    from etlpy_spark.functions.audiometa import (make_adts, make_mp4_audio,
+                                                 make_mpeg_audio, make_ogg)
 
     return (
         lambda: make_mpeg_audio(40, layer=3, bitrate=128, rate=44100, channels=2),
@@ -257,6 +258,10 @@ def _media_compressed_audio_blob(i: int) -> bytes:
         lambda: make_ogg("vorbis", 7, rate=44100, channels=2, samples_per_page=4096),
         lambda: make_ogg("opus", 5, rate=16000, channels=1, samples_per_page=960),
         lambda: make_adts(20, rate=44100, channels=2),
+        lambda: make_mp4_audio(16, codec="aac", rate=44100, channels=2),
+        lambda: make_mp4_audio(12, codec="opus", rate=48000, channels=1,
+                               frame_samples=960, mdhd_version=1,
+                               with_video_track=True),
     )[i]()
 
 
@@ -281,11 +286,13 @@ def q_media_decode_suite(spark, sf_dir):
     rows (from-scratch VP8L codec, functions/webpcodec.py — encoder modes
     cycle subtract-green/palette-free/RLE/predictor so the decoder's
     transform paths sit under the hash; losslessness asserted in-kernel)
-    and 6 compressed-audio triage rows (kind 'ameta': MP3 CBR + MPEG-2
-    LIII + MP2 frame walks, Ogg Vorbis/Opus ident+granule, ADTS AAC —
-    functions/audiometa.py via the distributed audio_metadata operator;
-    k=channels, m1=samples, m2=frames, v=duration). Oracle = serial numpy
-    replica (computed VALUES), the image_pipeline pattern."""
+    and 8 compressed-audio triage rows (kind 'ameta': MP3 CBR + MPEG-2
+    LIII + MP2 frame walks, Ogg Vorbis/Opus ident+granule, ADTS AAC, and
+    two ISO-BMFF moov walks — AAC-in-M4A plus Opus-in-MP4 behind a video
+    trak with a v1 mdhd — functions/audiometa.py via the distributed
+    audio_metadata operator; k=channels, m1=samples, m2=frames,
+    v=duration). Oracle = serial numpy replica (computed VALUES), the
+    image_pipeline pattern."""
     import pandas as pd
 
     def gen_vids(batches):
@@ -387,7 +394,7 @@ def q_media_decode_suite(spark, sf_dir):
                 "bytes": [_media_compressed_audio_blob(int(i)) for i in pdf["id"]],
             })
 
-    ablobs = spark.range(0, 6, 1, 2).mapInPandas(
+    ablobs = spark.range(0, 8, 1, 2).mapInPandas(
         gen_ablobs, schema="clip_id string, bytes binary"
     )
     trows = mm.audio_metadata(ablobs).select(
@@ -792,7 +799,7 @@ def _media_suite_oracle() -> str:
         rows.append((iid, "webp", mode, m1, m2, v))
     from etlpy_spark.functions.audiometa import audio_metadata as _ameta
 
-    for i in range(6):
+    for i in range(8):
         m = _ameta(_media_compressed_audio_blob(i))
         rows.append((f"cmp-{i:04d}", "ameta", m["n_channels"], m["n_samples"],
                      m["n_frames"], m["duration_s"]))

@@ -16,6 +16,10 @@ FRAME HEADERS, which these formats expose losslessly:
   last page's granule position gives the total sample count.
 - ADTS AAC: 7/9-byte headers with an explicit 13-bit frame length; 1024
   samples per frame.
+- ISO BMFF (MP4/M4A/MOV): a length-prefixed box tree; the moov walk reads
+  codec fourcc, sample rate/channels (stsd), frame count (stsz) and
+  duration (mdhd) for every track — audio and video — without touching a
+  codec payload byte.
 
 Everything here is a pure function of the blob (exception text included),
 so the Spark path and any serial oracle agree bit-for-bit.
@@ -232,6 +236,152 @@ def adts_metadata(data: bytes) -> dict:
     }
 
 
+# --- ISO BMFF (MP4 / M4A / MOV) ---------------------------------------------
+#
+# The moov box walk: a plain length-prefixed tree (ISO/IEC 14496-12,
+# public). No codec payload is touched — track metadata (codec fourcc,
+# sample rate, channels, frame count, duration, and video dims) lives
+# entirely in sample-table / header boxes, so triage of the web's
+# dominant A/V container needs no DSP at all.
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Iterate (fourcc, body_start, body_end) over sibling boxes."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        fourcc = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("mp4: truncated 64-bit box size")
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:  # box extends to the end of the enclosing scope
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("mp4: box overruns its container")
+        yield fourcc, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_child(data: bytes, start: int, end: int, fourcc: bytes):
+    for fc, s, e in _mp4_boxes(data, start, end):
+        if fc == fourcc:
+            return s, e
+    return None
+
+
+def _mp4_track_info(data: bytes, s: int, e: int) -> dict:
+    """One trak box -> handler/codec/timescale/duration (+ audio or video
+    specifics)."""
+    info: dict = {"handler": None, "codec": None, "timescale": None,
+                  "duration": None, "sample_rate": None, "n_channels": None,
+                  "n_frames": None, "width": None, "height": None}
+    mdia = _mp4_child(data, s, e, b"mdia")
+    if mdia is None:
+        raise ValueError("mp4: trak without mdia")
+    mdhd = _mp4_child(data, *mdia, b"mdhd")
+    if mdhd is None:
+        raise ValueError("mp4: trak without mdhd")
+    ms, me = mdhd
+    ver = data[ms]
+    if ver == 1:
+        if me - ms < 32:
+            raise ValueError("mp4: truncated mdhd v1")
+        info["timescale"] = struct.unpack(">I", data[ms + 20 : ms + 24])[0]
+        info["duration"] = struct.unpack(">Q", data[ms + 24 : ms + 32])[0]
+    else:
+        if me - ms < 20:
+            raise ValueError("mp4: truncated mdhd")
+        info["timescale"] = struct.unpack(">I", data[ms + 12 : ms + 16])[0]
+        info["duration"] = struct.unpack(">I", data[ms + 16 : ms + 20])[0]
+    hdlr = _mp4_child(data, *mdia, b"hdlr")
+    if hdlr is not None:
+        hs, he = hdlr
+        if he - hs >= 12:
+            info["handler"] = data[hs + 8 : hs + 12].decode("ascii", "replace")
+    minf = _mp4_child(data, *mdia, b"minf")
+    stbl = _mp4_child(data, *minf, b"stbl") if minf else None
+    if stbl is None:
+        return info
+    stsd = _mp4_child(data, *stbl, b"stsd")
+    if stsd is not None:
+        ss, se = stsd
+        if se - ss >= 8 and struct.unpack(">I", data[ss + 4 : ss + 8])[0] >= 1:
+            # first sample entry: a box whose fourcc names the codec
+            for fc, es, ee in _mp4_boxes(data, ss + 8, se):
+                info["codec"] = fc.decode("ascii", "replace").strip()
+                if info["handler"] == "soun" and ee - es >= 28:
+                    # AudioSampleEntry: 6 reserved + 2 dref index, then
+                    # 2+2+4 version/revision/vendor, channelcount(2),
+                    # samplesize(2), 2+2, samplerate as 16.16 fixed
+                    info["n_channels"] = struct.unpack(
+                        ">H", data[es + 16 : es + 18])[0]
+                    info["sample_rate"] = struct.unpack(
+                        ">I", data[es + 24 : es + 28])[0] >> 16
+                elif info["handler"] == "vide" and ee - es >= 36:
+                    # VisualSampleEntry: ... width(2) height(2) at +24/+26
+                    info["width"] = struct.unpack(">H", data[es + 24 : es + 26])[0]
+                    info["height"] = struct.unpack(">H", data[es + 26 : es + 28])[0]
+                break
+    stsz = _mp4_child(data, *stbl, b"stsz")
+    if stsz is not None:
+        zs, ze = stsz
+        if ze - zs >= 12:
+            info["n_frames"] = struct.unpack(">I", data[zs + 8 : zs + 12])[0]
+    return info
+
+
+def mp4_tracks(data: bytes) -> list:
+    """All trak boxes of an ISO-BMFF file as metadata dicts (audio AND
+    video — the crawl triage view of an MP4/M4A/MOV blob)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("mp4: missing ftyp")
+    moov = _mp4_child(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box (streaming-only fragment?)")
+    tracks = []
+    for fc, s, e in _mp4_boxes(data, *moov):
+        if fc == b"trak":
+            tracks.append(_mp4_track_info(data, s, e))
+    if not tracks:
+        raise ValueError("mp4: moov contains no trak")
+    return tracks
+
+
+_MP4_CODEC_NAMES = {"mp4a": "aac", "Opus": "opus", "fLaC": "flac",
+                    "alac": "alac", "ac-3": "ac3", "ec-3": "eac3",
+                    "sowt": "pcm", "twos": "pcm", "lpcm": "pcm"}
+
+
+def mp4_metadata(data: bytes) -> dict:
+    """First audio track of an MP4/M4A -> the audio_metadata() row shape.
+    For audio tracks the mdhd timescale is conventionally the sample rate,
+    so mdhd duration IS the sample count; when they differ, rescale."""
+    tracks = mp4_tracks(data)
+    t = next((t for t in tracks if t["handler"] == "soun"), None)
+    if t is None:
+        kinds = ",".join(sorted({t["handler"] or "?" for t in tracks}))
+        raise ValueError(f"mp4: no audio track (handlers: {kinds})")
+    rate = t["sample_rate"] or t["timescale"]
+    ts, dur = t["timescale"], t["duration"]
+    if not ts or not rate:
+        raise ValueError("mp4: audio track without timescale/sample rate")
+    n_samples = dur if ts == rate else round(dur / ts * rate)
+    dur_s = round(dur / ts, 6)
+    return {
+        "container": "mp4",
+        "codec": _MP4_CODEC_NAMES.get(t["codec"], t["codec"]),
+        "sample_rate": rate,
+        "n_channels": t["n_channels"],
+        "n_frames": t["n_frames"],
+        "n_samples": n_samples,
+        "duration_s": dur_s,
+        "bitrate_kbps": round(len(data) * 8 / 1000 / dur_s, 3) if dur_s else 0.0,
+    }
+
+
 # --- dispatch ---------------------------------------------------------------
 
 
@@ -304,8 +454,7 @@ def audio_metadata(data: bytes) -> dict:
     if kind == "aac-adts":
         return adts_metadata(data)
     if kind == "mp4":
-        raise ValueError("mp4 container: audio track metadata not parsed "
-                         "(moov box walk out of scope)")
+        return mp4_metadata(data)
     raise ValueError("unrecognized audio container")
 
 
@@ -398,3 +547,102 @@ def make_adts(n_frames: int, *, rate: int = 44100, channels: int = 2,
             state = (state * 1103515245 + 12345) & 0xFFFFFFFF
             out.append((state >> 16) & 0xFF)
     return bytes(out)
+
+
+def _mp4_box(fourcc: bytes, *payload: bytes) -> bytes:
+    body = b"".join(payload)
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def make_mp4_audio(n_frames: int, *, codec: str = "aac", rate: int = 44100,
+                   channels: int = 2, frame_samples: int = 1024,
+                   frame_payload: int = 200, mdhd_version: int = 0,
+                   mdhd_timescale: int = 0, with_video_track: bool = False,
+                   seed: int = 5) -> bytes:
+    """A structurally valid M4A/MP4: ftyp + mdat (pseudo-random payload the
+    walker never reads) + moov with a full audio sample table. Optionally a
+    leading video trak (avc1 640x360) so no-audio-first ordering and the
+    video triage path are testable."""
+    fourcc = {"aac": b"mp4a", "opus": b"Opus", "flac": b"fLaC"}[codec]
+    n_samples = n_frames * frame_samples
+    state = seed & 0xFFFFFFFF
+    payload = bytearray()
+    for _ in range(n_frames * frame_payload):
+        state = (state * 1103515245 + 12345) & 0xFFFFFFFF
+        payload.append((state >> 16) & 0xFF)
+    ftyp = _mp4_box(b"ftyp", b"M4A ", struct.pack(">I", 0), b"isomM4A ")
+    mdat = _mp4_box(b"mdat", bytes(payload))
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+    def full(ver: int = 0, flags: int = 0) -> bytes:
+        return struct.pack(">I", (ver << 24) | flags)
+
+    # audio mdhd timescale is conventionally the sample rate; an explicit
+    # mdhd_timescale exercises the walker's rescale branch
+    ts = mdhd_timescale or rate
+    dur = n_samples if ts == rate else round(n_samples / rate * ts)
+    if mdhd_version == 1:
+        mdhd = _mp4_box(b"mdhd", full(1), struct.pack(">QQIQ", 0, 0, ts, dur),
+                        struct.pack(">HH", 0x55C4, 0))
+    else:
+        mdhd = _mp4_box(b"mdhd", full(), struct.pack(">IIII", 0, 0, ts, dur),
+                        struct.pack(">HH", 0x55C4, 0))
+    hdlr = _mp4_box(b"hdlr", full(), b"\x00" * 4, b"soun", b"\x00" * 12,
+                    b"SoundHandler\x00")
+    entry_extra = b""
+    if codec == "opus":
+        entry_extra = _mp4_box(b"dOps", bytes([0, channels]),
+                               struct.pack(">H", 312), struct.pack(">I", rate),
+                               struct.pack(">h", 0), b"\x00")
+    elif codec == "aac":
+        entry_extra = _mp4_box(b"esds", full(), b"\x03\x19\x00\x01\x00")
+    sample_entry = _mp4_box(
+        fourcc, b"\x00" * 6, struct.pack(">H", 1),
+        struct.pack(">HHI", 0, 0, 0), struct.pack(">HH", channels, 16),
+        struct.pack(">HH", 0, 0), struct.pack(">I", rate << 16), entry_extra)
+    stsd = _mp4_box(b"stsd", full(), struct.pack(">I", 1), sample_entry)
+    stts = _mp4_box(b"stts", full(), struct.pack(">III", 1, n_frames,
+                                                 frame_samples))
+    stsc = _mp4_box(b"stsc", full(), struct.pack(">IIII", 1, 1, n_frames, 1))
+    stsz = _mp4_box(b"stsz", full(), struct.pack(">II", 0, n_frames),
+                    struct.pack(f">{n_frames}I",
+                                *([frame_payload] * n_frames)))
+    stco = _mp4_box(b"stco", full(), struct.pack(">II", 1, len(ftyp) + 8))
+    stbl = _mp4_box(b"stbl", stsd, stts, stsc, stsz, stco)
+    dref = _mp4_box(b"dref", full(), struct.pack(">I", 1),
+                    _mp4_box(b"url ", full(0, 1)))
+    minf = _mp4_box(b"minf", _mp4_box(b"smhd", full(), struct.pack(">HH", 0, 0)),
+                    _mp4_box(b"dinf", dref), stbl)
+    mdia = _mp4_box(b"mdia", mdhd, hdlr, minf)
+    tkhd = _mp4_box(b"tkhd", full(0, 7), struct.pack(">IIIII", 0, 0, 1, 0,
+                                                     n_samples),
+                    b"\x00" * 8, struct.pack(">HHHH", 0, 0, 0x0100, 0),
+                    matrix, struct.pack(">II", 0, 0))
+    trak = _mp4_box(b"trak", tkhd, mdia)
+    traks = [trak]
+    if with_video_track:
+        vmdhd = _mp4_box(b"mdhd", full(),
+                         struct.pack(">IIII", 0, 0, 30000, 30000 * 4),
+                         struct.pack(">HH", 0x55C4, 0))
+        vhdlr = _mp4_box(b"hdlr", full(), b"\x00" * 4, b"vide", b"\x00" * 12,
+                         b"VideoHandler\x00")
+        ventry = _mp4_box(b"avc1", b"\x00" * 6, struct.pack(">H", 1),
+                          b"\x00" * 16, struct.pack(">HH", 640, 360),
+                          b"\x00" * 50)
+        vstsd = _mp4_box(b"stsd", full(), struct.pack(">I", 1), ventry)
+        vstsz = _mp4_box(b"stsz", full(), struct.pack(">II", 120, 120))
+        vstbl = _mp4_box(b"stbl", vstsd, vstsz)
+        vminf = _mp4_box(b"minf", _mp4_box(b"dinf", dref), vstbl)
+        vmdia = _mp4_box(b"mdia", vmdhd, vhdlr, vminf)
+        vtkhd = _mp4_box(b"tkhd", full(0, 7),
+                         struct.pack(">IIIII", 0, 0, 2, 0, 240), b"\x00" * 8,
+                         struct.pack(">HHHH", 0, 0, 0, 0), matrix,
+                         struct.pack(">II", 640 << 16, 360 << 16))
+        traks.insert(0, _mp4_box(b"trak", vtkhd, vmdia))
+    mvhd = _mp4_box(b"mvhd", full(),
+                    struct.pack(">IIII", 0, 0, 600,
+                                round(n_samples / rate * 600)),
+                    struct.pack(">IHH", 0x10000, 0x0100, 0), b"\x00" * 8,
+                    matrix, b"\x00" * 24, struct.pack(">I", 3))
+    moov = _mp4_box(b"moov", mvhd, *traks)
+    return ftyp + mdat + moov

@@ -145,3 +145,114 @@ def test_decode_audio_features_typed_boundary(spark):
     with pytest.raises(Exception) as ei:
         decode_audio_features(df).collect()
     assert "mp3" in str(ei.value)
+
+
+# --- ISO BMFF (MP4/M4A) ------------------------------------------------------
+
+
+def test_mp4_aac_walk_exact():
+    from etlpy_spark.functions.audiometa import make_mp4_audio, mp4_metadata
+
+    blob = make_mp4_audio(40, codec="aac", rate=44100, channels=2)
+    assert sniff_audio(blob) == "mp4"
+    m = mp4_metadata(blob)
+    assert m["container"] == "mp4" and m["codec"] == "aac"
+    assert m["sample_rate"] == 44100 and m["n_channels"] == 2
+    assert m["n_frames"] == 40 and m["n_samples"] == 40 * 1024
+    assert m["duration_s"] == pytest.approx(40 * 1024 / 44100, abs=1e-5)
+    # dispatch goes through the same walker
+    assert audio_metadata(blob) == m
+
+
+def test_mp4_opus_v1_mdhd_video_track_first():
+    from etlpy_spark.functions.audiometa import (make_mp4_audio, mp4_metadata,
+                                                 mp4_tracks)
+
+    blob = make_mp4_audio(25, codec="opus", rate=48000, channels=1,
+                          frame_samples=960, mdhd_version=1,
+                          with_video_track=True)
+    m = mp4_metadata(blob)  # picks the soun trak even though vide is first
+    assert m["codec"] == "opus" and m["sample_rate"] == 48000
+    assert m["n_frames"] == 25 and m["n_samples"] == 25 * 960
+    tracks = mp4_tracks(blob)
+    assert [t["handler"] for t in tracks] == ["vide", "soun"]
+    v = tracks[0]
+    assert v["codec"] == "avc1" and (v["width"], v["height"]) == (640, 360)
+    assert v["timescale"] == 30000 and v["n_frames"] == 120
+
+
+def test_mp4_timescale_rescale_and_flac():
+    from etlpy_spark.functions.audiometa import make_mp4_audio, mp4_metadata
+
+    # mdhd timescale != sample rate -> the walker rescales to samples
+    blob = make_mp4_audio(10, codec="flac", rate=22050, frame_samples=4096,
+                          mdhd_timescale=44100)
+    m = mp4_metadata(blob)
+    assert m["codec"] == "flac" and m["sample_rate"] == 22050
+    assert m["n_samples"] == 10 * 4096
+    assert m["duration_s"] == pytest.approx(10 * 4096 / 22050, abs=1e-5)
+
+
+def test_mp4_largesize_and_to_end_boxes():
+    from etlpy_spark.functions.audiometa import (_mp4_child, make_mp4_audio,
+                                                 mp4_metadata)
+
+    blob = make_mp4_audio(8)
+    want = mp4_metadata(blob)
+    s, e = _mp4_child(blob, 0, len(blob), b"moov")
+    body = blob[s:e]
+    head = blob[: s - 8]
+    # 64-bit largesize form of the same moov box
+    big = head + struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(body)) + body
+    want.pop("bitrate_kbps")  # a function of total file size, which changes
+    got = mp4_metadata(big)
+    got.pop("bitrate_kbps")
+    assert got == want
+    # size==0 (extends to end of file) form
+    zero = head + struct.pack(">I", 0) + b"moov" + body
+    got0 = mp4_metadata(zero)
+    got0.pop("bitrate_kbps")
+    assert got0 == want
+
+
+def test_mp4_hostile_inputs_typed():
+    from etlpy_spark.functions.audiometa import make_mp4_audio, mp4_metadata
+
+    blob = make_mp4_audio(6)
+    with pytest.raises(ValueError):
+        mp4_metadata(blob[:40])  # truncated mid-box
+    with pytest.raises(ValueError, match="no moov"):
+        mp4_metadata(blob[:24])  # exactly the ftyp box, nothing after
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4_metadata(b"\x00" * 32)
+    # video-only file: strip the soun trak out of a two-track file
+    from etlpy_spark.functions.audiometa import _mp4_boxes, _mp4_child
+
+    two = make_mp4_audio(6, with_video_track=True)
+    ms, me = _mp4_child(two, 0, len(two), b"moov")
+    keep = []
+    for fc, s, e in _mp4_boxes(two, ms, me):
+        if fc == b"trak":
+            mdia = _mp4_child(two, s, e, b"mdia")
+            h = _mp4_child(two, *mdia, b"hdlr")
+            if two[h[0] + 8 : h[0] + 12] == b"soun":
+                continue
+        keep.append(two[s - 8 : e])
+    body = b"".join(keep)
+    vonly = (two[: ms - 8] + struct.pack(">I", 8 + len(body)) + b"moov" + body)
+    with pytest.raises(ValueError, match="no audio track"):
+        mp4_metadata(vonly)
+
+
+def test_mp4_operator_row(spark):
+    from etlpy_spark.functions.audiometa import make_mp4_audio
+    from etlpy_spark.operators.multimodal import audio_metadata as op
+
+    df = spark.createDataFrame(
+        [("m4a", bytearray(make_mp4_audio(12, codec="aac", rate=32000)))],
+        "clip_id string, bytes binary",
+    )
+    row = op(df).collect()[0].asDict()
+    assert row["decode_error"] is None
+    assert row["container"] == "mp4" and row["codec"] == "aac"
+    assert row["sample_rate"] == 32000 and row["n_samples"] == 12 * 1024
