@@ -266,9 +266,16 @@ def encode_webp_image(px: np.ndarray) -> bytes:
 
 
 def decode_webp_image(data: bytes) -> np.ndarray:
+    """Decode + display orientation: a VP8X container may carry an EXIF
+    chunk whose tag 274 phones set on sensor-native pixels — honored here
+    exactly like the JPEG path (the pure codec stays transform-free)."""
+    from etlpy_spark.functions.jpegcodec import apply_orientation
     from etlpy_spark.functions.webpcodec import decode_webp as _dec
+    from etlpy_spark.functions.webpcodec import webp_exif_orientation
 
-    return _dec(data)
+    px = _dec(data)
+    o = webp_exif_orientation(data)
+    return apply_orientation(px, o) if o != 1 else px
 
 
 _ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png,

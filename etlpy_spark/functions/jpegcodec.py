@@ -1255,25 +1255,34 @@ def exif_orientation(data: bytes) -> int:
             pos += 2 + size
             if marker != 0xE1 or seg[:6] != b"Exif\x00\x00":
                 continue
-            tiff = seg[6:]
-            if tiff[:2] == b"II":
-                bo = "<"
-            elif tiff[:2] == b"MM":
-                bo = ">"
-            else:
-                return 1
-            (ifd_off,) = struct.unpack_from(bo + "I", tiff, 4)
-            (n_entries,) = struct.unpack_from(bo + "H", tiff, ifd_off)
-            for i in range(n_entries):
-                at = ifd_off + 2 + 12 * i
-                tag, typ, _cnt = struct.unpack_from(bo + "HHI", tiff, at)
-                if tag == 0x0112 and typ == 3:  # SHORT
-                    (val,) = struct.unpack_from(bo + "H", tiff, at + 8)
-                    return val if 1 <= val <= 8 else 1
-            return 1
+            return tiff_orientation(seg[6:])
     except (struct.error, IndexError):
         return 1
     return 1
+
+
+def tiff_orientation(tiff: bytes) -> int:
+    """Orientation tag (1..8) from a bare TIFF-format Exif blob (the
+    payload both JPEG's APP1 segment and WebP's EXIF chunk carry), or 1
+    when absent/unparseable — never raises on hostile input."""
+    try:
+        if tiff[:2] == b"II":
+            bo = "<"
+        elif tiff[:2] == b"MM":
+            bo = ">"
+        else:
+            return 1
+        (ifd_off,) = struct.unpack_from(bo + "I", tiff, 4)
+        (n_entries,) = struct.unpack_from(bo + "H", tiff, ifd_off)
+        for i in range(n_entries):
+            at = ifd_off + 2 + 12 * i
+            tag, typ, _cnt = struct.unpack_from(bo + "HHI", tiff, at)
+            if tag == 0x0112 and typ == 3:  # SHORT
+                (val,) = struct.unpack_from(bo + "H", tiff, at + 8)
+                return val if 1 <= val <= 8 else 1
+        return 1
+    except (struct.error, IndexError):
+        return 1
 
 
 def apply_orientation(px: np.ndarray, orientation: int) -> np.ndarray:

@@ -1028,6 +1028,43 @@ def mux_webp(tag: bytes, payload: bytes) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
 
 
+def mux_webp_ex(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    """Multi-chunk RIFF container (VP8X files: VP8X + image + EXIF/...)."""
+    body = b""
+    for tag, payload in chunks:
+        body += tag + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def vp8x_header(w: int, h: int, exif: bool = False, alpha: bool = False,
+                anim: bool = False) -> bytes:
+    """VP8X chunk payload: flag byte (…ICC|Alpha|EXIF|XMP|Anim…), 3
+    reserved bytes, then canvas (w-1, h-1) as 24-bit little-endian."""
+    flags = (0x10 if alpha else 0) | (0x08 if exif else 0) | (0x02 if anim else 0)
+    return bytes([flags, 0, 0, 0]) + (w - 1).to_bytes(3, "little") + \
+        (h - 1).to_bytes(3, "little")
+
+
+def webp_exif_orientation(data: bytes) -> int:
+    """Orientation tag (1..8) from a WebP's EXIF chunk, or 1 when absent
+    or unparseable (never raises on hostile chunks). The chunk payload is
+    TIFF-format Exif data; some muxers prefix it with JPEG-APP1-style
+    ``Exif\\0\\0``, so both layouts are accepted."""
+    from etlpy_spark.functions.jpegcodec import tiff_orientation
+
+    try:
+        for tag, payload in _riff_chunks(data):
+            if tag == b"EXIF":
+                if payload[:6] == b"Exif\x00\x00":
+                    payload = payload[6:]
+                return tiff_orientation(payload)
+    except ValueError:
+        return 1
+    return 1
+
+
 def encode_webp(px: np.ndarray, **kwargs) -> bytes:
     """(h, w, 3) uint8 RGB -> lossless WebP bytes (VP8L)."""
     h, w, _ = px.shape

@@ -384,3 +384,81 @@ def test_webp_info_triage():
     assert (info["w"], info["h"]) == (16, 10) and info["decodable"]
     with pytest.raises(ValueError, match="no image chunk"):
         webp_info(b"RIFF" + struct.pack("<I", 4) + b"WEBP")
+
+
+# -- EXIF orientation through the VP8X container ----------------------------
+
+
+def _tiff_orientation_blob(orientation: int, bo: str = "<") -> bytes:
+    """Minimal TIFF Exif blob: header + IFD0 with the single tag 274."""
+    if bo == "<":
+        head = b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+        entry = struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<H", orientation) + b"\x00\x00"
+        return head + struct.pack("<H", 1) + entry + struct.pack("<I", 0)
+    head = b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+    entry = struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">H", orientation) + b"\x00\x00"
+    return head + struct.pack(">H", 1) + entry + struct.pack(">I", 0)
+
+
+def _webp_with_exif(px: np.ndarray, exif_payload: bytes) -> bytes:
+    from etlpy_spark.functions.webpcodec import encode_vp8l, mux_webp_ex, vp8x_header
+
+    h, w, _ = px.shape
+    argb = np.empty((h, w, 4), dtype=np.uint8)
+    argb[:, :, 0] = 255
+    argb[:, :, 1:] = px
+    return mux_webp_ex([
+        (b"VP8X", vp8x_header(w, h, exif=True)),
+        (b"VP8L", encode_vp8l(argb)),
+        (b"EXIF", exif_payload),
+    ])
+
+
+def _asym(h=6, w=9):
+    rng = np.random.default_rng(274)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_webp_exif_orientation_applied():
+    from etlpy_spark.functions.imagecodec import decode_webp_image
+    from etlpy_spark.functions.jpegcodec import apply_orientation
+    from etlpy_spark.functions.webpcodec import webp_exif_orientation
+
+    px = _asym()
+    for o in range(1, 9):
+        for bo in ("<", ">"):
+            blob = _webp_with_exif(px, _tiff_orientation_blob(o, bo))
+            assert webp_exif_orientation(blob) == o
+            out = decode_webp_image(blob)
+            np.testing.assert_array_equal(out, apply_orientation(px, o))
+    # JPEG-APP1-style "Exif\0\0" prefixed payload (some muxers emit it)
+    blob = _webp_with_exif(px, b"Exif\x00\x00" + _tiff_orientation_blob(6))
+    assert webp_exif_orientation(blob) == 6
+
+
+def test_webp_orientations_5_and_7_differ():
+    from etlpy_spark.functions.imagecodec import decode_webp_image
+
+    px = _asym()
+    b5 = _webp_with_exif(px, _tiff_orientation_blob(5))
+    b7 = _webp_with_exif(px, _tiff_orientation_blob(7))
+    assert (decode_webp_image(b5) != decode_webp_image(b7)).any()
+
+
+def test_webp_exif_hostile_and_absent():
+    from etlpy_spark.functions.imagecodec import decode_webp_image
+    from etlpy_spark.functions.webpcodec import webp_exif_orientation
+
+    px = _asym()
+    # absent EXIF chunk -> orientation 1 (identity decode)
+    plain = encode_webp(px)
+    assert webp_exif_orientation(plain) == 1
+    np.testing.assert_array_equal(decode_webp_image(plain), px)
+    # hostile EXIF payloads degrade to 1, never raise
+    for bad in (b"", b"XX", b"II\x2a\x00\xff\xff\xff\xff", b"Exif\x00\x00",
+                _tiff_orientation_blob(9)[:-6] + struct.pack("<H", 9) + b"\x00\x00\x00\x00\x00\x00"):
+        blob = _webp_with_exif(px, bad)
+        assert webp_exif_orientation(blob) == 1
+        np.testing.assert_array_equal(decode_webp_image(blob), px)
+    # non-WebP bytes -> 1 (the walk itself never raises)
+    assert webp_exif_orientation(b"not a riff file") == 1
