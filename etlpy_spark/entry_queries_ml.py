@@ -165,6 +165,45 @@ def _media_video_frames(i: int):
     return [np.roll(base, 3 * j, axis=1) for j in range(10)]
 
 
+def _media_webp_anim_blob(i: int) -> bytes:
+    """Animated-WebP video i: frame 0 covers the canvas, later frames mix
+    full-canvas keyframes, subrect overwrites at varying even offsets, one
+    semi-transparent alpha-blended delta, and periodic dispose-to-background
+    — every composite path of iter_webp_frames sits under the driver hash."""
+    import numpy as np
+
+    from etlpy_spark.functions.webpcodec import encode_webp_anim
+
+    frames = _media_video_frames(i)
+    h, w = frames[0].shape[:2]
+    sh, sw = min(12, h), min(16, w)
+    fr, offs, blend, disp = [frames[0]], [(0, 0)], [False], [False]
+    for j in range(1, 10):
+        if j % 3 == 0:
+            fr.append(frames[j])
+            offs.append((0, 0))
+            blend.append(False)
+        else:
+            x = (6 * j) % max(1, w - sw + 1)
+            y = (2 * j) % max(1, h - sh + 1)
+            x -= x % 2
+            y -= y % 2
+            sub = frames[j][y : y + sh, x : x + sw]
+            if j % 5 == 2:  # ARGB delta, alpha-blended onto the canvas
+                argb = np.empty(sub.shape[:2] + (4,), dtype=np.uint8)
+                argb[:, :, 0] = 128 + 7 * j
+                argb[:, :, 1:] = sub
+                sub = argb
+                blend.append(True)
+            else:
+                blend.append(False)
+            fr.append(sub)
+            offs.append((x, y))
+        disp.append(j % 4 == 0)
+    return encode_webp_anim(fr, offsets=offs, blend=blend, dispose=disp,
+                            bg=(20, 30, 40, 255), durations=[50] * 10)
+
+
 def _media_wav_pcm(i: int):
     """Clip i = seeded sine+noise int16 PCM; rate and channel count vary
     per clip so the WAV parser's header fields are all load-bearing."""
@@ -286,6 +325,10 @@ def q_media_decode_suite(spark, sf_dir):
     rows (from-scratch VP8L codec, functions/webpcodec.py — encoder modes
     cycle subtract-green/palette-free/RLE/predictor so the decoder's
     transform paths sit under the hash; losslessness asserted in-kernel)
+    3 animated-WebP videos (kind 'wanim': VP8X+ANIM+ANMF composited per
+    the container spec's blend/dispose rules with dependency-chain frame
+    sampling — subrect overwrites, an alpha-blended delta, and
+    dispose-to-background all under the hash),
     and 8 compressed-audio triage rows (kind 'ameta': MP3 CBR + MPEG-2
     LIII + MP2 frame walks, Ogg Vorbis/Opus ident+granule, ADTS AAC, and
     two ISO-BMFF moov walks — AAC-in-M4A plus Opus-in-MP4 behind a video
@@ -313,9 +356,12 @@ def q_media_decode_suite(spark, sf_dir):
                     blobs.append(
                         encode_avi_mjpeg(_media_video_frames(i - 6), fps=10, quality=96)
                     )
-                else:
+                elif i < 12:
                     ids.append(f"gif-{i - 9:04d}")
                     blobs.append(encode_gif(_media_video_frames(i - 9)))
+                else:
+                    ids.append(f"wanim-{i - 12:04d}")
+                    blobs.append(_media_webp_anim_blob(i - 12))
             yield pd.DataFrame({"video_id": ids, "bytes": blobs})
 
     def gen_clips(batches):
@@ -325,7 +371,7 @@ def q_media_decode_suite(spark, sf_dir):
                 "bytes": [_media_wav_blob(int(i)) for i in pdf["id"]],
             })
 
-    vids = spark.range(0, 12, 1, 3).mapInPandas(gen_vids, schema="video_id string, bytes binary")
+    vids = spark.range(0, 15, 1, 3).mapInPandas(gen_vids, schema="video_id string, bytes binary")
     frames = mm.sample_video_frames(vids, every_n=4)
     vfeats = mm.decode_image_features(
         frames.select(
@@ -776,6 +822,12 @@ def _media_suite_oracle() -> str:
         blob = encode_gif(_media_video_frames(i))
         for idx, px, _ in iter_gif_frames(blob, every_n=4):
             rows.append(_frame_row(f"gif-{i:04d}", "gif", idx, px))
+    from etlpy_spark.functions.webpcodec import iter_webp_frames
+
+    for i in range(3):
+        blob = _media_webp_anim_blob(i)
+        for idx, px, _ in iter_webp_frames(blob, every_n=4):
+            rows.append(_frame_row(f"wanim-{i:04d}", "wanim", idx, px))
     for i in range(7):
         blob = _media_wav_blob(i)
         if blob[:4] == b"fLaC":

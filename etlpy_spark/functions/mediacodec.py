@@ -441,6 +441,8 @@ def sniff_media(data: bytes) -> str:
         return "wav"
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "avi"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     if data[:9] == _Y4M_MAGIC:
         return "y4m"
     if data[:6] in (b"GIF87a", b"GIF89a"):

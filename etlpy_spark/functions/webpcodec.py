@@ -15,6 +15,13 @@ decode side (full VP8L):
   cross-color, subtract-green, color-indexing (with sub-byte pixel bundling)
 - LZ77 backward references with the 120-entry 2D distance mapping, color
   cache (hash 0x1e35a7bd), and meta-Huffman (per-tile code groups)
+- animation (VP8X+ANIM+ANMF): iter_webp_frames composites frames per the
+  container spec's blend/dispose rules with GIF-style dependency-chain
+  sampling (VP8L paid only for frames a sampled frame depends on), and
+  encode_webp_anim emits every layout the decoder accepts (subrect
+  frames, both blend modes, dispose-to-background, alpha) for
+  differential round-trips
+- EXIF orientation from a VP8X container's EXIF chunk (webp_exif_orientation)
 
 encode side (valid VP8L, used for differential round-trips and fixtures):
 - literals + canonical Huffman (package-merge length-limited), zero-run RLE
@@ -975,11 +982,18 @@ def _decode_vp8_lossy(payload: bytes) -> np.ndarray:
 
 
 def webp_info(data: bytes) -> dict:
-    """Container triage without pixel decode: kind ('vp8l'/'vp8'/'vp8x'
-    wrapped variants), canvas width/height, and whether this engine can
-    decode the pixels."""
+    """Container triage without pixel decode: kind ('vp8l'/'vp8'/'anim'/
+    'vp8x' wrapped variants), canvas width/height, and whether this
+    engine can decode the pixels. Animations additionally report
+    n_frames; they are decodable when every frame is VP8L-lossless."""
     canvas = None
+    anmf = []
     for tag, payload in _riff_chunks(data):
+        if tag == b"ANMF":
+            anmf.append(_parse_anmf(payload))
+            continue
+        if anmf:
+            continue  # an animation's still chunks (EXIF/XMP) follow frames
         if tag == b"VP8X" and len(payload) >= 10:
             w = 1 + int.from_bytes(payload[4:7], "little")
             h = 1 + int.from_bytes(payload[7:10], "little")
@@ -996,6 +1010,12 @@ def webp_info(data: bytes) -> dict:
             w, h = vp8_frame_dims(payload)
             return {"kind": "vp8", "w": w, "h": h, "decodable": False,
                     "canvas": canvas or (w, h)}
+    if anmf:
+        if canvas is None:
+            raise ValueError("WebP: ANMF frames without a VP8X canvas")
+        return {"kind": "anim", "w": canvas[0], "h": canvas[1],
+                "decodable": not any(f.lossy for f in anmf),
+                "canvas": canvas, "n_frames": len(anmf)}
     if canvas:
         return {"kind": "vp8x", "w": canvas[0], "h": canvas[1],
                 "decodable": False, "canvas": canvas}
@@ -1076,7 +1096,9 @@ def encode_webp(px: np.ndarray, **kwargs) -> bytes:
 
 def decode_webp(data: bytes) -> np.ndarray:
     """WebP bytes -> (h, w, 3) uint8 RGB (alpha composited over white,
-    the house thumbnail convention shared with the PNG decoder)."""
+    the house thumbnail convention shared with the PNG decoder). An
+    animated WebP decodes to its first composited frame (the still-image
+    view, same convention as decode_gif_image)."""
     argb = None
     for tag, payload in _riff_chunks(data):
         if tag == b"VP8L":
@@ -1086,21 +1108,10 @@ def decode_webp(data: bytes) -> np.ndarray:
             return _decode_vp8_lossy(payload)
         if tag == b"VP8X":
             continue  # flags + canvas size; pixel chunks follow
-        # ALPH/EXIF/XMP/ICCP/ANIM ignored; ANMF (animation frames) -> first
+        # ALPH/EXIF/XMP/ICCP/ANIM ignored; ANMF -> first composited frame
         if tag == b"ANMF":
-            # frame payload contains its own VP8/VP8L subchunk after 16 bytes
-            inner = payload[16:]
-            for i in range(len(inner) - 8):
-                if inner[i : i + 4] in (b"VP8L", b"VP8 "):
-                    sz = struct.unpack("<I", inner[i + 4 : i + 8])[0]
-                    sub = inner[i + 8 : i + 8 + sz]
-                    if inner[i : i + 4] == b"VP8L":
-                        argb = decode_vp8l(sub)
-                    else:
-                        return _decode_vp8_lossy(sub)
-                    break
-            if argb is not None:
-                break
+            for _idx, rgb, _dur in iter_webp_frames(data):
+                return rgb
     if argb is None:
         raise ValueError("WebP: no decodable image chunk (VP8L/VP8)")
     rgb = argb[:, :, 1:].astype(np.float64)
@@ -1108,3 +1119,232 @@ def decode_webp(data: bytes) -> np.ndarray:
     if (argb[:, :, 0] != 255).any():
         rgb = rgb * alpha[:, :, None] + 255.0 * (1.0 - alpha[:, :, None])
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# animation (VP8X + ANIM + ANMF) — the WebP container spec's animation
+# layout, decoded with the same dependency-chain frame sampling the GIF
+# path uses (functions/gifcodec.py iter_gif_frames): structure is parsed
+# in one chunk walk, and a skipped frame pays VP8L decode + compositing
+# only when a later *sampled* frame depends on it.
+
+
+class _AnimFrame:
+    __slots__ = ("x", "y", "fw", "fh", "duration_ms", "blend", "dispose",
+                 "payload", "lossy")
+
+    def __init__(self, x, y, fw, fh, duration_ms, blend, dispose, payload, lossy):
+        self.x, self.y, self.fw, self.fh = x, y, fw, fh
+        self.duration_ms = duration_ms
+        self.blend = blend          # True = alpha-blend onto canvas (flag bit clear)
+        self.dispose = dispose      # True = fill frame rect with bg after display
+        self.payload = payload      # VP8L (or VP8) chunk payload
+        self.lossy = lossy
+
+
+def _parse_anmf(payload: bytes) -> _AnimFrame:
+    """One ANMF chunk payload -> frame geometry/flags + its image payload.
+
+    Header (16 bytes): x/2, y/2, w-1, h-1, duration — each 24-bit LE —
+    then a flags byte (bit0 = disposal: 1 dispose-to-background; bit1 =
+    blending: 1 means do NOT blend). The frame data that follows is its
+    own chunk sequence (optional ALPH, then VP8/VP8L)."""
+    if len(payload) < 16:
+        raise ValueError("WebP: truncated ANMF header")
+    x = 2 * int.from_bytes(payload[0:3], "little")
+    y = 2 * int.from_bytes(payload[3:6], "little")
+    fw = 1 + int.from_bytes(payload[6:9], "little")
+    fh = 1 + int.from_bytes(payload[9:12], "little")
+    dur = int.from_bytes(payload[12:15], "little")
+    flags = payload[15]
+    blend = not (flags & 0x02)
+    dispose = bool(flags & 0x01)
+    pos, img, lossy = 16, None, False
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        sub = payload[pos + 8 : pos + 8 + size]
+        if len(sub) < size:
+            raise ValueError("WebP: truncated chunk inside ANMF")
+        if tag in (b"VP8L", b"VP8 "):
+            img, lossy = sub, tag == b"VP8 "
+            break
+        pos += 8 + size + (size & 1)  # skip ALPH/unknown
+    if img is None:
+        raise ValueError("WebP: ANMF frame carries no VP8L/VP8 chunk")
+    return _AnimFrame(x, y, fw, fh, dur, blend, dispose, img, lossy)
+
+
+def _parse_webp_anim(data: bytes):
+    """-> (canvas_w, canvas_h, bg_rgba, loop_count, [_AnimFrame...]) or
+    None when the file carries no ANMF chunks (still image)."""
+    canvas = None
+    bg = np.array([255, 255, 255, 255], dtype=np.uint8)
+    loop = 0
+    frames = []
+    for tag, payload in _riff_chunks(data):
+        if tag == b"VP8X" and len(payload) >= 10:
+            canvas = (1 + int.from_bytes(payload[4:7], "little"),
+                      1 + int.from_bytes(payload[7:10], "little"))
+        elif tag == b"ANIM" and len(payload) >= 6:
+            b_, g_, r_, a_ = payload[0], payload[1], payload[2], payload[3]
+            bg = np.array([r_, g_, b_, a_], dtype=np.uint8)  # stored BGRA
+            loop = struct.unpack("<H", payload[4:6])[0]
+        elif tag == b"ANMF":
+            frames.append(_parse_anmf(payload))
+    if not frames:
+        return None
+    if canvas is None:
+        raise ValueError("WebP: ANMF frames without a VP8X canvas")
+    cw, ch = canvas
+    for f in frames:
+        if f.x + f.fw > cw or f.y + f.fh > ch:
+            raise ValueError("WebP: animation frame rect exceeds the canvas")
+    return cw, ch, bg, loop, frames
+
+
+def _frame_argb(f: _AnimFrame) -> np.ndarray:
+    if f.lossy:
+        return _vp8_refuse(f.payload)
+    argb = decode_vp8l(f.payload)
+    if argb.shape[:2] != (f.fh, f.fw):
+        raise ValueError("WebP: ANMF geometry disagrees with its VP8L header")
+    return argb
+
+
+def _vp8_refuse(payload: bytes):
+    _decode_vp8_lossy(payload)  # raises with dims; keep one message source
+    raise AssertionError("unreachable")
+
+
+def _blend_over(dst: np.ndarray, src_argb: np.ndarray) -> None:
+    """Straight-alpha source-over compositing into an RGBA uint8 canvas
+    region, in place. One rint per composite — deterministic, shared by
+    the Spark path and the serial oracle."""
+    sa = src_argb[:, :, 0].astype(np.float64) / 255.0
+    da = dst[:, :, 3].astype(np.float64) / 255.0
+    oa = sa + da * (1.0 - sa)
+    safe = np.maximum(oa, 1e-12)
+    src_rgb = src_argb[:, :, 1:].astype(np.float64)
+    dst_rgb = dst[:, :, :3].astype(np.float64)
+    out = (src_rgb * sa[:, :, None] + dst_rgb * (da * (1.0 - sa))[:, :, None]) / safe[:, :, None]
+    dst[:, :, :3] = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    dst[:, :, 3] = np.clip(np.rint(oa * 255.0), 0, 255).astype(np.uint8)
+
+
+def iter_webp_frames(data: bytes, every_n: int = 1):
+    """Yield ``(frame_idx, rgb_canvas, duration_ms)`` for every
+    ``every_n``-th animation frame, composited per the container spec's
+    blend/dispose rules (canvas initialized to the ANIM background color;
+    alpha rendered over white at yield — the house thumbnail convention).
+
+    Dependency-chain sampling mirrors iter_gif_frames: walking back from
+    each sampled frame, the chain stops at a frame that fully covers the
+    canvas without blending (the canvas is determined by that frame
+    alone), or below a predecessor that fully covers the canvas and
+    disposes to background (the canvas state is pure background there).
+    VP8L decode is paid only for needed frames. A still WebP yields one
+    frame (idx 0, duration 0)."""
+    parsed = _parse_webp_anim(data)
+    if parsed is None:
+        if 0 % max(every_n, 1) == 0:
+            yield 0, decode_webp(data), 0
+        return
+    cw, ch, bg, _loop, frames = parsed
+
+    def full_cover(f):
+        return f.x == 0 and f.y == 0 and f.fw == cw and f.fh == ch
+
+    needed = [False] * len(frames)
+    for i in range(0, len(frames), every_n):
+        j = i
+        while j >= 0 and not needed[j]:
+            needed[j] = True
+            f = frames[j]
+            if full_cover(f) and not f.blend:
+                break
+            if j > 0 and frames[j - 1].dispose and full_cover(frames[j - 1]):
+                break
+            j -= 1
+
+    canvas = np.empty((ch, cw, 4), dtype=np.uint8)
+    canvas[:] = bg
+    for i, f in enumerate(frames):
+        if needed[i]:
+            region = canvas[f.y : f.y + f.fh, f.x : f.x + f.fw]
+            argb = _frame_argb(f)
+            if f.blend:
+                _blend_over(region, argb)
+            else:
+                region[:, :, :3] = argb[:, :, 1:]
+                region[:, :, 3] = argb[:, :, 0]
+            if i % every_n == 0:
+                a = canvas[:, :, 3].astype(np.float64) / 255.0
+                rgb = canvas[:, :, :3].astype(np.float64)
+                rgb = rgb * a[:, :, None] + 255.0 * (1.0 - a[:, :, None])
+                yield i, np.clip(np.rint(rgb), 0, 255).astype(np.uint8), f.duration_ms
+        if f.dispose:
+            canvas[f.y : f.y + f.fh, f.x : f.x + f.fw] = bg
+
+
+def encode_webp_anim(
+    frames,
+    *,
+    offsets=None,
+    durations=None,
+    blend=None,
+    dispose=None,
+    canvas=None,
+    bg=(255, 255, 255, 255),
+    loop: int = 0,
+) -> bytes:
+    """Animated WebP from ARGB/(RGB treated opaque) uint8 frames, each a
+    VP8L-lossless ANMF chunk. ``offsets`` are per-frame canvas positions
+    (even x/y — the container stores x/2,y/2); ``blend``/``dispose`` are
+    per-frame flag lists; ``bg`` is RGBA. Used for differential fixtures:
+    everything the decoder accepts, this can emit."""
+    n = len(frames)
+    if n == 0:
+        raise ValueError("animation needs at least one frame")
+    offsets = offsets or [(0, 0)] * n
+    durations = durations or [40] * n
+    blend = [False] * n if blend is None else list(blend)
+    dispose = [False] * n if dispose is None else list(dispose)
+    argbs = []
+    for px in frames:
+        if px.shape[2] == 3:
+            a = np.empty(px.shape[:2] + (4,), dtype=np.uint8)
+            a[:, :, 0] = 255
+            a[:, :, 1:] = px
+            argbs.append(a)
+        else:
+            argbs.append(px)
+    if canvas is None:
+        cw = max(x + f.shape[1] for (x, _), f in zip(offsets, argbs))
+        ch = max(y + f.shape[0] for (_, y), f in zip(offsets, argbs))
+    else:
+        cw, ch = canvas
+    has_alpha = any((f[:, :, 0] != 255).any() for f in argbs)
+    chunks = [(b"VP8X", vp8x_header(cw, ch, alpha=has_alpha, anim=True))]
+    r, g, b_, a_ = bg
+    chunks.append((b"ANIM", bytes([b_, g, r, a_]) + struct.pack("<H", loop)))
+    for (x, y), f, dur, bl, dp in zip(offsets, argbs, durations, blend, dispose):
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even (stored as x/2, y/2)")
+        fh, fw = f.shape[:2]
+        if x + fw > cw or y + fh > ch:
+            raise ValueError("frame rect exceeds the canvas")
+        payload = bytes(
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + dur.to_bytes(3, "little")
+            + bytes([(0 if bl else 0x02) | (0x01 if dp else 0)])
+        )
+        sub = encode_vp8l(f)
+        payload += b"VP8L" + struct.pack("<I", len(sub)) + sub
+        if len(sub) & 1:
+            payload += b"\x00"
+        chunks.append((b"ANMF", payload))
+    return mux_webp_ex(chunks)

@@ -267,15 +267,18 @@ def sample_video_frames(df: DataFrame, every_n: int = 10, id_col: str = "video_i
     chunks seek the same way and decode through the from-scratch JPEG
     codec, animated GIFs composite per the disposal rules with LZW paid
     only on the sampled frames' dependency chains
-    (functions/gifcodec.py), and RAW0 concatenations are sliced.
-    Inter-frame-compressed formats (H.264/VP9/...) need ffmpeg and
-    raise."""
+    (functions/gifcodec.py), animated WebPs composite per the container
+    spec's blend/dispose rules with VP8L decode likewise paid only on
+    dependency chains (functions/webpcodec.py), and RAW0 concatenations
+    are sliced. Inter-frame-compressed formats (H.264/VP9/...) need
+    ffmpeg and raise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
         from etlpy_spark.functions.gifcodec import iter_gif_frames
         from etlpy_spark.functions.imagecodec import encode_raw
+        from etlpy_spark.functions.webpcodec import iter_webp_frames
         from etlpy_spark.functions.mediacodec import (
             iter_avi_mjpeg_frames,
             iter_y4m_frames,
@@ -302,6 +305,11 @@ def sample_video_frames(df: DataFrame, every_n: int = 10, id_col: str = "video_i
                         out["video_id"].append(vid)
                         out["frame_idx"].append(idx)
                         out["bytes"].append(encode_raw(px))
+                elif kind == "webp":
+                    for idx, px, _ in iter_webp_frames(blob, every_n=every_n):
+                        out["video_id"].append(vid)
+                        out["frame_idx"].append(idx)
+                        out["bytes"].append(encode_raw(px))
                 elif kind == "rawcat":
                     pos, idx = 0, 0
                     while pos + 12 <= len(blob) and blob[pos : pos + 4] == b"RAW0":
@@ -315,8 +323,8 @@ def sample_video_frames(df: DataFrame, every_n: int = 10, id_col: str = "video_i
                 else:
                     raise NotImplementedError(
                         "inter-frame-compressed video needs ffmpeg, not available "
-                        "here; YUV4MPEG2, AVI/MJPEG, animated GIF and RAW0-concat "
-                        "streams are demuxed natively"
+                        "here; YUV4MPEG2, AVI/MJPEG, animated GIF, animated WebP "
+                        "and RAW0-concat streams are demuxed natively"
                     )
             yield pd.DataFrame(out)
 

@@ -462,3 +462,200 @@ def test_webp_exif_hostile_and_absent():
         np.testing.assert_array_equal(decode_webp_image(blob), px)
     # non-WebP bytes -> 1 (the walk itself never raises)
     assert webp_exif_orientation(b"not a riff file") == 1
+
+
+# -- animation (VP8X + ANIM + ANMF) ------------------------------------------
+
+
+def _frames(n=5, h=12, w=18, seed=7):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def test_webp_anim_full_frame_roundtrip():
+    from etlpy_spark.functions.webpcodec import (decode_webp,
+                                                 encode_webp_anim,
+                                                 iter_webp_frames, webp_info)
+
+    frames = _frames()
+    blob = encode_webp_anim(frames, durations=[10, 20, 30, 40, 50])
+    info = webp_info(blob)
+    assert info["kind"] == "anim" and info["n_frames"] == 5
+    assert (info["w"], info["h"]) == (18, 12) and info["decodable"]
+    out = list(iter_webp_frames(blob))
+    assert [i for i, _, _ in out] == list(range(5))
+    assert [d for _, _, d in out] == [10, 20, 30, 40, 50]
+    for (_, px, _), src in zip(out, frames):
+        np.testing.assert_array_equal(px, src)
+    # the still-image view is the first composited frame
+    np.testing.assert_array_equal(decode_webp(blob), frames[0])
+
+
+def test_webp_anim_subrect_overwrite_and_dispose():
+    from etlpy_spark.functions.webpcodec import (encode_webp_anim,
+                                                 iter_webp_frames)
+
+    base = _frames(1)[0]
+    delta = _frames(1, h=4, w=6, seed=11)[0]
+    blob = encode_webp_anim(
+        [base, delta, delta],
+        offsets=[(0, 0), (2, 4), (10, 6)],
+        dispose=[False, True, False],
+        bg=(9, 8, 7, 255),
+    )
+    out = [px for _, px, _ in iter_webp_frames(blob)]
+    exp1 = base.copy()
+    exp1[4:8, 2:8] = delta
+    np.testing.assert_array_equal(out[1], exp1)
+    exp2 = base.copy()
+    exp2[4:8, 2:8] = (9, 8, 7)  # frame 1's rect disposed to background
+    exp2[6:10, 10:16] = delta
+    np.testing.assert_array_equal(out[2], exp2)
+
+
+def test_webp_anim_alpha_blend():
+    from etlpy_spark.functions.webpcodec import (encode_webp_anim,
+                                                 iter_webp_frames)
+
+    base = _frames(1)[0]
+    fg = np.zeros((12, 18, 4), dtype=np.uint8)  # ARGB, 50%-ish green
+    fg[:, :, 0] = 128
+    fg[:, :, 2] = 255
+    blob = encode_webp_anim([base, fg], blend=[False, True])
+    out = [px for _, px, _ in iter_webp_frames(blob)]
+    sa = 128.0 / 255.0
+    exp = np.clip(np.rint(
+        np.stack([np.zeros((12, 18)), np.full((12, 18), 255.0), np.zeros((12, 18))], axis=2) * sa
+        + base.astype(np.float64) * (1.0 - sa)), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out[1], exp)
+
+
+def test_webp_anim_sampling_matches_full_iteration():
+    from etlpy_spark.functions.webpcodec import (encode_webp_anim,
+                                                 iter_webp_frames)
+
+    frames = _frames(9, seed=13)
+    deltas = _frames(9, h=6, w=8, seed=17)
+    blob = encode_webp_anim(
+        [frames[0]] + deltas[1:],
+        offsets=[(0, 0)] + [((2 * k) % 10, (2 * k) % 6) for k in range(1, 9)],
+        blend=[False] + [bool(k % 2) for k in range(1, 9)],
+        dispose=[bool(k % 3 == 0) for k in range(9)],
+    )
+    full = {i: px for i, px, _ in iter_webp_frames(blob)}
+    assert len(full) == 9
+    for n in (2, 3, 4):
+        got = list(iter_webp_frames(blob, every_n=n))
+        assert [i for i, _, _ in got] == list(range(0, 9, n))
+        for i, px, _ in got:
+            np.testing.assert_array_equal(px, full[i])
+
+
+def test_webp_anim_dependency_chain_skips_decode(monkeypatch):
+    from etlpy_spark.functions import webpcodec as wc
+
+    frames = _frames(8, seed=19)
+    # frame 4 is a full-canvas no-blend keyframe: sampling frame 6 must
+    # decode only its chain back to 4, never frames 0-3 or 5 or 7
+    blob = wc.encode_webp_anim(
+        [frames[0], frames[1][:4, :6], frames[2][:4, :6], frames[3][:4, :6],
+         frames[4], frames[5][:2, :3], frames[6][:5, :7], frames[7]],
+        offsets=[(0, 0), (2, 2), (4, 4), (6, 6), (0, 0), (8, 2), (10, 4), (0, 0)],
+    )
+    calls = []
+    real = wc.decode_vp8l
+
+    def counting(payload):
+        calls.append(len(payload))
+        return real(payload)
+
+    monkeypatch.setattr(wc, "decode_vp8l", counting)
+    out = [(i, px) for i, px, _ in wc.iter_webp_frames(blob, every_n=6)]
+    assert [i for i, _ in out] == [0, 6]
+    assert len(calls) == 4  # frames 0, 4, 5, 6 — never 1-3 or 7
+    # and the sampled canvases match the full iteration's
+    monkeypatch.setattr(wc, "decode_vp8l", real)
+    full = {i: px for i, px, _ in wc.iter_webp_frames(blob)}
+    for i, px in out:
+        np.testing.assert_array_equal(px, full[i])
+
+
+def test_webp_anim_background_chain_stop(monkeypatch):
+    from etlpy_spark.functions import webpcodec as wc
+
+    frames = _frames(4, seed=23)
+    # frame 1 covers the canvas and disposes to background -> the state
+    # before frame 2 is pure background; sampling frame 3 needs 2 and 3 only
+    blob = wc.encode_webp_anim(
+        [frames[0], frames[1], frames[2][:4, :6], frames[3][:4, :6]],
+        offsets=[(0, 0), (0, 0), (2, 2), (6, 8)],
+        blend=[False, True, True, True],
+        dispose=[False, True, False, False],
+        bg=(30, 40, 50, 255),
+    )
+    calls = []
+    real = wc.decode_vp8l
+
+    def counting(payload):
+        calls.append(1)
+        return real(payload)
+
+    monkeypatch.setattr(wc, "decode_vp8l", counting)
+    out = [(i, px) for i, px, _ in wc.iter_webp_frames(blob, every_n=3)]
+    assert [i for i, _ in out] == [0, 3] and len(calls) == 3  # 0, 2, 3
+    monkeypatch.setattr(wc, "decode_vp8l", real)
+    full = {i: px for i, px, _ in wc.iter_webp_frames(blob)}
+    for i, px in out:
+        np.testing.assert_array_equal(px, full[i])
+
+
+def test_webp_anim_still_file_yields_one_frame():
+    from etlpy_spark.functions.webpcodec import iter_webp_frames
+
+    px = _frames(1)[0]
+    out = list(iter_webp_frames(encode_webp(px)))
+    assert len(out) == 1 and out[0][0] == 0 and out[0][2] == 0
+    np.testing.assert_array_equal(out[0][1], px)
+
+
+def test_webp_anim_hostile_inputs():
+    from etlpy_spark.functions.webpcodec import (encode_vp8l, encode_webp_anim,
+                                                 iter_webp_frames, mux_webp_ex,
+                                                 vp8x_header)
+
+    px = _frames(1)[0]
+    with pytest.raises(ValueError, match="exceeds the canvas"):
+        encode_webp_anim([px, px], offsets=[(0, 0), (10, 10)], canvas=(18, 12))
+    with pytest.raises(ValueError, match="must be even"):
+        encode_webp_anim([px, px[:4, :4]], offsets=[(0, 0), (3, 2)])
+    # decoder-side rect check (hand-muxed hostile container)
+    argb = np.empty((12, 18, 4), dtype=np.uint8)
+    argb[:, :, 0] = 255
+    argb[:, :, 1:] = px
+    sub = encode_vp8l(argb)
+    anmf = ((4).to_bytes(3, "little") + (0).to_bytes(3, "little")
+            + (17).to_bytes(3, "little") + (11).to_bytes(3, "little")
+            + (0).to_bytes(3, "little") + bytes([2])
+            + b"VP8L" + struct.pack("<I", len(sub)) + sub)
+    bad = mux_webp_ex([(b"VP8X", vp8x_header(18, 12, anim=True)),
+                       (b"ANIM", bytes(6)), (b"ANMF", anmf)])
+    with pytest.raises(ValueError, match="exceeds the canvas"):
+        list(iter_webp_frames(bad))
+    # truncated ANMF header
+    bad2 = mux_webp_ex([(b"VP8X", vp8x_header(18, 12, anim=True)),
+                        (b"ANMF", b"\x00" * 10)])
+    with pytest.raises(ValueError, match="truncated ANMF"):
+        list(iter_webp_frames(bad2))
+    # ANMF without any VP8X canvas
+    bad3 = mux_webp_ex([(b"ANMF", anmf)])
+    with pytest.raises(ValueError, match="without a VP8X canvas"):
+        list(iter_webp_frames(bad3))
+    # geometry disagreement between ANMF header and its VP8L payload
+    anmf_geo = ((0).to_bytes(3, "little") + (0).to_bytes(3, "little")
+                + (7).to_bytes(3, "little") + (5).to_bytes(3, "little")
+                + (0).to_bytes(3, "little") + bytes([2])
+                + b"VP8L" + struct.pack("<I", len(sub)) + sub)
+    bad4 = mux_webp_ex([(b"VP8X", vp8x_header(18, 12, anim=True)),
+                        (b"ANMF", anmf_geo)])
+    with pytest.raises(ValueError, match="disagrees"):
+        list(iter_webp_frames(bad4))
