@@ -313,6 +313,12 @@ def decode(data: bytes) -> np.ndarray:
         return decode_ico(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return decode_webp_image(data)
+    fmt = sniff_format(data)
+    if fmt in ("avif", "heic", "jxl"):
+        # next-gen codecs (AV1/HEVC intra, modular JXL) are out of
+        # from-scratch scope — refuse with the TYPE so the crawl's
+        # decode_error/fmt columns say what share of corpus each costs
+        raise ValueError(f"{fmt}: next-gen image codec, decode not implemented here")
     raise ValueError("unknown image format")
 
 
@@ -352,6 +358,22 @@ def sniff_format(data: bytes) -> str:
         return "ico"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    # next-gen formats a real crawl sees at growing share: typed triage so
+    # a decode_error row says WHAT was lost, not just "unknown". JPEG XL is
+    # a bare codestream (FF 0A) or an ISO-BMFF container with a JXL box;
+    # AVIF/HEIC are ISO-BMFF ftyp brands (major brand, then the compatible
+    # list — 'mif1'-major files usually carry the real brand there).
+    if data[:2] == b"\xff\x0a" or data[:12] == b"\x00\x00\x00\x0cJXL \r\n\x87\n":
+        return "jxl"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        size = int.from_bytes(data[:4], "big")
+        brands = [data[8:12]] + [
+            data[i : i + 4] for i in range(16, min(size, len(data) - 3), 4)
+        ]
+        if any(b in (b"avif", b"avis") for b in brands):
+            return "avif"
+        if any(b in (b"heic", b"heix", b"hevc", b"hevx", b"heim", b"heis") for b in brands):
+            return "heic"
     return "unknown"
 
 

@@ -66,3 +66,32 @@ def test_ssim_properties_and_codec_gates():
     assert ssim(dec, px) > 0.95
     with __import__("pytest").raises(ValueError, match="same-shape"):
         ssim(px, px[:-1])
+
+
+def test_sniff_nextgen_formats_typed_triage():
+    """AVIF/HEIC/JXL: typed fmt + typed decode_error, never 'unknown'."""
+    import struct
+
+    from etlpy_spark.functions.imagecodec import decode_or_error, sniff_format
+
+    def ftyp(major: bytes, compat: list[bytes]) -> bytes:
+        body = major + b"\x00\x00\x00\x00" + b"".join(compat)
+        return struct.pack(">I", 8 + len(body)) + b"ftyp" + body + b"\x00" * 32
+
+    cases = {
+        "avif": [ftyp(b"avif", [b"mif1"]), ftyp(b"mif1", [b"miaf", b"avif"])],
+        "heic": [ftyp(b"heic", []), ftyp(b"mif1", [b"heic"])],
+        "jxl": [b"\xff\x0a" + b"\x00" * 16,
+                b"\x00\x00\x00\x0cJXL \r\n\x87\n" + b"\x00" * 16],
+    }
+    for fmt, blobs in cases.items():
+        for blob in blobs:
+            assert sniff_format(blob) == fmt
+            px, err = decode_or_error(blob)
+            assert px is None and err is not None and fmt in err
+    # an avif brand in the compat list wins over a heic major (dual-brand
+    # files decode as AVIF in practice); plain mp4 ftyp stays unknown
+    assert sniff_format(ftyp(b"heic", [b"avif"])) == "avif"
+    assert sniff_format(ftyp(b"isom", [b"iso2", b"mp41"])) == "unknown"
+    _, err = decode_or_error(ftyp(b"isom", [b"mp41"]))
+    assert err == "ValueError: unknown image format"
