@@ -201,8 +201,12 @@ def html_to_text(html: str) -> str:
 
 def warc_to_documents(spark, path: str):
     """WARC archive(s) → a ``documents``-shaped DataFrame
-    (doc_id, url, date, text): HTTP html responses tag-stripped to
-    visible text. The front door of the training-corpus pipeline —
+    (doc_id, url, date, text): HTTP html responses charset-detected
+    (functions/charset.py — BOM / Content-Type / meta tag / UTF-8
+    validation / cp1252 fallback, the reference's meta-regex + chardet
+    pipeline at spider.py:99,144-155 without the package) then
+    tag-stripped to visible text. The front door of the training-corpus
+    pipeline —
     feed the result straight into ``operators.corpus.prepare_corpus``
     (annotate → quality/repetition filter → PII redact → dedup →
     sample → pack). Same parallel shape as :func:`read_warc`: one task
@@ -216,16 +220,19 @@ def warc_to_documents(spark, path: str):
     )
 
     def run(batches):
+        from etlpy_spark.functions.charset import decode_html_bytes
+
         for pdf in batches:
             out = {"doc_id": [], "url": [], "date": [], "text": []}
-            for rid, u, d, payload in zip(
-                pdf["record_id"], pdf["url"], pdf["date"], pdf["payload"]
+            for rid, u, d, ct, payload in zip(
+                pdf["record_id"], pdf["url"], pdf["date"],
+                pdf["http_content_type"], pdf["payload"]
             ):
                 out["doc_id"].append(rid)
                 out["url"].append(u)
                 out["date"].append(d)
                 out["text"].append(
-                    html_to_text(bytes(payload).decode("utf-8", "replace"))
+                    html_to_text(decode_html_bytes(bytes(payload), ct or ""))
                 )
             yield pd.DataFrame(out)
 
