@@ -39,11 +39,14 @@ def _record_bytes(rec: dict) -> bytes:
     warc_type = rec.get("warc_type", "response")
     payload = rec.get("payload", b"")
     if warc_type == "response" and "http_status" in rec:
-        head = (
-            f"HTTP/1.1 {rec['http_status']} OK\r\n"
-            f"Content-Type: {rec.get('http_content_type', 'text/html')}\r\n"
-            f"Content-Length: {len(payload)}\r\n\r\n"
-        ).encode("ascii")
+        extra = rec.get("http_headers") or {}
+        lines = [
+            f"HTTP/1.1 {rec['http_status']} OK",
+            f"Content-Type: {rec.get('http_content_type', 'text/html')}",
+        ] + [f"{k}: {v}" for k, v in extra.items()]
+        if not any(k.lower() == "transfer-encoding" for k in extra):
+            lines.append(f"Content-Length: {len(payload)}")
+        head = ("\r\n".join(lines) + "\r\n\r\n").encode("ascii")
         block = head + payload
         block_type = "application/http; msgtype=response"
     else:
@@ -154,12 +157,72 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
                 http_lines = block[:split].split(_CRLF)
                 parts = http_lines[0].split()
                 rec["http_status"] = int(parts[1]) if len(parts) > 1 else 0
+                hh: dict[str, str] = {}
                 for line in http_lines[1:]:
                     k, _, v = line.partition(b":")
-                    if k.strip().lower() == b"content-type":
-                        rec["http_content_type"] = v.strip().decode("ascii", "replace")
-                rec["payload"] = block[split + 4 :]
+                    hh[k.strip().lower().decode("ascii", "replace")] = (
+                        v.strip().decode("ascii", "replace")
+                    )
+                if "content-type" in hh:
+                    rec["http_content_type"] = hh["content-type"]
+                payload, enc = _decode_http_body(block[split + 4 :], hh)
+                rec["payload"] = payload
+                rec["http_content_encoding"] = enc
         yield rec
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Transfer-Encoding: chunked → entity bytes (trailers ignored)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunked: missing size line")
+        size = int(body[pos:eol].split(b";")[0].strip(), 16)
+        start = eol + 2
+        if size == 0:
+            return bytes(out)
+        if start + size > len(body):
+            raise ValueError("chunked: truncated chunk")
+        out += body[start : start + size]
+        pos = start + size
+        if body[pos : pos + 2] != _CRLF:
+            raise ValueError("chunked: missing chunk CRLF")
+        pos += 2
+
+
+def _decode_http_body(payload: bytes, hh: dict[str, str]) -> tuple[bytes, str]:
+    """Undo the wire encodings a real crawl's WARC responses carry —
+    Transfer-Encoding: chunked framing, then Content-Encoding gzip /
+    deflate (both the zlib-wrapped and the raw-DEFLATE server variants)
+    via stdlib zlib. Returns ``(entity_bytes, encoding_mark)`` where the
+    mark is '' once fully decoded, or a typed residue ('br', 'zstd',
+    'gzip-malformed', 'chunked-malformed', ...) so a 100 TB corpus can
+    account for what it could not decode — tolerant, never raises."""
+    te = hh.get("transfer-encoding", "").lower()
+    if "chunked" in te:
+        try:
+            payload = _dechunk(payload)
+        except (ValueError, IndexError):
+            return payload, "chunked-malformed"
+    ce = hh.get("content-encoding", "").strip().lower()
+    if ce in ("", "identity"):
+        return payload, ""
+    if ce in ("gzip", "x-gzip"):
+        try:
+            return zlib.decompress(payload, 47), ""  # 47 = auto zlib/gzip
+        except zlib.error:
+            return payload, "gzip-malformed"
+    if ce in ("deflate", "x-deflate"):
+        try:
+            return zlib.decompress(payload, 15), ""
+        except zlib.error:
+            try:
+                return zlib.decompress(payload, -15), ""  # raw-DEFLATE servers
+            except zlib.error:
+                return payload, "deflate-malformed"
+    return payload, ce  # brotli/zstd need codecs not available here
 
 
 import re as _re
@@ -217,6 +280,10 @@ def warc_to_documents(spark, path: str):
     recs = read_warc(spark, path).filter(
         (F.col("warc_type") == "response")
         & F.col("http_content_type").startswith("text/html")
+        # keep only fully-decoded entities: rows whose Content-Encoding
+        # could not be undone (brotli/zstd/malformed) would tag-strip to
+        # garbage — they stay in read_warc with a typed mark for triage
+        & (F.col("http_content_encoding") == "")
     )
 
     def run(batches):
@@ -285,7 +352,7 @@ def archive_synthetic_web(cfg, out_dir: str, segments: int = 3) -> int:
 WARC_DDL = (
     "path string, warc_type string, url string, date string, "
     "record_id string, http_status int, http_content_type string, "
-    "payload binary"
+    "http_content_encoding string, payload binary"
 )
 
 
@@ -309,7 +376,8 @@ def _warc_rows(batches, budget: int | None = None):
     from etlpy_spark.sources.webdataset import CHUNK_BYTES, _Chunker
 
     cols = ("path", "warc_type", "url", "date", "record_id",
-            "http_status", "http_content_type", "payload")
+            "http_status", "http_content_type", "http_content_encoding",
+            "payload")
     ck = _Chunker(cols, CHUNK_BYTES if budget is None else budget)
     for pdf in batches:
         for p, content in zip(pdf["path"], pdf["content"]):
@@ -318,7 +386,8 @@ def _warc_rows(batches, budget: int | None = None):
                 ck.add(
                     (p, rec["warc_type"], rec["url"], rec["date"],
                      rec["record_id"], rec.get("http_status"),
-                     rec.get("http_content_type"), payload),
+                     rec.get("http_content_type"),
+                     rec.get("http_content_encoding"), payload),
                     len(payload),
                 )
                 yield from ck.flush_if_full()

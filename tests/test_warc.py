@@ -248,3 +248,89 @@ def test_html_to_text_tolerates_real_world_markup():
     assert html_to_text("") == ""
     # huge numeric entity doesn't crash
     assert html_to_text("<p>x &#999999999; y") .startswith("x")
+
+
+# -- HTTP wire encodings (chunked / gzip / deflate) ---------------------------
+
+
+def _chunked(body: bytes, sizes=(7, 11, 64)) -> bytes:
+    out, pos, i = bytearray(), 0, 0
+    while pos < len(body):
+        n = min(sizes[i % len(sizes)], len(body) - pos)
+        out += f"{n:x}".encode() + b"\r\n" + body[pos : pos + n] + b"\r\n"
+        pos += n
+        i += 1
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def _wire_record(body_wire: bytes, headers: dict) -> dict:
+    return {"warc_type": "response", "url": "http://w.example/x",
+            "date": "2026-01-02T00:00:00Z", "http_status": 200,
+            "http_content_type": "text/html", "payload": body_wire,
+            "http_headers": headers}
+
+
+def _roundtrip_one(rec: dict) -> dict:
+    from etlpy_spark.sources.warc import _record_bytes, iter_warc_records
+
+    out = [r for r in iter_warc_records(_record_bytes(rec))
+           if r["warc_type"] == "response"]
+    assert len(out) == 1
+    return out[0]
+
+
+def test_http_chunked_and_content_encodings():
+    import zlib
+
+    entity = b"<html><body>" + bytes(range(256)) * 8 + b"</body></html>"
+    gz = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gzipped = gz.compress(entity) + gz.flush()
+    zl = zlib.compress(entity)                      # zlib-wrapped deflate
+    raw = zlib.compress(entity)[2:-4]               # raw-DEFLATE servers
+    cases = [
+        (_chunked(entity), {"Transfer-Encoding": "chunked"}),
+        (gzipped, {"Content-Encoding": "gzip"}),
+        (gzipped, {"Content-Encoding": "x-gzip"}),
+        (zl, {"Content-Encoding": "deflate"}),
+        (raw, {"Content-Encoding": "deflate"}),
+        (_chunked(gzipped), {"Transfer-Encoding": "chunked",
+                             "Content-Encoding": "gzip"}),
+    ]
+    for wire, hh in cases:
+        rec = _roundtrip_one(_wire_record(wire, hh))
+        assert rec["payload"] == entity, hh
+        assert rec["http_content_encoding"] == ""
+
+
+def test_http_undecodable_encodings_are_typed_not_fatal():
+    body = b"\x0b\x02\x80not really brotli"
+    rec = _roundtrip_one(_wire_record(body, {"Content-Encoding": "br"}))
+    assert rec["payload"] == body and rec["http_content_encoding"] == "br"
+    rec = _roundtrip_one(_wire_record(b"\x1f\x8b garbage",
+                                      {"Content-Encoding": "gzip"}))
+    assert rec["http_content_encoding"] == "gzip-malformed"
+    rec = _roundtrip_one(_wire_record(b"zz\r\nnot hex",
+                                      {"Transfer-Encoding": "chunked"}))
+    assert rec["http_content_encoding"] == "chunked-malformed"
+
+
+def test_warc_to_documents_decodes_wire_encodings(spark, tmp_path):
+    import zlib
+
+    from etlpy_spark.sources.warc import warc_to_documents, write_warc
+
+    body = "<html><body><p>compressed page text</p></body></html>".encode()
+    gz = zlib.compressobj(6, zlib.DEFLATED, 31)
+    recs = [
+        _wire_record(gz.compress(body) + gz.flush(), {"Content-Encoding": "gzip"}),
+        _wire_record(_chunked(body), {"Transfer-Encoding": "chunked"}),
+        # an undecodable row must be EXCLUDED from the corpus, not garbled
+        _wire_record(b"\x00\x01brotli-ish", {"Content-Encoding": "br"}),
+    ]
+    for i, r in enumerate(recs):
+        r["url"] = f"http://w.example/{i}"
+    write_warc(str(tmp_path / "seg.warc.gz"), recs)
+    rows = warc_to_documents(spark, str(tmp_path)).orderBy("url").collect()
+    assert len(rows) == 2
+    assert all(r["text"] == "compressed page text" for r in rows)
