@@ -120,6 +120,27 @@ def host_round_budget(host: str, cfg: WebConfig) -> int:
     return max(1, cfg.politeness_budget // d) if d > 0 else cfg.politeness_budget
 
 
+def robots_txt(host: str, cfg: WebConfig) -> str:
+    """Render host's deterministic robots RULES as a robots.txt document
+    — what a live server at ``http://{host}/robots.txt`` would return.
+    The functions above stay the engine's rule source (the injected-seam
+    contract); this text form exists so the RFC 9309 parser
+    (functions/robots.py) is differentially pinned against them:
+    ``parse_robots(robots_txt(h)) == (robots_disallow(h),
+    robots_crawl_delay(h))`` for every host."""
+    lines = ["User-agent: *"]
+    dis = robots_disallow(host, cfg)
+    for d in dis:
+        lines.append(f"Disallow: {d}")
+    if not dis:
+        lines.append("Disallow:")  # explicit allow-all group
+    delay = robots_crawl_delay(host, cfg)
+    if delay:
+        lines.append(f"Crawl-delay: {delay}")
+    lines.append(f"Sitemap: http://{host}/sitemap.xml")
+    return "\n".join(lines) + "\n"
+
+
 def robots_allowed(url: str, cfg: WebConfig) -> bool:
     p = parse_url(url)
     if p is None:
