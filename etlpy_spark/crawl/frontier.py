@@ -151,6 +151,13 @@ class CrawlConfig:
     # 100 TB point the pages table would be bucketed by url so the
     # per-round join co-locates without reshuffling the archive.
     archive_path: str = ""
+    # robots rule source: False = read the injected rule functions
+    # directly (the sandbox seam); True = render each host's robots.txt
+    # TEXT and parse it with the RFC 9309 parser (functions/robots.py) —
+    # the production shape, where the table is built from fetched bytes.
+    # The two modes are differentially pinned equal (tests/test_robots.py)
+    # so every downstream plan and row is identical.
+    robots_from_text: bool = False
 
 
 def _fail_once(fail_dir: str | None, tag: str, pid: int) -> None:
@@ -688,14 +695,30 @@ class SparkCrawler:
         web = self.cfg.web
         npart = min(self.cfg.n_buckets, max(1, web.n_hosts // 1000 + 1))
 
+        from_text = self.cfg.robots_from_text
+
         def fetch_robots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from etlpy_spark.sources.synthetic_web import (
                 robots_crawl_delay,
                 robots_disallow,
+                robots_txt,
             )
+
+            if from_text:
+                from etlpy_spark.functions.robots import parse_robots
 
             for pdf in batches:
                 hosts = [f"host{int(k)}.example" for k in pdf["id"]]
+                if from_text:
+                    # production shape: parse each host's robots.txt BYTES
+                    pols = [parse_robots(robots_txt(h, web), "etlpy-spark")
+                            for h in hosts]
+                    yield pd.DataFrame({
+                        "host": hosts,
+                        "disallow": [p.disallow_prefixes() for p in pols],
+                        "crawl_delay": [int(p.crawl_delay) for p in pols],
+                    })
+                    continue
                 yield pd.DataFrame(
                     {
                         "host": hosts,

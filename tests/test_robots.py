@@ -145,3 +145,32 @@ def test_parser_total_on_hostile_text(txt, ua, path):
     pol = parse_robots(txt, ua)
     assert isinstance(pol.allowed(path), bool)
     assert pol.crawl_delay >= 0.0
+
+
+def test_crawl_parity_text_parsed_robots(spark, tmp_path):
+    """cfg.robots_from_text: the RFC 9309 parser feeds the engine's robots
+    table — crawl rows must be BITWISE identical to rule-function mode."""
+    from etlpy_spark.crawl.frontier import CrawlConfig, SparkCrawler
+    from etlpy_spark.sources.synthetic_web import WebConfig, seed_urls
+
+    web = WebConfig(n_hosts=22, n_cats=3, pages_per_cat=8,
+                    politeness_budget=5, max_links=3, max_images=1)
+    seeds = seed_urls(web, n_per_host=2)
+    logs = {}
+    seen = {}
+    for mode in (False, True):
+        wd = str(tmp_path / f"wd-{mode}")
+        cr = SparkCrawler(spark, wd, CrawlConfig(
+            web=web, n_buckets=4, robots_from_text=mode))
+        logs[mode] = cr.run(seeds, max_rounds=2)
+        seen[mode] = sorted(
+            (r.url, r.round) for r in cr.seen.read().collect())
+        # the robots tables themselves agree row-for-row
+        rob = sorted((r.host, list(r.disallow), r.crawl_delay)
+                     for r in cr._robots_df().collect())
+        if mode:
+            assert rob == robots_ref
+        else:
+            robots_ref = rob
+    assert logs[True] == logs[False]
+    assert seen[True] == seen[False]
