@@ -3,7 +3,10 @@ exactness baseline) and an IVF-style bucketed ANN (the scale path).
 
 Brute force is a single scan + one global top-k (sort of n rows is the
 unavoidable cost of exact k-NN); at 100 TB the IVF variant routes the query
-to a handful of coarse cells so the scan touches ~n/cells rows.
+to a handful of coarse cells so the scan touches ~n/cells rows, and the PQ
+variant (train_pq / pq_encode / query_pq) shrinks each row to m uint8
+codes scanned via an ADC lookup table so the touched BYTES are O(n·m)
+instead of O(n·dim·4). The two compose (partition the codes by IVF cell).
 """
 
 from __future__ import annotations
@@ -377,4 +380,240 @@ def query_ivf(
     )
     return _rank_topk(scored, k).select(
         "vec_id", "rank", F.round("cos", 6).alias("cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the BYTES scale path. IVF prunes which rows a
+# query touches; PQ shrinks what each row costs — a dim-d float32 embedding
+# becomes m uint8 codes (dim*4 -> m bytes, 32x at d=64/m=8), and queries
+# scan codes with an ADC lookup table (one table build per query, one
+# uint8 gather + sum per row; no float vector is ever materialized). At
+# 100 TB the two compose: cell-partition the CODES table with the IVF
+# quantizer and a query reads nprobe directories of m-byte rows.
+
+
+def _pq_assign_math(V, codebook):
+    """(n, dim) float64 batch -> (n, m) uint8 codes. Per-subspace nearest
+    centroid via the shared batch-size-invariant kernel (_assign_math), so
+    the distributed encoder and the serial replica are bit-identical."""
+    import numpy as np
+
+    m, _ks, dsub = codebook.shape
+    codes = np.empty((V.shape[0], m), dtype=np.uint8)
+    for j in range(m):
+        codes[:, j] = _assign_math(V[:, j * dsub : (j + 1) * dsub], codebook[j])
+    return codes
+
+
+def _pq_adc_math(codes, lut):
+    """(n, m) uint8 codes + (m, ks) query LUT -> (n,) ADC squared-L2
+    distances. Summation over the fixed m axis only (batch-invariant)."""
+    import numpy as np
+
+    n, m = codes.shape
+    return lut[np.arange(m)[None, :], codes.astype(np.int64)].sum(axis=1)
+
+
+def _pq_lut(q, codebook):
+    """Query -> (m, ks) table of squared L2 distances to every subspace
+    centroid: ADC distance(q, decode(code)) = sum_j lut[j, code_j]."""
+    import numpy as np
+
+    m, ks, dsub = codebook.shape
+    q = np.asarray(q, dtype=np.float64)
+    return np.stack(
+        [((codebook[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+         for j in range(m)]
+    )
+
+
+class PQIndex:
+    """Handle to a persisted PQ index directory:
+
+    - ``<path>/codebook.json`` — (m, ks, dsub) subspace centroids + id
+      column type (KBs; loaded on the driver per query);
+    - ``<path>/codes/...parquet`` — (vec_id, code binary) rows, m bytes
+      per vector, written once by :func:`build_pq_index`."""
+
+    def __init__(self, path: str, codebook, id_type: str):
+        import numpy as np
+
+        self.path = path
+        self.codebook = np.asarray(codebook, dtype=np.float64)
+        self.id_type = id_type
+
+    @property
+    def codes_dir(self) -> str:
+        import os
+
+        return os.path.join(self.path, "codes")
+
+
+def train_pq(df: DataFrame, m: int = 8, ks: int = 256, sample: int = 512,
+             vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Train the (m, ks, dsub) PQ codebook on the same deterministic
+    hash-spread sample build_ivf_index uses: split the vector into m
+    equal subspaces, k-means each independently (_kmeans_lite — seeded by
+    evenly spaced sample points, no RNG). ks<=256 keeps codes uint8."""
+    import numpy as np
+
+    if not (1 <= ks <= 256):
+        raise ValueError("PQ: ks must be in [1, 256] for uint8 codes")
+    rows = (
+        df.select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"PQ: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ks_eff = min(ks, len(X))
+    codebook = np.stack(
+        [_kmeans_lite(X[:, j * dsub : (j + 1) * dsub], ks_eff)
+         for j in range(m)]
+    )
+    return codebook
+
+
+def pq_encode(df: DataFrame, codebook, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """(id, vector) -> (vec_id, code binary): one map-only Arrow pass,
+    m bytes per row. The 100 TB shape: this is the ONLY pass that ever
+    reads the float vectors; everything downstream scans codes."""
+    import numpy as np
+
+    C = np.asarray(codebook, dtype=np.float64)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            codes = _pq_assign_math(V, C)
+            yield pd.DataFrame({
+                "vec_id": pdf["id"].to_numpy(),
+                "code": [c.tobytes() for c in codes],
+            })
+
+    from etlpy_spark.operators.dedup import _spread
+
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
+        .mapInPandas(enc, schema=f"vec_id {id_type}, code binary")
+    )
+
+
+def build_pq_index(df: DataFrame, path: str, m: int = 8, ks: int = 256,
+                   sample: int = 512, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> PQIndex:
+    """Train + encode + persist. codes/ is a plain parquet table of
+    (vec_id, m-byte code) — dictionary/RLE friendly, and readable with
+    column pruning so a query's scan bytes are O(n·m), never O(n·dim)."""
+    import json
+    import os
+
+    codebook = train_pq(df, m=m, ks=ks, sample=sample,
+                        vec_col=vec_col, id_col=id_col)
+    id_type = df.schema[id_col].dataType.simpleString()
+    os.makedirs(path, exist_ok=True)
+    pq_encode(df, codebook, vec_col=vec_col, id_col=id_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+    with open(os.path.join(path, "codebook.json"), "w") as f:
+        json.dump({"id_type": id_type, "codebook": codebook.tolist()}, f)
+    return PQIndex(path, codebook, id_type)
+
+
+def load_pq_index(path: str) -> PQIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "codebook.json")) as f:
+        meta = json.load(f)
+    return PQIndex(path, meta["codebook"], meta["id_type"])
+
+
+def query_pq(spark, index: PQIndex, query_vec: list[float], k: int = 10,
+             rerank: int = 0, vectors: DataFrame | None = None,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """ADC top-k over the codes table: the driver builds the (m, ks) LUT
+    once, every task gathers+sums uint8 codes against it, and the global
+    top-k is TakeOrderedAndProject (ascending ADC distance, vec_id
+    tie-break) — the same no-unpartitioned-Window shape as the cosine
+    paths.
+
+    Pure ADC ranking is approximate by construction (quantization error;
+    on structureless vectors, distance concentration makes fine ranking
+    unrecoverable from m bytes). The production pattern is
+    prune-then-rerank: pass ``rerank=R`` and the float ``vectors`` table
+    and the ADC scan only PRUNES to R candidate ids; those R rows are
+    fetched by a broadcast join (R rows — tiny) and ranked by EXACT
+    squared L2. Final recall@k then equals ADC recall@R, gated in tests.
+    At 100 TB: codes scan O(n·m) bytes, exact math touches R rows."""
+    import numpy as np
+
+    lut = _pq_lut(np.asarray(query_vec, dtype=np.float64), index.codebook)
+    m = index.codebook.shape[0]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack([
+                np.frombuffer(c, dtype=np.uint8) for c in pdf["code"]
+            ])
+            if codes.shape[1] != m:
+                raise ValueError("PQ: code width disagrees with the codebook")
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "adc": _pq_adc_math(codes, lut),
+            })
+
+    codes_df = spark.read.parquet(index.codes_dir)
+    scored = codes_df.select("vec_id", "code").mapInPandas(
+        score, schema=f"vec_id {index.id_type}, adc double"
+    )
+    if rerank and vectors is not None:
+        if rerank < k:
+            raise ValueError("PQ: rerank candidate count must be >= k")
+        q = np.asarray(query_vec, dtype=np.float64)
+        cands = scored.orderBy(F.col("adc").asc(), F.col("vec_id")).limit(rerank)
+        fetched = vectors.select(
+            F.col(id_col).alias("vec_id"), _vec(vec_col).alias("v")
+        ).join(F.broadcast(cands.select("vec_id")), "vec_id")
+
+        def exact(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "dist": ((V - q) ** 2).sum(axis=1),
+                })
+
+        exact_scored = fetched.mapInPandas(
+            exact, schema=f"vec_id {index.id_type}, dist double"
+        )
+        topk = exact_scored.orderBy(F.col("dist").asc(), F.col("vec_id")).limit(k)
+        w = Window.orderBy(F.col("dist").asc(), F.col("vec_id"))
+        return topk.withColumn("rank", F.row_number().over(w)).select(
+            "vec_id", "rank", F.round("dist", 6).alias("dist")
+        )
+    topk = scored.orderBy(F.col("adc").asc(), F.col("vec_id")).limit(k)
+    w = Window.orderBy(F.col("adc").asc(), F.col("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "rank", F.round("adc", 6).alias("adc")
     )

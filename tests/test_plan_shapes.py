@@ -61,10 +61,13 @@ def test_ann_topk_plans_take_ordered_not_global_window(spark, tmp_path):
     qv = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
 
     idx = sim.build_ivf_index(emb, str(tmp_path / "ivf"), n_cells=8)
+    pq = sim.build_pq_index(emb, str(tmp_path / "pq"), m=8, ks=64)
     plans = {
         "brute": sim.brute_force_topk(emb, qv, k=10),
         "ivf_fused": sim.ivf_topk(emb, qv, k=10, n_cells=8, nprobe=4),
         "ivf_index": sim.query_ivf(spark, idx, qv, k=10, nprobe=4),
+        "pq_adc": sim.query_pq(spark, pq, qv, k=10),
+        "pq_rerank": sim.query_pq(spark, pq, qv, k=10, rerank=50, vectors=emb),
     }
     for name, df in plans.items():
         df.collect()  # finalize under AQE
