@@ -617,3 +617,211 @@ def query_pq(spark, index: PQIndex, query_vec: list[float], k: int = 10,
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "vec_id", "rank", F.round("adc", 6).alias("adc")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF×PQ: the composition — rows pruned by coarse cell (IVF), bytes
+# shrunk by residual product codes (PQ). A query lists nprobe partition
+# directories of m-byte rows: scan cost O(n/cells · nprobe · m) bytes.
+# Residual encoding (codes quantize v - centroid[cell], the faiss IVFPQ
+# layout) spends the codebook's resolution on within-cell structure.
+
+
+class IvfPqIndex:
+    """Handle to a persisted IVF×PQ index directory:
+
+    - ``<path>/meta.json`` — coarse centroids + (m, ks, dsub) residual
+      codebook + id type (KBs, driver-side);
+    - ``<path>/codes/cell=<c>/...parquet`` — (vec_id, code binary) rows,
+      m bytes per vector, partitioned by coarse cell."""
+
+    def __init__(self, path: str, centroids, codebook, id_type: str):
+        import numpy as np
+
+        self.path = path
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.codebook = np.asarray(codebook, dtype=np.float64)
+        self.id_type = id_type
+
+    @property
+    def codes_dir(self) -> str:
+        import os
+
+        return os.path.join(self.path, "codes")
+
+    def cell_dir(self, cell: int) -> str:
+        import os
+
+        return os.path.join(self.codes_dir, f"cell={int(cell)}")
+
+
+def build_ivfpq_index(df: DataFrame, path: str, n_cells: int = 16,
+                      m: int = 8, ks: int = 256, sample: int = 512,
+                      vec_col: str = "embedding", id_col: str = "vec_id"
+                      ) -> IvfPqIndex:
+    """Train the coarse quantizer and the RESIDUAL PQ codebook on the
+    same deterministic hash-spread sample, then assign + encode the whole
+    corpus in ONE map-only Arrow pass and write codes partitioned by
+    cell. The float vectors are read exactly once, ever."""
+    import json
+    import os
+
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"PQ: dim {dim} not divisible by m={m}")
+    if not (1 <= ks <= 256):
+        raise ValueError("PQ: ks must be in [1, 256] for uint8 codes")
+    C = _kmeans_lite(X, n_cells)
+    resid = X - C[_assign_math(X, C)]
+    dsub = dim // m
+    ks_eff = min(ks, len(X))
+    codebook = np.stack(
+        [_kmeans_lite(resid[:, j * dsub : (j + 1) * dsub], ks_eff)
+         for j in range(m)]
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            cells = _assign_math(V, C)
+            codes = _pq_assign_math(V - C[cells], codebook)
+            yield pd.DataFrame({
+                "vec_id": pdf["id"].to_numpy(),
+                "code": [c.tobytes() for c in codes],
+                "cell": cells.astype(np.int32),
+            })
+
+    from etlpy_spark.operators.dedup import _spread
+
+    encoded = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
+        .mapInPandas(enc, schema=f"vec_id {id_type}, code binary, cell int")
+    )
+    os.makedirs(path, exist_ok=True)
+    encoded.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"id_type": id_type, "centroids": C.tolist(),
+                   "codebook": codebook.tolist()}, f)
+    return IvfPqIndex(path, C, codebook, id_type)
+
+
+def load_ivfpq_index(path: str) -> IvfPqIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return IvfPqIndex(path, meta["centroids"], meta["codebook"],
+                      meta["id_type"])
+
+
+def _ivfpq_luts(q, centroids, codebook, cells):
+    """Per probed cell: the residual-space ADC table for q. The exact
+    IVFPQ identity: d(q, c + r) = || (q - c) - r ||^2, so each cell's LUT
+    is _pq_lut(q - centroid[cell])."""
+    import numpy as np
+
+    return {int(c): _pq_lut(np.asarray(q, dtype=np.float64) - centroids[c],
+                            codebook)
+            for c in cells}
+
+
+def query_ivfpq(spark, index: IvfPqIndex, query_vec: list[float],
+                k: int = 10, nprobe: int = 4, rerank: int = 0,
+                vectors: DataFrame | None = None,
+                vec_col: str = "embedding", id_col: str = "vec_id"
+                ) -> DataFrame:
+    """Top-k over the IVF×PQ index: the reader is constructed over
+    exactly the nprobe probed cells' directories (file listing is
+    O(nprobe), like query_ivf), each task gathers m-byte codes against
+    its row's per-cell residual LUT, and the global k-selection is
+    TakeOrderedAndProject. ``rerank=R`` + ``vectors`` upgrades to the
+    prune-then-rerank contract (exact L2 over R fetched rows)."""
+    import os
+
+    import numpy as np
+
+    qd = ((index.centroids - np.asarray(query_vec, dtype=np.float64)) ** 2).sum(1)
+    cells = sorted(np.argsort(qd, kind="stable")[:nprobe].tolist())
+    luts = _ivfpq_luts(query_vec, index.centroids, index.codebook, cells)
+    dirs = [index.cell_dir(c) for c in cells if os.path.isdir(index.cell_dir(c))]
+    if not dirs:
+        col = "dist" if rerank and vectors is not None else "adc"
+        return spark.createDataFrame(
+            [], f"vec_id {index.id_type}, rank int, {col} double"
+        )
+    pruned = spark.read.option("basePath", index.codes_dir).parquet(*dirs)
+    m = index.codebook.shape[0]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack([
+                np.frombuffer(c, dtype=np.uint8) for c in pdf["code"]
+            ])
+            if codes.shape[1] != m:
+                raise ValueError("PQ: code width disagrees with the codebook")
+            cell_ids = pdf["cell"].to_numpy()
+            adc = np.empty(len(pdf), dtype=np.float64)
+            for c in np.unique(cell_ids):
+                mask = cell_ids == c
+                adc[mask] = _pq_adc_math(codes[mask], luts[int(c)])
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "adc": adc})
+
+    scored = pruned.select("vec_id", "code", "cell").mapInPandas(
+        score, schema=f"vec_id {index.id_type}, adc double"
+    )
+    if rerank and vectors is not None:
+        if rerank < k:
+            raise ValueError("PQ: rerank candidate count must be >= k")
+        q = np.asarray(query_vec, dtype=np.float64)
+        cands = scored.orderBy(F.col("adc").asc(), F.col("vec_id")).limit(rerank)
+        fetched = vectors.select(
+            F.col(id_col).alias("vec_id"), _vec(vec_col).alias("v")
+        ).join(F.broadcast(cands.select("vec_id")), "vec_id")
+
+        def exact(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "dist": ((V - q) ** 2).sum(axis=1),
+                })
+
+        exact_scored = fetched.mapInPandas(
+            exact, schema=f"vec_id {index.id_type}, dist double"
+        )
+        topk = exact_scored.orderBy(F.col("dist").asc(), F.col("vec_id")).limit(k)
+        w = Window.orderBy(F.col("dist").asc(), F.col("vec_id"))
+        return topk.withColumn("rank", F.row_number().over(w)).select(
+            "vec_id", "rank", F.round("dist", 6).alias("dist")
+        )
+    topk = scored.orderBy(F.col("adc").asc(), F.col("vec_id")).limit(k)
+    w = Window.orderBy(F.col("adc").asc(), F.col("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "rank", F.round("adc", 6).alias("adc")
+    )

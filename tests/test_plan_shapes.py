@@ -68,6 +68,11 @@ def test_ann_topk_plans_take_ordered_not_global_window(spark, tmp_path):
         "ivf_index": sim.query_ivf(spark, idx, qv, k=10, nprobe=4),
         "pq_adc": sim.query_pq(spark, pq, qv, k=10),
         "pq_rerank": sim.query_pq(spark, pq, qv, k=10, rerank=50, vectors=emb),
+        "ivfpq": sim.query_ivfpq(
+            spark,
+            sim.build_ivfpq_index(emb, str(tmp_path / "ivfpq"), n_cells=8, m=8, ks=64),
+            qv, k=10, nprobe=4,
+        ),
     }
     for name, df in plans.items():
         df.collect()  # finalize under AQE

@@ -492,3 +492,62 @@ def test_pq_validation_and_batch_invariance(spark, embeddings):
     whole = sim._pq_assign_math(V, cb)
     single = np.vstack([sim._pq_assign_math(V[i : i + 1], cb) for i in range(len(V))])
     assert (whole == single).all()
+
+
+def test_ivfpq_index_parity_pruning_and_rerank(spark, embeddings, tmp_path):
+    """IVF×PQ composition: (a) query touches ONLY probed cell dirs; (b)
+    ADC ranking is bit-identical to a serial replica over the persisted
+    meta (residual identity: lut = _pq_lut(q - centroid[cell])); (c)
+    rerank recall@10 clears the calibrated floor; (d) codes stay m bytes."""
+    import os
+
+    import numpy as np
+
+    qv = list(embeddings.filter(F.col("vec_id") == 0).head()["embedding"])
+    idx = sim.build_ivfpq_index(embeddings, str(tmp_path / "ivfpq"),
+                                n_cells=8, m=8, ks=64)
+    got = sim.query_ivfpq(spark, idx, qv, k=10, nprobe=4).orderBy("rank").collect()
+
+    # (a) file-listing pruning
+    qd = ((idx.centroids - np.asarray(qv)) ** 2).sum(1)
+    cells = sorted(np.argsort(qd, kind="stable")[:4].tolist())
+    dirs = [idx.cell_dir(c) for c in cells if os.path.isdir(idx.cell_dir(c))]
+    pruned = spark.read.option("basePath", idx.codes_dir).parquet(*dirs)
+    touched = {f.split("/cell=")[1].split("/")[0] for f in pruned.inputFiles()}
+    assert touched <= {str(c) for c in cells}
+
+    # (b) serial replica over the probed cells only
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    cell_of = sim._assign_math(V, idx.centroids)
+    mask = np.isin(cell_of, cells)
+    codes = sim._pq_assign_math(V[mask] - idx.centroids[cell_of[mask]],
+                                idx.codebook)
+    luts = sim._ivfpq_luts(qv, idx.centroids, idx.codebook, cells)
+    adc = np.empty(mask.sum())
+    for i, c in enumerate(cell_of[mask]):
+        adc[i] = sim._pq_adc_math(codes[i : i + 1], luts[int(c)])[0]
+    sub_ids = ids[mask]
+    order = np.lexsort((sub_ids, adc))[:10]
+    expect = [(int(sub_ids[i]), float(np.round(adc[i], 6))) for i in order]
+    assert [(r.vec_id, r.adc) for r in got] == expect
+
+    # reload from disk -> same answer
+    idx2 = sim.load_ivfpq_index(str(tmp_path / "ivfpq"))
+    got2 = sim.query_ivfpq(spark, idx2, qv, k=10, nprobe=4).orderBy("rank").collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in got]
+
+    # (c) prune-then-rerank (nprobe=8 = all cells, R=100): recall vs
+    # exact L2 (floor calibrated like the flat-PQ gate)
+    exact10 = set(ids[np.lexsort((ids, ((V - np.asarray(qv)) ** 2).sum(1)))[:10]].tolist())
+    rr = sim.query_ivfpq(spark, idx, qv, k=10, nprobe=8, rerank=100,
+                         vectors=embeddings).collect()
+    assert len(rr) == 10 and {r.vec_id for r in rr} & exact10
+    recall = len(exact10 & {r.vec_id for r in rr}) / 10
+    assert recall >= 0.7, recall
+
+    # (d) m-byte codes
+    lens = {len(bytes(r.code)) for r in
+            spark.read.parquet(idx.codes_dir).select("code").collect()}
+    assert lens == {8}
