@@ -307,6 +307,64 @@ def repetition_metrics(
     return out.select(*proj)
 
 
+# --- C4 page/line heuristics ------------------------------------------------
+# The published C4 cleaning rules (Raffel et al. 2020, "Exploring the
+# Limits of Transfer Learning...", public paper, section 2.2) re-expressed
+# as pure Column expressions: line-level — keep lines that end in terminal
+# punctuation, have >= 5 words, and don't mention javascript; page-level —
+# drop pages with < 3 surviving lines, any "lorem ipsum", or a "{" (code).
+# The bad-words-list rule is intentionally absent (external data).
+
+
+def c4_clean(df: DataFrame, col: str = "text") -> DataFrame:
+    """Adds: ``c4_text`` (surviving lines re-joined), ``c4_lines_kept``,
+    and ``c4_keep`` (the page gate). One materialized line-array
+    projection, then HOF filters over it — the lines array is computed
+    ONCE in its own projection (the nested-HOF re-evaluation pitfall;
+    see repetition_metrics)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = df.withColumn("_lines", F.split(c, "\n"))
+    line = lambda l: F.trim(l)  # noqa: E731
+    kept_expr = F.filter(
+        F.col("_lines"),
+        lambda l: line(l).rlike(r'[.!?"\u2019\u201d]$')
+        & (F.size(F.split(line(l), r"\s+")) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+    kept = lines.withColumn("_kept", kept_expr)
+    lc = F.lower(c)
+    return (
+        kept.withColumn("c4_text", F.array_join("_kept", "\n"))
+        .withColumn("c4_lines_kept", F.size("_kept"))
+        .withColumn(
+            "c4_keep",
+            (F.size("_kept") >= 3)
+            & ~lc.contains("lorem ipsum")
+            & ~c.contains("{"),
+        )
+        .drop("_lines", "_kept")
+    )
+
+
+def c4_clean_py(text: str) -> tuple[str, int, bool]:
+    """Serial replica of c4_clean for differential tests."""
+    import re as _re
+
+    kept = [
+        line
+        for line in text.split("\n")
+        if _re.search(r'[.!?"\u2019\u201d]$', line.strip())
+        and len(_re.split(r"\s+", line.strip())) >= 5
+        and "javascript" not in line.lower()
+    ]
+    keep = (
+        len(kept) >= 3
+        and "lorem ipsum" not in text.lower()
+        and "{" not in text
+    )
+    return "\n".join(kept), len(kept), keep
+
+
 def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     return (
         df.withColumn("lang_pred", lang_id(col))

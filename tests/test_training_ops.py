@@ -551,3 +551,44 @@ def test_ivfpq_index_parity_pruning_and_rerank(spark, embeddings, tmp_path):
     lens = {len(bytes(r.code)) for r in
             spark.read.parquet(idx.codes_dir).select("code").collect()}
     assert lens == {8}
+
+
+def test_c4_clean_differential_and_rules(spark, docs):
+    """C4 heuristics: crafted pages exercise every rule, then the Column
+    path must agree with the serial replica over the real documents
+    table AND the crafted set (the shared-semantics differential)."""
+    from etlpy_spark.operators.text import c4_clean, c4_clean_py
+
+    good = "\n".join(f"This is a perfectly fine sentence number {i}." for i in range(4))
+    crafted = [
+        (0, good),                                           # keeps all 4 lines
+        (1, good.replace("number 2.", "number 2")),          # line 2: no terminal punct
+        (2, "Too short.\nAlso tiny.\nStill small."),         # <5 words per line
+        (3, good + "\nPlease enable JavaScript to continue now."),
+        (4, good + "\nlorem ipsum dolor sit amet."),         # page gate
+        (5, good + "\nfunction f() { return 1; }"),          # code brace
+        (6, 'He said “this ends in a curly quote”\n' * 3 + good),
+        (7, ""),                                             # empty page
+    ]
+    df = spark.createDataFrame(crafted, "doc_id long, text string")
+    rows = {r.doc_id: r for r in c4_clean(df).collect()}
+    for i, text in crafted:
+        exp_text, exp_kept, exp_keep = c4_clean_py(text)
+        assert rows[i].c4_text == exp_text, i
+        assert rows[i].c4_lines_kept == exp_kept, i
+        assert rows[i].c4_keep == exp_keep, i
+    assert rows[0].c4_keep and rows[0].c4_lines_kept == 4
+    assert rows[1].c4_lines_kept == 3
+    assert rows[2].c4_lines_kept == 0 and not rows[2].c4_keep
+    assert rows[3].c4_lines_kept == 4      # javascript line dropped
+    assert not rows[4].c4_keep and not rows[5].c4_keep
+    assert rows[6].c4_lines_kept == 7      # curly close-quote is terminal
+    assert not rows[7].c4_keep
+
+    # differential over the real fixture corpus
+    got = c4_clean(docs).select("doc_id", "text", "c4_text",
+                                "c4_lines_kept", "c4_keep").collect()
+    assert len(got) > 100
+    for r in got:
+        exp_text, exp_kept, exp_keep = c4_clean_py(r.text)
+        assert (r.c4_text, r.c4_lines_kept, r.c4_keep) == (exp_text, exp_kept, exp_keep)
