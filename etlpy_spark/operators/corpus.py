@@ -76,6 +76,7 @@ def prepare_corpus(
     pack_budget: int | None = None,
     checkpoint_dir: str | None = None,
     bpe_merges: list | None = None,
+    c4_rules: bool = False,
 ) -> DataFrame:
     """df(text) -> training-ready corpus, one call.
 
@@ -86,12 +87,25 @@ def prepare_corpus(
     settings (Gopher-rule ballpark); pass ``None``-ish extremes (e.g.
     ``min_quality=0.0``, ``max_*=1.0``) to disable a stage, or
     ``dedup_strategy=None`` / ``sample_fractions=None`` /
-    ``pack_budget=None`` to skip those stages entirely.
+    ``pack_budget=None`` to skip those stages entirely. ``c4_rules=True``
+    prepends the published C4 line/page cleaning (text.c4_clean): pages
+    failing the C4 gate drop first, surviving lines become the text all
+    later stages see.
 
     Determinism: every stage is a pure function of (row, seed) — no
     ``rand()``, no partition-order dependence — so the same input
     produces the same corpus on any cluster size or retry schedule.
     """
+    if c4_rules:
+        # C4 line/page cleaning FIRST (it rewrites the text): surviving
+        # lines become the text every later stage sees, and pages failing
+        # the C4 gate drop before any annotation work is spent on them
+        df = (
+            tx.c4_clean(df, col=text_col)
+            .filter("c4_keep")
+            .withColumn(text_col, F.col("c4_text"))
+            .drop("c4_text", "c4_lines_kept", "c4_keep")
+        )
     out = annotate_corpus(df, text_col=text_col, id_col=id_col,
                           bpe_merges=bpe_merges)
     out = out.filter(

@@ -128,3 +128,29 @@ def test_pack_bins_on_redacted_token_counts(corpus):
             f"doc {r.doc_id}: packed n_tokens {r.n_tokens} != "
             f"token_count of emitted text {r.recount}"
         )
+
+
+def test_prepare_corpus_c4_rules(spark):
+    from etlpy_spark.operators.text import c4_clean_py
+
+    good = "\n".join(
+        f"This is a perfectly fine training sentence number {i}." for i in range(5)
+    )
+    rows = [
+        (1, good),
+        (2, good + "\nPlease enable javascript to see this content."),
+        (3, "short line\n" * 10),                  # no line survives -> page drops
+        (4, good + "\nlorem ipsum dolor sit amet."),  # page gate drops it
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(
+        df, min_quality=0.0, max_dup_line_frac=1.0,
+        max_top_ngram_char_frac=1.0, max_dup_ngram_char_frac=1.0,
+        redact_pii=False, dedup_strategy=None, c4_rules=True,
+    ).collect()
+    kept = {r.doc_id: r for r in out}
+    assert set(kept) == {1, 2}
+    assert kept[1].text == good                       # survives untouched
+    assert kept[2].text == c4_clean_py(rows[1][1])[0]
+    assert "javascript" not in kept[2].text.lower()   # the offending line is gone
+    assert "c4_keep" not in kept[1].asDict()          # working columns dropped
