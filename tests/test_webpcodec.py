@@ -659,3 +659,71 @@ def test_webp_anim_hostile_inputs():
                         (b"ANMF", anmf_geo)])
     with pytest.raises(ValueError, match="disagrees"):
         list(iter_webp_frames(bad4))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(4, 16),    # canvas w
+    st.integers(4, 14),    # canvas h
+    st.integers(1, 6),     # frames
+    st.integers(0, 2**32 - 1),
+)
+def test_webp_anim_property_roundtrip(w, h, n, seed):
+    """Random animations (full first frame, then random even-offset
+    subrects with random blend/dispose/alpha) must (a) survive the
+    encode→iterate round-trip against a plain numpy compositor and (b)
+    sample identically to the full iteration at every stride."""
+    from etlpy_spark.functions.webpcodec import encode_webp_anim, iter_webp_frames
+
+    rng = np.random.default_rng(seed)
+    bg = tuple(int(x) for x in rng.integers(0, 256, 4))
+    frames, offsets, blend, dispose = [], [], [], []
+    for i in range(n):
+        if i == 0:
+            fh, fw, x, y = h, w, 0, 0
+        else:
+            fw = int(rng.integers(1, w + 1))
+            fh = int(rng.integers(1, h + 1))
+            x = int(rng.integers(0, (w - fw) // 2 + 1)) * 2
+            y = int(rng.integers(0, (h - fh) // 2 + 1)) * 2
+        px = rng.integers(0, 256, (fh, fw, 4), dtype=np.uint8)
+        if not rng.integers(0, 2):
+            px[:, :, 0] = 255  # opaque frame
+        frames.append(px)
+        offsets.append((x, y))
+        blend.append(bool(rng.integers(0, 2)) if i else False)
+        dispose.append(bool(rng.integers(0, 2)))
+    blob = encode_webp_anim(frames, offsets=offsets, blend=blend,
+                            dispose=dispose, canvas=(w, h), bg=bg)
+
+    # plain numpy compositor (independent of the module's canvas code)
+    canvas = np.empty((h, w, 4), dtype=np.float64)
+    canvas[:] = np.array(bg, dtype=np.float64)[None, None, [3, 0, 1, 2]]  # a,r,g,b
+    canvas = canvas[:, :, [1, 2, 3, 0]]  # -> r,g,b,a
+    expected = []
+    for i, (px, (x, y), bl, dp) in enumerate(zip(frames, offsets, blend, dispose)):
+        fh, fw = px.shape[:2]
+        reg = canvas[y : y + fh, x : x + fw]
+        sa = px[:, :, 0].astype(np.float64) / 255.0
+        src = px[:, :, 1:].astype(np.float64)
+        if bl:
+            da = reg[:, :, 3] / 255.0
+            oa = sa + da * (1 - sa)
+            out = (src * sa[:, :, None] + reg[:, :, :3] * (da * (1 - sa))[:, :, None]) / np.maximum(oa, 1e-12)[:, :, None]
+            reg[:, :, :3] = np.clip(np.rint(out), 0, 255)
+            reg[:, :, 3] = np.clip(np.rint(oa * 255.0), 0, 255)
+        else:
+            reg[:, :, :3] = src
+            reg[:, :, 3] = px[:, :, 0]
+        a = canvas[:, :, 3] / 255.0
+        rgb = canvas[:, :, :3] * a[:, :, None] + 255.0 * (1 - a[:, :, None])
+        expected.append(np.clip(np.rint(rgb), 0, 255).astype(np.uint8))
+        if dp:
+            canvas[y : y + fh, x : x + fw] = np.array(bg, dtype=np.float64)[None, None, [0, 1, 2, 3]]
+    got = list(iter_webp_frames(blob))
+    assert len(got) == n
+    for (idx, px, _), exp in zip(got, expected):
+        np.testing.assert_array_equal(px, exp)
+    for stride in (2, 3):
+        for idx, px, _ in iter_webp_frames(blob, every_n=stride):
+            np.testing.assert_array_equal(px, expected[idx])
