@@ -282,11 +282,11 @@ def test_lossy_format_crawl_psnr_gate(spark, lossy_fmt):
         shutil.rmtree(wd, ignore_errors=True)
 
 
-@pytest.mark.parametrize("fmt", ["bmp", "gif"])
+@pytest.mark.parametrize("fmt", ["bmp", "gif", "webp"])
 def test_bmp_gif_format_crawl_parity(spark, fmt):
     """Round-4 containers on the crawl path end-to-end: with the web
-    serving BMP (lossless — decoded pixels must equal the rendered
-    originals exactly) or GIF (palette format — the cube quantization is
+    serving BMP or WebP-VP8L (lossless — decoded pixels must equal the
+    rendered originals exactly) or GIF (palette format — the cube quantization is
     deterministic, so the crawl still matches the serial oracle bitwise
     and pHash-exactly; PSNR is finite but not gated, a format property
     documented in functions/gifcodec.py)."""
@@ -312,8 +312,8 @@ def test_bmp_gif_format_crawl_parity(spark, fmt):
             px = decode(bytes(got.bytes))
             orig = render_pixels(iid, web.seed, web.dim_scale)
             assert px.shape == orig.shape
-            if fmt == "bmp":
-                assert np.array_equal(px, orig)  # lossless container
+            if fmt in ("bmp", "webp"):
+                assert np.array_equal(px, orig)  # lossless containers
             else:
                 assert psnr(px, orig) > 20.0  # deterministic cube quantizer
     finally:
