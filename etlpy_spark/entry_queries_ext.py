@@ -323,16 +323,86 @@ def _warc_fixture_dir() -> str:
         archive_synthetic_web(
             WebConfig(n_hosts=2, n_cats=2, pages_per_cat=6), d, segments=2
         )
+        _write_wire_segment(d)
         _WARC_FIXTURE["dir"] = d
     return _WARC_FIXTURE["dir"]
 
 
+def _write_wire_segment(d: str) -> None:
+    """A third segment exercising the real-web wire paths under the
+    driver hash: charset-declared cp1252 and GBK pages, a UTF-16LE BOM
+    page, gzip / chunked / chunked+gzip HTTP bodies (sources/warc.py
+    decodes them in iter_warc_records), and a brotli-marked record that
+    must be EXCLUDED from the corpus (undecodable here — typed, not
+    garbled). Deterministic bytes: fixed zlib level, fixed chunking."""
+    import os
+    import zlib
+
+    from etlpy_spark.sources.warc import write_warc
+
+    def chunked(body: bytes, n: int = 13) -> bytes:
+        out = bytearray()
+        for i in range(0, len(body), n):
+            piece = body[i : i + n]
+            out += f"{len(piece):x}".encode() + b"\r\n" + piece + b"\r\n"
+        out += b"0\r\n\r\n"
+        return bytes(out)
+
+    def gz(body: bytes) -> bytes:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(body) + co.flush()
+
+    cafe = "<html><body><p>café – naïve prose for the charset path.</p></body></html>"
+    zhong = "<html><head><meta charset=\"gb2312\"></head><body>中文网页正文。</body></html>"
+    plain = "<html><body><p>plain utf-8 body, wire-compressed.</p></body></html>"
+    recs = [
+        {"warc_type": "response", "url": "http://wire.example/cp1252",
+         "http_status": 200,
+         "http_content_type": "text/html; charset=windows-1252",
+         "payload": cafe.encode("cp1252"),
+         "date": "2026-02-01T00:00:00Z"},
+        {"warc_type": "response", "url": "http://wire.example/gbk",
+         "http_status": 200, "http_content_type": "text/html",
+         "payload": zhong.encode("gbk"),
+         "date": "2026-02-01T00:00:01Z"},
+        {"warc_type": "response", "url": "http://wire.example/utf16",
+         "http_status": 200, "http_content_type": "text/html",
+         "payload": "﻿".encode("utf-16-le") + cafe.encode("utf-16-le"),
+         "date": "2026-02-01T00:00:02Z"},
+        {"warc_type": "response", "url": "http://wire.example/gzip",
+         "http_status": 200, "http_content_type": "text/html",
+         "http_headers": {"Content-Encoding": "gzip"},
+         "payload": gz(plain.encode()),
+         "date": "2026-02-01T00:00:03Z"},
+        {"warc_type": "response", "url": "http://wire.example/chunked",
+         "http_status": 200, "http_content_type": "text/html",
+         "http_headers": {"Transfer-Encoding": "chunked"},
+         "payload": chunked(plain.encode()),
+         "date": "2026-02-01T00:00:04Z"},
+        {"warc_type": "response", "url": "http://wire.example/chunked-gzip",
+         "http_status": 200, "http_content_type": "text/html",
+         "http_headers": {"Transfer-Encoding": "chunked",
+                          "Content-Encoding": "gzip"},
+         "payload": chunked(gz(plain.encode())),
+         "date": "2026-02-01T00:00:05Z"},
+        {"warc_type": "response", "url": "http://wire.example/brotli",
+         "http_status": 200, "http_content_type": "text/html",
+         "http_headers": {"Content-Encoding": "br"},
+         "payload": b"\x0b\x02\x80undecodable-here",
+         "date": "2026-02-01T00:00:06Z"},
+    ]
+    write_warc(os.path.join(d, "seg-wire.warc.gz"), recs)
+
+
 def q_warc_documents(spark, sf_dir):
     """warc_to_documents: WARC segments → documents-shaped rows (HTML
-    responses tag-stripped to visible text) — the Common Crawl front door
-    of the corpus pipeline. Output (url, n_chars, text_md5) so the hash
-    pins the EXACT extracted text; oracle = serial iter_warc_records +
-    html_to_text replica over the same segments."""
+    responses charset-decoded then tag-stripped to visible text) — the
+    Common Crawl front door of the corpus pipeline. The fixture includes
+    a wire segment: cp1252/GBK/UTF-16-BOM charsets and gzip/chunked/
+    chunked+gzip HTTP bodies all under the hash, plus a brotli-marked
+    record the corpus must EXCLUDE. Output (url, n_chars, text_md5) so
+    the hash pins the EXACT extracted text; oracle = serial
+    iter_warc_records + decode_html_bytes + html_to_text replica."""
     from etlpy_spark.sources.warc import warc_to_documents
 
     docs = warc_to_documents(spark, _warc_fixture_dir() + "/*.warc.gz")
@@ -347,15 +417,22 @@ def _warc_documents_oracle() -> str:
     import glob
     import hashlib
 
+    from etlpy_spark.functions.charset import decode_html_bytes
     from etlpy_spark.sources.warc import html_to_text, iter_warc_records
 
     rows = []
     for f in sorted(glob.glob(_warc_fixture_dir() + "/*.warc.gz")):
         for rec in iter_warc_records(open(f, "rb").read()):
-            if rec["warc_type"] == "response" and str(
-                rec.get("http_content_type", "")
-            ).startswith("text/html"):
-                text = html_to_text(rec["payload"].decode("utf-8", "replace"))
+            if (
+                rec["warc_type"] == "response"
+                and str(rec.get("http_content_type", "")).startswith("text/html")
+                # same rule as warc_to_documents: only fully-decoded
+                # entities (chunked/gzip/deflate undone; brotli excluded)
+                and rec.get("http_content_encoding", "") == ""
+            ):
+                text = html_to_text(decode_html_bytes(
+                    rec["payload"], str(rec.get("http_content_type", ""))
+                ))
                 rows.append((
                     rec["url"], len(text),
                     hashlib.md5(text.encode()).hexdigest(),
