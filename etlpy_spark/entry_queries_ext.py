@@ -34,6 +34,41 @@ _PARA_ROWS = [("h1", "Accept: text/html\nHost: example.com"), ("h2", "a: 1\nb: 2
 _PRASE_BASE = "http://site.example/list?cat=shoes&page=7"
 _PRASE_TPL = "http://site.example/view/[cat]/p[page]"
 
+# sitemap + robots fixtures for the discovery rows of spider_helpers —
+# pure deterministic bytes; the oracle replays the same parse functions
+_SM_URLSET = (
+    '<?xml version="1.0"?>'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    "<url><loc>http://sm.example/p1</loc><priority>0.8</priority></url>"
+    "<url><loc>http://sm.example/p2</loc><lastmod>2026-03-01</lastmod></url>"
+    "</urlset>"
+).encode()
+_SM_INDEX = (
+    "<sitemapindex>"
+    "<sitemap><loc>http://sm.example/a.xml</loc></sitemap>"
+    "<sitemap><loc>http://sm.example/b.xml.gz</loc></sitemap>"
+    "</sitemapindex>"
+).encode()
+
+
+def _sitemap_blobs():
+    import gzip
+
+    return [
+        ("http://sm.example/idx.xml", _SM_INDEX),
+        ("http://sm.example/a.xml", _SM_URLSET),
+        ("http://sm.example/b.xml.gz", gzip.compress(_SM_URLSET, compresslevel=6)),
+    ]
+
+
+_ROBOTS_ROWS = [
+    ("hostA", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+              "Crawl-delay: 2\nSitemap: http://hostA/sm.xml\n"),
+    ("hostB", "User-agent: etlpy-spark\nDisallow: /*.php$\n\n"
+              "User-agent: *\nDisallow: /\n"),
+]
+_ROBOTS_PROBES = ["/private/x", "/private/ok/y", "/index.php", "/index.php?x=1", "/open"]
+
 
 def _prase_url(base: str, template: str) -> str:
     """Reference spider.py:109-113 PraseURL: substitute [param] from the
@@ -581,7 +616,11 @@ def q_spider_helpers(spark, sf_dir):
     (spider.py:109-113) in one (id, k, v) stream — via the PACKAGED
     functions (etlpy_spark/functions/url.py), generic over query-string
     keys: the template's [param] placeholders are discovered from the
-    template itself, exactly like the reference's generic loop."""
+    template itself, exactly like the reference's generic loop. Round 5
+    widens the stream with seed DISCOVERY: sitemap entries (index +
+    urlset + gzip, sources/sitemap.py) and RFC 9309 robots policies
+    (rules, Crawl-delay, Sitemap lines, longest-match allowed() probes,
+    functions/robots.py), both parsed distributed."""
     from etlpy_spark.functions.url import para2dict, prase_url
 
     df = spark.createDataFrame(_PARA_ROWS, "id string, headers string")
@@ -591,7 +630,53 @@ def q_spider_helpers(spark, sf_dir):
     prase = base.select(
         "id", F.lit("url").alias("k"), prase_url("base", _PRASE_TPL).alias("v")
     )
-    return para.unionByName(prase)
+
+    # round 5: seed discovery under the same hash — sitemap entries parsed
+    # DISTRIBUTED (sources/sitemap.py, one mapInPandas over fetched blobs:
+    # index + urlset + gzip variants) and robots.txt policies parsed
+    # distributed (functions/robots.py: groups, wildcard/$ rules,
+    # longest-match probes, Crawl-delay, Sitemap lines)
+    from etlpy_spark.sources.sitemap import sitemap_entries
+
+    blobs = spark.createDataFrame(_sitemap_blobs(), "url string, bytes binary")
+    sm = sitemap_entries(spark, blobs).select(
+        F.concat(F.lit("sm|"), "source").alias("id"),
+        F.col("kind").alias("k"),
+        F.concat_ws(
+            "|", "loc",
+            F.coalesce("lastmod", F.lit("-")),
+            F.coalesce(F.format_number("priority", 1), F.lit("-")),
+        ).alias("v"),
+    )
+
+    rob_src = spark.createDataFrame(_ROBOTS_ROWS, "host string, txt string")
+
+    def parse_rb(batches):
+        import pandas as pd
+
+        from etlpy_spark.functions.robots import parse_robots
+
+        for pdf in batches:
+            out = {"id": [], "k": [], "v": []}
+
+            def add(h, k, v):
+                out["id"].append("rb|" + h)
+                out["k"].append(k)
+                out["v"].append(v)
+
+            for h, txt in zip(pdf["host"], pdf["txt"]):
+                pol = parse_robots(txt, "etlpy-spark")
+                for allow, pat in pol.rules:
+                    add(h, "allow" if allow else "disallow", pat)
+                add(h, "crawl_delay", f"{pol.crawl_delay:.1f}")
+                for s in pol.sitemaps:
+                    add(h, "sitemap", s)
+                for p in _ROBOTS_PROBES:
+                    add(h, "allowed:" + p, str(pol.allowed(p)).lower())
+            yield pd.DataFrame(out)
+
+    rob = rob_src.mapInPandas(parse_rb, schema="id string, k string, v string")
+    return para.unionByName(prase).unionByName(sm).unionByName(rob)
 
 
 # --------------------------------------------------------------------------
@@ -672,12 +757,31 @@ def _bfs_ge_oracle() -> str:
 
 
 def _spider_helpers_oracle() -> str:
+    from etlpy_spark.functions.robots import parse_robots
+    from etlpy_spark.sources.sitemap import parse_sitemap
+
     rows = []
     for rid, text in _PARA_ROWS:
         for kv in text.split("\n"):
             k, v = kv.split(": ", 1)
             rows.append((rid, k, v))
     rows.append(("u1", "url", _prase_url(_PRASE_BASE, _PRASE_TPL)))
+    for src, blob in _sitemap_blobs():
+        for e in parse_sitemap(blob):
+            pr = "-" if e["priority"] is None else f"{e['priority']:.1f}"
+            rows.append((
+                "sm|" + src, e["kind"],
+                f"{e['loc']}|{e['lastmod'] or '-'}|{pr}",
+            ))
+    for host, txt in _ROBOTS_ROWS:
+        pol = parse_robots(txt, "etlpy-spark")
+        for allow, pat in pol.rules:
+            rows.append(("rb|" + host, "allow" if allow else "disallow", pat))
+        rows.append(("rb|" + host, "crawl_delay", f"{pol.crawl_delay:.1f}"))
+        for s in pol.sitemaps:
+            rows.append(("rb|" + host, "sitemap", s))
+        for p in _ROBOTS_PROBES:
+            rows.append(("rb|" + host, "allowed:" + p, str(pol.allowed(p)).lower()))
     return _values(rows, "id, k, v")
 
 
