@@ -199,3 +199,64 @@ def read_webdataset(spark, path: str):
     members must still fit in memory (they are one row)."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(_wds_rows, schema=WDS_DDL)
+
+
+EXPORT_DDL = "shard string, n_samples long, n_bytes long"
+
+
+def export_webdataset(df, out_dir: str, n_shards: int,
+                      key_col: str = "key", files_col: str = "files") -> list:
+    """Distributed WebDataset EXPORT — the other half of the training
+    loop: a Spark frame of keyed multimodal samples (``key string,
+    files map<string, binary>`` — the read_webdataset shape, or the
+    crawl images table after a one-line select) becomes ``n_shards``
+    tar shards named ``shard-{i:05d}.tar``.
+
+    100 TB shape: one shard per partition, written EXECUTOR-SIDE with a
+    streaming tarfile (constant memory per task — a member is in memory
+    only while being appended, never the whole shard); `repartition(n,
+    key)` spreads samples deterministically by key hash and
+    `sortWithinPartitions(key)` fixes member order, so the same input
+    produces byte-identical shards on any cluster size or retry
+    schedule. Retry/speculation-safe by the house writer protocol: tmp
+    file + os.replace, first rename wins, duplicate attempts produce
+    identical bytes. Returns the committed (shard, n_samples, n_bytes)
+    rows."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(out_dir, f"shard-{pid:05d}.tar")
+        tmp = final + f".inprogress-{os.getpid()}"
+        n = 0
+        with tarfile.open(tmp, "w") as tf:
+            for pdf in batches:
+                for key, files in zip(pdf["key"], pdf["files"]):
+                    for ext, blob in sorted(files.items()):
+                        blob = bytes(blob)
+                        info = tarfile.TarInfo(name=f"{key}.{ext}")
+                        info.size = len(blob)
+                        tf.addfile(info, io.BytesIO(blob))
+                    n += 1
+        size = os.path.getsize(tmp)
+        os.replace(tmp, final)  # atomic; retries overwrite with same bytes
+        yield pd.DataFrame({
+            "shard": [os.path.basename(final)],
+            "n_samples": [n],
+            "n_bytes": [size],
+        })
+
+    out = (
+        df.select(F.col(key_col).alias("key"), F.col(files_col).alias("files"))
+        .repartition(n_shards, "key")
+        .sortWithinPartitions("key")
+        .mapInPandas(write, schema=EXPORT_DDL)
+    )
+    return sorted(out.collect(), key=lambda r: r.shard)

@@ -136,3 +136,67 @@ def test_read_zip_matches_serial(spark, tmp_path):
     assert len(rows) == 6
     for r in rows:
         assert bytes(r.bytes) == truth[r.name]
+
+
+# -- distributed export -------------------------------------------------------
+
+
+def test_export_webdataset_roundtrip_and_determinism(spark, tmp_path):
+    from etlpy_spark.sources.webdataset import export_webdataset, read_webdataset
+
+    samples = [
+        (f"{i:05d}", {"jpg": bytes([i % 251]) * (50 + i), "txt": f"caption {i}".encode()})
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(k, f) for k, f in samples], "key string, files map<string, binary>"
+    )
+    out1 = str(tmp_path / "wds1")
+    stats = export_webdataset(df, out1, n_shards=4)
+    assert [r.shard for r in stats] == [f"shard-{i:05d}.tar" for i in range(4)]
+    assert sum(r.n_samples for r in stats) == 40
+
+    back = read_webdataset(spark, out1 + "/shard-*.tar").collect()
+    got = {r.key: {e: bytes(b) for e, b in r.files.items()} for r in back}
+    assert got == dict(samples)
+
+    # byte-identical re-export (any cluster size / retry schedule)
+    out2 = str(tmp_path / "wds2")
+    export_webdataset(df.repartition(7), out2, n_shards=4)
+    for i in range(4):
+        a = (tmp_path / "wds1" / f"shard-{i:05d}.tar").read_bytes()
+        b = (tmp_path / "wds2" / f"shard-{i:05d}.tar").read_bytes()
+        assert a == b, i
+
+
+def test_export_webdataset_from_crawl_images(spark, tmp_path):
+    """The training-loop close: crawl images table → tar shards → keyed
+    samples with image bytes + caption sidecar."""
+    from etlpy_spark.crawl.frontier import CrawlConfig, SparkCrawler
+    from etlpy_spark.sources.synthetic_web import WebConfig, seed_urls
+    from etlpy_spark.sources.webdataset import export_webdataset, read_webdataset
+    from pyspark.sql import functions as F
+
+    web = WebConfig(n_hosts=3, n_cats=2, pages_per_cat=5, politeness_budget=3,
+                    max_links=2, max_images=2)
+    cr = SparkCrawler(spark, str(tmp_path / "wd"),
+                      CrawlConfig(web=web, n_shards=2, n_buckets=4,
+                                  write_metrics=False))
+    cr.run(seed_urls(web, n_per_host=1), max_rounds=1)
+    images = cr.images.read().filter(F.col("decode_error").isNull())
+    n_img = images.count()
+    assert n_img > 0
+    df = images.select(
+        F.col("image_id").alias("key"),
+        F.create_map(
+            F.col("fmt"), F.col("bytes"),
+            F.lit("txt"), F.encode("caption", "UTF-8"),
+        ).alias("files"),
+    )
+    out = str(tmp_path / "shards")
+    stats = export_webdataset(df, out, n_shards=3)
+    assert sum(r.n_samples for r in stats) == n_img
+    back = read_webdataset(spark, out + "/shard-*.tar")
+    assert back.count() == n_img
+    one = back.orderBy("key").head()
+    assert "txt" in one.exts and len(one.exts) == 2
