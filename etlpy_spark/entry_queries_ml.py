@@ -119,14 +119,25 @@ def q_text_suite(spark, sf_dir):
 def q_image_pipeline(spark, sf_dir):
     """decode → features (w/h/fmt/pHash) on originals, plus resize(16) →
     re-decode on thumbnails — the full image column pipeline, mapInPandas
-    with numpy kernels."""
+    with numpy kernels. Round 5 widens the originals stage with the
+    curation-gate quality signals (aHash/dHash/wHash, Laplacian blur
+    variance, luma entropy, colourfulness, border uniformity, edge
+    density — functions/imagequality.py), putting the whole quality suite
+    under the driver hash; thumbnails carry NULL quality columns (the
+    gate runs on originals before resize in a real pipeline)."""
     imgs = mm.synthetic_images_df(spark, n=200)
-    orig = mm.decode_image_features(imgs).select(
-        "image_id", F.lit("orig").alias("stage"), "w", "h", "fmt", "phash"
+    qcols = ("ahash", "dhash", "whash", "blur_var", "entropy",
+             "colorfulness", "border_uniformity", "edge_density")
+    orig = (
+        mm.decode_image_features(imgs)
+        .select("image_id", F.lit("orig").alias("stage"), "w", "h", "fmt", "phash")
+        .join(mm.image_quality_features(imgs), "image_id")
     )
     thumbs = mm.resize_images(imgs, size=16)
     thumb = mm.decode_image_features(thumbs).select(
-        "image_id", F.lit("thumb").alias("stage"), "w", "h", "fmt", "phash"
+        "image_id", F.lit("thumb").alias("stage"), "w", "h", "fmt", "phash",
+        *[F.lit(None).cast("long" if c in ("ahash", "dhash", "whash") else "double").alias(c)
+          for c in qcols],
     )
     return orig.unionByName(thumb)
 
@@ -759,16 +770,24 @@ def _image_pipeline_oracle(n: int = 200, size: int = 16) -> str:
         sniff_format,
     )
 
+    from etlpy_spark.functions.imagequality import quality_features
+
+    qkeys = ("ahash", "dhash", "whash", "blur_var", "entropy",
+             "colorfulness", "border_uniformity", "edge_density")
     rows = []
     for i in range(n):
         iid = f"img-{i:012d}"
         b = image_bytes(iid)
         px = decode(b)
         h, w, _ = px.shape
-        rows.append((iid, "orig", w, h, sniff_format(b), phash64(px)))
+        q = quality_features(px)
+        rows.append((iid, "orig", w, h, sniff_format(b), phash64(px))
+                    + tuple(q[k] for k in qkeys))
         tb = encode_ppm(resize_area(px, size))  # kernel shared with resize_images
-        rows.append((iid, "thumb", size, size, sniff_format(tb), phash64(decode(tb))))
-    return _values(rows, "image_id, stage, w, h, fmt, phash")
+        rows.append((iid, "thumb", size, size, sniff_format(tb), phash64(decode(tb)))
+                    + (None,) * len(qkeys))
+    cols = "image_id, stage, w, h, fmt, phash, " + ", ".join(qkeys)
+    return _values(rows, cols)
 
 
 def _phash_near_dup_oracle(n: int = 120, max_hamming: int = 3) -> str:

@@ -52,6 +52,59 @@ def decode_image_features(df: DataFrame, id_col: str = "image_id",
     return df.select(*cols).mapInPandas(run, schema=IMAGE_META_DDL)
 
 
+QUALITY_DDL = (
+    "image_id string, ahash long, dhash long, whash long, blur_var double, "
+    "entropy double, colorfulness double, border_uniformity double, "
+    "edge_density double"
+)
+
+
+def image_quality_features(df: DataFrame, id_col: str = "image_id",
+                           bytes_col: str = "bytes") -> DataFrame:
+    """binary → the curation-gate signal set (aHash/dHash/wHash perceptual
+    hashes, Laplacian-variance blur score, luma entropy, Hasler-Süsstrunk
+    colourfulness, border uniformity, edge density — see
+    functions/imagequality.py). One Arrow batch per partition, numpy per
+    image inside; undecodable bytes raise (compose with decode_or_error
+    upstream when the input is untrusted)."""
+    cols = (id_col, bytes_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etlpy_spark.functions.imagecodec import decode
+        from etlpy_spark.functions.imagequality import quality_features
+
+        keys = ("ahash", "dhash", "whash", "blur_var", "entropy",
+                "colorfulness", "border_uniformity", "edge_density")
+        for pdf in batches:
+            out = {k: [] for k in ("image_id",) + keys}
+            for iid, data in zip(pdf[cols[0]], pdf[cols[1]]):
+                q = quality_features(decode(bytes(data)))
+                out["image_id"].append(iid)
+                for k in keys:
+                    out[k].append(q[k])
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(run, schema=QUALITY_DDL)
+
+
+def quality_gate(df: DataFrame, min_dim: int = 32, max_aspect: float = 8.0,
+                 min_entropy: float = 1.0, min_blur_var: float = 4.0,
+                 max_border_uniformity: float = 0.999) -> DataFrame:
+    """Pure-Column curation gate over already-computed feature columns
+    (w, h from decode_image_features; entropy/blur_var/border_uniformity
+    from image_quality_features): minimum dimension, maximum aspect ratio,
+    minimum information content, minimum sharpness, and a solid-border
+    rejector. Catalyst-evaluated — no Python, pushes down to the scan."""
+    aspect = F.greatest(F.col("w"), F.col("h")) / F.least(F.col("w"), F.col("h"))
+    return df.filter(
+        (F.least(F.col("w"), F.col("h")) >= F.lit(min_dim))
+        & (aspect <= F.lit(max_aspect))
+        & (F.col("entropy") >= F.lit(min_entropy))
+        & (F.col("blur_var") >= F.lit(min_blur_var))
+        & (F.col("border_uniformity") <= F.lit(max_border_uniformity))
+    )
+
+
 def resize_images(df: DataFrame, size: int = 16, id_col: str = "image_id",
                   bytes_col: str = "bytes") -> DataFrame:
     """Area-average (anti-aliased box) resize to size×size, re-encoded as
