@@ -359,8 +359,50 @@ def _warc_fixture_dir() -> str:
             WebConfig(n_hosts=2, n_cats=2, pages_per_cat=6), d, segments=2
         )
         _write_wire_segment(d)
+        _write_article_segment(d)
         _WARC_FIXTURE["dir"] = d
     return _WARC_FIXTURE["dir"]
+
+
+def _write_article_segment(d: str) -> None:
+    """A fourth segment of article-shaped pages so boilerplate removal
+    (functions/boilerplate.py) is non-trivially pinned under the driver
+    hash: nav/breadcrumb/footer chrome around real paragraphs, a
+    near-block promotion case, a link farm, and a pure-navigation page
+    whose main_text must be EMPTY while its WET text is not."""
+    import os
+
+    from etlpy_spark.sources.warc import write_warc
+
+    nav = ('<nav><a href="/">Home</a> <a href="/news">News</a> '
+           '<a href="/sport">Sport</a> <a href="/arts">Arts</a></nav>')
+    foot = '<footer>© 2026 Example News — <a href="/terms">Terms</a></footer>'
+    p1 = ("The committee published its findings on Tuesday after a nine "
+          "month inquiry into the safety of the eastern river crossing.")
+    p2 = ("Engineers told the inquiry that the load sensors had been "
+          "reporting anomalies for weeks before the closure was ordered.")
+    short = "The report runs to 142 pages."
+    farm = " ".join(f'<a href="/t/{i}">related story number {i}続き</a>' for i in range(12))
+    pages = [
+        ("http://art.example/story", f"<html><body>{nav}<div class='crumbs'>"
+         f"<a href='/'>Home</a> &gt; <a href='/news'>News</a></div>"
+         f"<article><p>{p1}</p><p>{short}</p><p>{p2}</p></article>"
+         f"<aside><p>{farm}</p></aside>{foot}</body></html>"),
+        ("http://art.example/linkfarm", f"<html><body>{nav}<div>{farm}</div>"
+         f"<p>{p2}</p>{foot}</body></html>"),
+        ("http://art.example/navonly", f"<html><body>{nav}<ul>"
+         + "".join(f"<li><a href='/s/{i}'>section {i}</a></li>" for i in range(8))
+         + f"</ul>{foot}</body></html>"),
+        ("http://art.example/unclosed", f"<html><body><p>{p1}<br>{p2}"),
+    ]
+    recs = [
+        {"warc_type": "response", "url": u, "http_status": 200,
+         "http_content_type": "text/html; charset=utf-8",
+         "payload": html.encode("utf-8"),
+         "date": f"2026-02-02T00:00:{i:02d}Z"}
+        for i, (u, html) in enumerate(pages)
+    ]
+    write_warc(os.path.join(d, "seg-articles.warc.gz"), recs)
 
 
 def _write_wire_segment(d: str) -> None:
@@ -435,16 +477,24 @@ def q_warc_documents(spark, sf_dir):
     Common Crawl front door of the corpus pipeline. The fixture includes
     a wire segment: cp1252/GBK/UTF-16-BOM charsets and gzip/chunked/
     chunked+gzip HTTP bodies all under the hash, plus a brotli-marked
-    record the corpus must EXCLUDE. Output (url, n_chars, text_md5) so
-    the hash pins the EXACT extracted text; oracle = serial
-    iter_warc_records + decode_html_bytes + html_to_text replica."""
+    record the corpus must EXCLUDE, and an article segment pinning
+    boilerplate removal (functions/boilerplate.py): chrome-wrapped
+    paragraphs kept, near-block promotion, a link farm rejected, and a
+    pure-navigation page whose main_text must be EMPTY. Output
+    (url, n_chars, text_md5, main_n_chars, main_md5) so the hash pins
+    the EXACT extracted text of BOTH the WET pass and the main-content
+    pass; oracle = serial iter_warc_records + decode_html_bytes +
+    html_to_text + extract_main_content replica."""
     from etlpy_spark.sources.warc import warc_to_documents
 
-    docs = warc_to_documents(spark, _warc_fixture_dir() + "/*.warc.gz")
+    docs = warc_to_documents(spark, _warc_fixture_dir() + "/*.warc.gz",
+                             main_content=True)
     return docs.select(
         "url",
         F.length("text").cast("long").alias("n_chars"),
         F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.length("main_text").cast("long").alias("main_n_chars"),
+        F.md5(F.encode("main_text", "UTF-8")).alias("main_md5"),
     )
 
 
@@ -452,6 +502,7 @@ def _warc_documents_oracle() -> str:
     import glob
     import hashlib
 
+    from etlpy_spark.functions.boilerplate import extract_main_content
     from etlpy_spark.functions.charset import decode_html_bytes
     from etlpy_spark.sources.warc import html_to_text, iter_warc_records
 
@@ -465,18 +516,22 @@ def _warc_documents_oracle() -> str:
                 # entities (chunked/gzip/deflate undone; brotli excluded)
                 and rec.get("http_content_encoding", "") == ""
             ):
-                text = html_to_text(decode_html_bytes(
+                html = decode_html_bytes(
                     rec["payload"], str(rec.get("http_content_type", ""))
-                ))
+                )
+                text = html_to_text(html)
+                main = extract_main_content(html)
                 rows.append((
                     rec["url"], len(text),
                     hashlib.md5(text.encode()).hexdigest(),
+                    len(main), hashlib.md5(main.encode()).hexdigest(),
                 ))
-    inner = _values(rows, "url, n_chars, text_md5")
+    inner = _values(rows, "url, n_chars, text_md5, main_n_chars, main_md5")
     # BIGINT cast: Spark's length().cast('long') vs VALUES' INT32 would
     # hash-mismatch on representation even with identical values
     return (
-        "SELECT url, CAST(n_chars AS BIGINT) AS n_chars, text_md5 "
+        "SELECT url, CAST(n_chars AS BIGINT) AS n_chars, text_md5, "
+        "CAST(main_n_chars AS BIGINT) AS main_n_chars, main_md5 "
         f"FROM ({inner}) AS w"
     )
 

@@ -262,14 +262,17 @@ def html_to_text(html: str) -> str:
     return " ".join(t.split())
 
 
-def warc_to_documents(spark, path: str):
+def warc_to_documents(spark, path: str, main_content: bool = False):
     """WARC archive(s) → a ``documents``-shaped DataFrame
     (doc_id, url, date, text): HTTP html responses charset-detected
     (functions/charset.py — BOM / Content-Type / meta tag / UTF-8
     validation / cp1252 fallback, the reference's meta-regex + chardet
     pipeline at spider.py:99,144-155 without the package) then
-    tag-stripped to visible text. The front door of the training-corpus
-    pipeline —
+    tag-stripped to visible text. With ``main_content=True`` an extra
+    ``main_text`` column carries the boilerplate-removed article body
+    (block-level link-density classifier, functions/boilerplate.py) —
+    the step between WET extraction and a training corpus. The front
+    door of the training-corpus pipeline —
     feed the result straight into ``operators.corpus.prepare_corpus``
     (annotate → quality/repetition filter → PII redact → dedup →
     sample → pack). Same parallel shape as :func:`read_warc`: one task
@@ -287,25 +290,30 @@ def warc_to_documents(spark, path: str):
     )
 
     def run(batches):
+        from etlpy_spark.functions.boilerplate import extract_main_content
         from etlpy_spark.functions.charset import decode_html_bytes
 
         for pdf in batches:
             out = {"doc_id": [], "url": [], "date": [], "text": []}
+            if main_content:
+                out["main_text"] = []
             for rid, u, d, ct, payload in zip(
                 pdf["record_id"], pdf["url"], pdf["date"],
                 pdf["http_content_type"], pdf["payload"]
             ):
+                html = decode_html_bytes(bytes(payload), ct or "")
                 out["doc_id"].append(rid)
                 out["url"].append(u)
                 out["date"].append(d)
-                out["text"].append(
-                    html_to_text(decode_html_bytes(bytes(payload), ct or ""))
-                )
+                out["text"].append(html_to_text(html))
+                if main_content:
+                    out["main_text"].append(extract_main_content(html))
             yield pd.DataFrame(out)
 
-    return recs.mapInPandas(
-        run, schema="doc_id string, url string, date string, text string"
-    )
+    schema = "doc_id string, url string, date string, text string"
+    if main_content:
+        schema += ", main_text string"
+    return recs.mapInPandas(run, schema=schema)
 
 
 def archive_synthetic_web(cfg, out_dir: str, segments: int = 3) -> int:
