@@ -316,8 +316,20 @@ def decode(data: bytes) -> np.ndarray:
     fmt = sniff_format(data)
     if fmt in ("avif", "heic", "jxl"):
         # next-gen codecs (AV1/HEVC intra, modular JXL) are out of
-        # from-scratch scope — refuse with the TYPE so the crawl's
-        # decode_error/fmt columns say what share of corpus each costs
+        # from-scratch scope; when the container ships libheif (dav1d /
+        # de265 plugins) AVIF and HEIC decode through it — otherwise
+        # refuse with the TYPE so the crawl's decode_error/fmt columns
+        # say what share of corpus each costs
+        if fmt in ("avif", "heic"):
+            from etlpy_spark.functions import nativecodecs
+
+            if nativecodecs.heif_available():
+                try:
+                    return nativecodecs.decode_heif_native(data)
+                except ValueError as e:
+                    # keep the sniffed TYPE leading the reason so triage
+                    # columns still say which format the corpus lost
+                    raise ValueError(f"{fmt}: {e}") from None
         raise ValueError(f"{fmt}: next-gen image codec, decode not implemented here")
     raise ValueError("unknown image format")
 

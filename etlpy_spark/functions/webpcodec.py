@@ -248,24 +248,36 @@ _CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 _T_PREDICTOR, _T_COLOR, _T_SUBTRACT_GREEN, _T_COLOR_INDEXING = 0, 1, 2, 3
 
 
-def _gen_plane_codes():
-    """The 120-entry short-distance (dx, dy) table.
-
-    The spec lists the 120 nearest pixels of the scanline-previous
-    neighborhood ordered by Euclidean distance, ties broken by larger dy
-    first, then positive dx before negative. Generated rather than typed;
-    tests pin the spec's published prefix."""
-    cands = []
-    for dy in range(0, 9):
-        for dx in range(-8, 9):
-            if dy == 0 and dx <= 0:
-                continue
-            cands.append((dx * dx + dy * dy, -dy, 0 if dx > 0 else 1, dx, dy))
-    cands.sort()
-    return tuple((dx, dy) for _, _, _, dx, dy in cands[:120])
-
-
-PLANE_CODES = _gen_plane_codes()
+# The 120-entry short-distance (dx, dy) table, spelled out from the
+# published spec list (the neighborhood is dy 0..7, dx -7..8). An earlier
+# revision GENERATED this by a nearest-first rule (Euclidean distance,
+# dy-then-sign tiebreak) which reproduces the spec's first 96 entries but
+# diverges over the tail ties (and wrongly admitted dy=8 candidates) —
+# found by the libwebp conformance suite (tests/test_nativecodecs.py):
+# real encoder streams using code 97+ mis-decoded. Codes 1..120 index this
+# table; dist = dy*xsize + dx (min 1); codes >120 are direct distances.
+PLANE_CODES = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+    (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+    (0, 3), (3, 0), (1, 3), (-1, 3), (3, 1), (-3, 1),
+    (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3),
+    (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5), (3, 4),
+    (-3, 4), (4, 3), (-4, 3), (5, 0), (1, 5), (-1, 5),
+    (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3),
+    (0, 6), (6, 0), (1, 6), (-1, 6), (6, 1), (-6, 1),
+    (2, 6), (-2, 6), (6, 2), (-6, 2), (4, 5), (-4, 5),
+    (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5),
+    (7, 1), (-7, 1), (4, 6), (-4, 6), (6, 4), (-6, 4),
+    (2, 7), (-2, 7), (7, 2), (-7, 2), (3, 7), (-3, 7),
+    (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1),
+    (8, 2), (6, 6), (-6, 6), (8, 3), (5, 7), (-5, 7),
+    (7, 5), (-7, 5), (8, 4), (6, 7), (-6, 7), (7, 6),
+    (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
 
 
 def _prefix_decode(br: BitReader, sym: int) -> int:
@@ -1007,8 +1019,11 @@ def webp_info(data: bytes) -> dict:
             return {"kind": "vp8l", "w": w, "h": h, "decodable": True,
                     "canvas": canvas or (w, h)}
         elif tag == b"VP8 ":
+            from etlpy_spark.functions import nativecodecs
+
             w, h = vp8_frame_dims(payload)
-            return {"kind": "vp8", "w": w, "h": h, "decodable": False,
+            return {"kind": "vp8", "w": w, "h": h,
+                    "decodable": nativecodecs.webp_available(),
                     "canvas": canvas or (w, h)}
     if anmf:
         if canvas is None:
@@ -1105,6 +1120,12 @@ def decode_webp(data: bytes) -> np.ndarray:
             argb = decode_vp8l(payload)
             break
         if tag == b"VP8 ":
+            from etlpy_spark.functions import nativecodecs
+
+            if nativecodecs.webp_available():
+                # system libwebp closes the VP8-lossy gap when present
+                # (container rule: baked-in lib, import-try gated)
+                return nativecodecs.decode_webp_native(data)
             return _decode_vp8_lossy(payload)
         if tag == b"VP8X":
             continue  # flags + canvas size; pixel chunks follow

@@ -326,15 +326,24 @@ def _vp8_keyframe_stub(w: int, h: int) -> bytes:
     )
 
 
-def test_vp8_frame_dims_and_lossy_refusal():
+def test_vp8_frame_dims_and_lossy_refusal(monkeypatch):
+    from etlpy_spark.functions import nativecodecs
     from etlpy_spark.functions.webpcodec import vp8_frame_dims
 
     payload = _vp8_keyframe_stub(320, 240)
     assert vp8_frame_dims(payload) == (320, 240)
     blob = mux_webp(b"VP8 ", payload)
+    # with libwebp present the stub (a header with no coefficient data)
+    # must still fail as a typed ValueError, never a crash
+    if nativecodecs.webp_available():
+        with pytest.raises(ValueError):
+            decode_webp(blob)
+        pxout, reason = decode_or_error(blob)
+        assert pxout is None and reason.startswith("ValueError")
+    # without libwebp: the honest from-scratch boundary with dims
+    monkeypatch.setattr(nativecodecs, "webp_available", lambda: False)
     with pytest.raises(ValueError, match=r"320x240.*not implemented"):
         decode_webp(blob)
-    # crawl-facing path: typed decode_error, never an ImportError/crash
     pxout, reason = decode_or_error(blob)
     assert pxout is None
     assert "VP8 lossy" in reason and "320x240" in reason
@@ -360,10 +369,13 @@ def test_webp_info_triage():
         "decodable": True,
         "canvas": (px.shape[1], px.shape[0]),
     }
-    # lossy: triaged (dims from the uncompressed header), not decodable
+    # lossy: triaged (dims from the uncompressed header); decodable
+    # exactly when the system libwebp is present
+    from etlpy_spark.functions import nativecodecs
+
     info = webp_info(mux_webp(b"VP8 ", _vp8_keyframe_stub(64, 48)))
     assert info["kind"] == "vp8" and (info["w"], info["h"]) == (64, 48)
-    assert info["decodable"] is False
+    assert info["decodable"] is nativecodecs.webp_available()
     # VP8X canvas wrapping a VP8L chunk: canvas reported from VP8X
     # VP8X payload: flags(1)+reserved(3), then canvas w-1 / h-1 as 24-bit LE
     vp8x = b"\x00\x00\x00\x00" + (15).to_bytes(3, "little") + (9).to_bytes(3, "little")
