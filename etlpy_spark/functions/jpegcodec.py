@@ -1215,15 +1215,68 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         ch = (hh * sv + vmax - 1) // vmax
         plane = _dequant_idct(coefs[cid], qtabs[tq], cby, cbx, ch, cw)
         if sh != hmax or sv != vmax:
-            # nearest-neighbor chroma upsample to full resolution
-            yi = (np.arange(hh) * sv) // vmax
-            xi = (np.arange(ww) * sh) // hmax
-            plane = plane[yi][:, xi]
+            plane = _upsample_chroma(plane, sh, sv, hmax, vmax, hh, ww)
         planes.append(plane)
     if len(planes) == 1:
         y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
         return np.repeat(y[..., None], 3, axis=2)
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def _fancy_up_h(p: np.ndarray) -> np.ndarray:
+    """libjpeg h2v1 fancy (triangular) horizontal 2x upsample, exact
+    integer math: out[2i] = (3*in[i] + in[i-1] + 1) >> 2,
+    out[2i+1] = (3*in[i] + in[i+1] + 2) >> 2, outermost samples
+    replicated verbatim. ``p`` is int32 sample rows."""
+    h, w = p.shape
+    left = np.concatenate([p[:, :1], p[:, :-1]], axis=1)
+    right = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    out = np.empty((h, 2 * w), dtype=np.int32)
+    out[:, 0::2] = (3 * p + left + 1) >> 2
+    out[:, 1::2] = (3 * p + right + 2) >> 2
+    out[:, 0] = p[:, 0]
+    out[:, -1] = p[:, -1]
+    return out
+
+
+def _upsample_chroma(plane: np.ndarray, sh: int, sv: int, hmax: int,
+                     vmax: int, hh: int, ww: int) -> np.ndarray:
+    """Chroma upsampling to full resolution. For the factor-2 cases real
+    web JPEGs use (4:2:0 h2v2, 4:2:2 h2v1) this is libjpeg's "fancy"
+    triangular filter with its exact integer rounding — the de-facto
+    reference decode (IJG libjpeg, and the JDK/libjpeg-turbo family);
+    nearest-neighbour replication (the other spec-legal choice) diverges
+    from those decoders by ~30 dB at chroma edges
+    (tests/test_jvm_conformance.py pins the agreement). Non-2x factors
+    fall back to nearest-neighbour."""
+    p = np.clip(plane.round(), 0, 255).astype(np.int32)
+    fh, fv = hmax // max(sh, 1), vmax // max(sv, 1)
+    if fh == 2 and fv == 1 and hmax == sh * 2 and vmax == sv:
+        up = _fancy_up_h(p)
+    elif fh == 2 and fv == 2 and hmax == sh * 2 and vmax == sv * 2:
+        h, w = p.shape
+        above = np.concatenate([p[:1], p[:-1]], axis=0)
+        below = np.concatenate([p[1:], p[-1:]], axis=0)
+        # vertical 3:1 column sums (4x scale), one pair of output rows
+        # per input row: top uses the row above as the far row, bottom
+        # the row below
+        top = 3 * p + above
+        bot = 3 * p + below
+        up = np.empty((2 * h, 2 * w), dtype=np.int32)
+        for k, colsum in ((0, top), (1, bot)):
+            left = np.concatenate([colsum[:, :1], colsum[:, :-1]], axis=1)
+            right = np.concatenate([colsum[:, 1:], colsum[:, -1:]], axis=1)
+            rows = np.empty((h, 2 * w), dtype=np.int32)
+            rows[:, 0::2] = (3 * colsum + left + 8) >> 4
+            rows[:, 1::2] = (3 * colsum + right + 7) >> 4
+            rows[:, 0] = (4 * colsum[:, 0] + 8) >> 4
+            rows[:, -1] = (4 * colsum[:, -1] + 7) >> 4
+            up[k::2] = rows
+    else:
+        yi = (np.arange(hh) * sv) // vmax
+        xi = (np.arange(ww) * sh) // hmax
+        return plane[yi][:, xi]
+    return up[:hh, :ww].astype(np.float64)
 
 
 # ---------------------------------------------------------------------------

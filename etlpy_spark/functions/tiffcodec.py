@@ -13,8 +13,10 @@ baseline spec plus the two compressors real scans use:
   (palette via the 16-bit ColorMap)
 - 1-bit bilevel and 8-bit samples
 - Compression 1 (none), 32773 (PackBits), 5 (TIFF-variant LZW — MSB-first
-  packing and the *early-change* width bump at 2^w−1, which is exactly
-  where it differs from the GIF LZW in gifcodec.py)
+  packing and the *early-change* width bump when the decoder's table
+  reaches 2^w−1 entries, one code earlier than the GIF LZW in
+  gifcodec.py; conformance against real libtiff/Java streams pinned by
+  tests/test_jvm_conformance.py)
 - Predictor 2 (horizontal differencing) for gray/RGB
 
 ``encode_tiff_ex`` emits every accepted variant (including a PackBits and
@@ -111,7 +113,17 @@ def tiff_lzw_encode(data: bytes) -> bytes:
         put(table[cur] if len(cur) > 1 else cur[0], width)
         table[key] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1:  # early change
+        # Width bump aligned with the REFERENCE decoders (libtiff, Java
+        # TIFFLZWDecompressor), which count ACTUAL table entries and
+        # switch at 2^w - 1 entries ("early change"): the decoder's
+        # first post-clear read appends nothing, so its entry count
+        # lags this counter by one — the encoder must therefore bump at
+        # next_code == 2^w for the stream's width changes to land on
+        # the same code boundary. An earlier revision bumped at
+        # 2^w - 1 here AND mirrored that in the decoder: every
+        # self-round-trip passed while real LZW TIFFs desynced at code
+        # 511 (caught by tests/test_jvm_conformance.py).
+        if next_code == (1 << width):
             if width < 12:
                 width += 1
             else:
@@ -134,18 +146,12 @@ def tiff_lzw_decode(data: bytes, expect: int) -> bytes:
     width = 9
     table: list[bytes] = []
     prev = b""
-    # mirrors the encoder's insert counter exactly (one per code READ),
-    # not len(table): the decoder's first read after a clear appends
-    # nothing, so len(table) lags by one and would bump the width one
-    # code late — the classic early-change desync
-    next_code = 258
 
     def reset() -> None:
-        nonlocal table, width, prev, next_code
+        nonlocal table, width, prev
         table = [bytes([i]) for i in range(256)] + [b"", b""]
         width = 9
         prev = b""
-        next_code = 258
 
     reset()
     n = len(data)
@@ -171,11 +177,14 @@ def tiff_lzw_decode(data: bytes, expect: int) -> bytes:
             raise ValueError(f"invalid TIFF LZW code {code}")
         if prev:
             table.append(prev + entry[:1])
+            # early change, reference-decoder semantics: switch width
+            # when the ACTUAL entry count reaches 2^w - 1 (libtiff and
+            # Java bump here; the encoder above is one insert ahead and
+            # bumps at 2^w — same stream position)
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
         out += entry
         prev = entry
-        next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:  # early change
-            width += 1
     if len(out) < expect:
         raise ValueError("TIFF LZW strip ended early")
     return bytes(out[:expect])
