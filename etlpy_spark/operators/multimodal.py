@@ -105,6 +105,41 @@ def quality_gate(df: DataFrame, min_dim: int = 32, max_aspect: float = 8.0,
     )
 
 
+def curate_images(images: DataFrame, min_dim: int = 32, max_aspect: float = 8.0,
+                  min_entropy: float = 1.0, min_blur_var: float = 4.0,
+                  max_border_uniformity: float = 0.999,
+                  min_caption_chars: int = 1) -> DataFrame:
+    """Crawl images table → curated training set: the end of the
+    crawl→corpus loop over the target table shape
+    (image_id, bytes, w, h, fmt, caption, phash [, decode_error]).
+
+    Stage order is scale-deliberate: every JVM-expressible gate
+    (decode_error IS NULL, caption length, w/h dimension + aspect — all
+    plain columns) runs FIRST so Catalyst prunes rows before any image
+    bytes reach a Python worker; the Arrow-batched quality kernels then
+    run only on survivors, followed by the pure-Column signal gate. The
+    compute-heavy UDF stage is explicitly repartitioned to session
+    parallelism (user-specified repartitions are AQE-exempt — a
+    byte-narrow scan would otherwise coalesce this stage to one task).
+    Returns the surviving rows with the quality columns attached."""
+    jvm_ok = (F.col("caption").isNotNull()
+              & (F.length("caption") >= F.lit(min_caption_chars))
+              & (F.least(F.col("w"), F.col("h")) >= F.lit(min_dim))
+              & ((F.greatest(F.col("w"), F.col("h"))
+                  / F.least(F.col("w"), F.col("h"))) <= F.lit(max_aspect)))
+    if "decode_error" in images.columns:
+        jvm_ok = F.col("decode_error").isNull() & jvm_ok
+    base = images.filter(jvm_ok)
+    target = images.sparkSession.sparkContext.defaultParallelism
+    survivors = base if base.rdd.getNumPartitions() >= target else base.repartition(target)
+    feats = image_quality_features(survivors)
+    return quality_gate(
+        survivors.join(feats, "image_id"),
+        min_dim=min_dim, max_aspect=max_aspect, min_entropy=min_entropy,
+        min_blur_var=min_blur_var, max_border_uniformity=max_border_uniformity,
+    )
+
+
 def resize_images(df: DataFrame, size: int = 16, id_col: str = "image_id",
                   bytes_col: str = "bytes") -> DataFrame:
     """Area-average (anti-aliased box) resize to size×size, re-encoded as
