@@ -107,8 +107,16 @@ def encode_wav(pcm: np.ndarray, sample_rate: int = 16000, law: str | None = None
     if law is not None:
         if kind != "i" or pcm.dtype.itemsize != 2:
             raise ValueError("G.711 companding needs int16 input")
-        codes = (mulaw_compress if law == "mu" else alaw_compress)(pcm)
-        fmt_code, bits = (7 if law == "mu" else 6), 8
+        # strict: an unrecognized value must not silently fall through to
+        # A-law (u-law tagged/companded as A-law would decode garbled on
+        # every conformant reader; caught by the javax.sound cross-check)
+        if law in ("mu", "ulaw", "mulaw"):
+            codes, fmt_code = mulaw_compress(pcm), 7
+        elif law in ("a", "alaw"):
+            codes, fmt_code = alaw_compress(pcm), 6
+        else:
+            raise ValueError(f"unknown G.711 law {law!r}: use 'mu' or 'a'")
+        bits = 8
         data = np.ascontiguousarray(codes).tobytes()
     elif kind == "f":
         bits = pcm.dtype.itemsize * 8
