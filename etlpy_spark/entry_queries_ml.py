@@ -133,11 +133,15 @@ def q_image_pipeline(spark, sf_dir):
         .select("image_id", F.lit("orig").alias("stage"), "w", "h", "fmt", "phash")
         .join(mm.image_quality_features(imgs), "image_id")
     )
+    # the curation decision itself (quality_gate's predicate) under the
+    # hash: the oracle recomputes it in SQL over the same signal columns
+    orig = orig.withColumn("kept", mm.quality_gate_predicate().cast("long"))
     thumbs = mm.resize_images(imgs, size=16)
     thumb = mm.decode_image_features(thumbs).select(
         "image_id", F.lit("thumb").alias("stage"), "w", "h", "fmt", "phash",
         *[F.lit(None).cast("long" if c in ("ahash", "dhash", "whash") else "double").alias(c)
           for c in qcols],
+        F.lit(None).cast("long").alias("kept"),
     )
     return orig.unionByName(thumb)
 
@@ -787,7 +791,16 @@ def _image_pipeline_oracle(n: int = 200, size: int = 16) -> str:
         rows.append((iid, "thumb", size, size, sniff_format(tb), phash64(decode(tb)))
                     + (None,) * len(qkeys))
     cols = "image_id, stage, w, h, fmt, phash, " + ", ".join(qkeys)
-    return _values(rows, cols)
+    inner = _values(rows, cols)
+    # the curation decision recomputed in SQL — pins quality_gate's
+    # predicate (defaults: min_dim 32, aspect<=8, entropy>=1,
+    # blur_var>=4, border_uniformity<=0.999) against the Spark Column
+    return (
+        f"SELECT *, CASE WHEN stage = 'orig' THEN "
+        "CAST(least(w, h) >= 32 AND greatest(w, h) / CAST(least(w, h) AS DOUBLE) <= 8.0 "
+        "AND entropy >= 1.0 AND blur_var >= 4.0 AND border_uniformity <= 0.999 AS BIGINT) "
+        f"ELSE NULL END AS kept FROM ({inner}) AS t"
+    )
 
 
 def _phash_near_dup_oracle(n: int = 120, max_hamming: int = 3) -> str:

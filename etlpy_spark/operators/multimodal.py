@@ -87,22 +87,32 @@ def image_quality_features(df: DataFrame, id_col: str = "image_id",
     return df.select(*cols).mapInPandas(run, schema=QUALITY_DDL)
 
 
-def quality_gate(df: DataFrame, min_dim: int = 32, max_aspect: float = 8.0,
-                 min_entropy: float = 1.0, min_blur_var: float = 4.0,
-                 max_border_uniformity: float = 0.999) -> DataFrame:
-    """Pure-Column curation gate over already-computed feature columns
-    (w, h from decode_image_features; entropy/blur_var/border_uniformity
-    from image_quality_features): minimum dimension, maximum aspect ratio,
-    minimum information content, minimum sharpness, and a solid-border
-    rejector. Catalyst-evaluated — no Python, pushes down to the scan."""
+def quality_gate_predicate(min_dim: int = 32, max_aspect: float = 8.0,
+                           min_entropy: float = 1.0, min_blur_var: float = 4.0,
+                           max_border_uniformity: float = 0.999):
+    """The curation decision as a pure Column over already-computed
+    feature columns (w, h from decode_image_features; entropy/blur_var/
+    border_uniformity from image_quality_features) — usable both as a
+    filter (quality_gate) and as a kept/dropped annotation column."""
     aspect = F.greatest(F.col("w"), F.col("h")) / F.least(F.col("w"), F.col("h"))
-    return df.filter(
+    return (
         (F.least(F.col("w"), F.col("h")) >= F.lit(min_dim))
         & (aspect <= F.lit(max_aspect))
         & (F.col("entropy") >= F.lit(min_entropy))
         & (F.col("blur_var") >= F.lit(min_blur_var))
         & (F.col("border_uniformity") <= F.lit(max_border_uniformity))
     )
+
+
+def quality_gate(df: DataFrame, min_dim: int = 32, max_aspect: float = 8.0,
+                 min_entropy: float = 1.0, min_blur_var: float = 4.0,
+                 max_border_uniformity: float = 0.999) -> DataFrame:
+    """Pure-Column curation gate: minimum dimension, maximum aspect
+    ratio, minimum information content, minimum sharpness, and a
+    solid-border rejector. Catalyst-evaluated — no Python, pushes down
+    to the scan."""
+    return df.filter(quality_gate_predicate(
+        min_dim, max_aspect, min_entropy, min_blur_var, max_border_uniformity))
 
 
 def curate_images(images: DataFrame, min_dim: int = 32, max_aspect: float = 8.0,
