@@ -105,3 +105,32 @@ class TestBlockFeatures:
         feats = block_features(page)
         texts = [b["text"] for b in feats]
         assert ARTICLE_P1 in texts and ARTICLE_P2 in texts
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SOUP = st.lists(st.one_of(
+    st.text(alphabet="ab<>&/#; \n\"'=x-", max_size=24),
+    st.sampled_from([
+        "<div>", "</div>", "<p>", "</p>", "<a href='/x'>", "</a>", "<nav>",
+        "</nav>", "<script>", "</script>", "<br>", "<!--", "-->", "&amp;",
+        "&#65;", "&#999999999;", "<p", "</", ">", "<>", "\x00",
+    ]),
+), max_size=60)
+
+
+class TestFuzz:
+    @settings(max_examples=120, deadline=None)
+    @given(_SOUP)
+    def test_never_raises_and_invariants_hold(self, parts):
+        """Any tag soup: extraction never raises, main_text chars are a
+        subset story (no block text invented), features stay bounded."""
+        html = "".join(parts)
+        out = extract_main_content(html)
+        assert isinstance(out, str)
+        for b in block_features(html):
+            assert b["n_chars"] == len(b["text"]) > 0
+            assert 0 <= b["link_chars"] <= b["n_chars"]
+            assert 0.0 <= b["link_density"] <= 1.0
+            assert b["label"] in ("good", "near", "short", "bad")

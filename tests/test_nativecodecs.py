@@ -138,3 +138,31 @@ class TestFallbackWithoutLibs:
         monkeypatch.setattr(nc, "heif_available", lambda: False)
         with pytest.raises(ValueError, match="next-gen image codec"):
             decode(blob)
+
+
+@needs_webp
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("kind", ["noise", "lowcolor", "smooth"])
+def test_vp8l_conformance_sweep(seed, kind):
+    """Randomized bidirectional VP8L conformance: image families chosen to
+    steer libwebp toward different transform/cache decisions (noise →
+    literals+cache, low-color → palette, smooth → predictor+cross-color)."""
+    from etlpy_spark.functions.webpcodec import decode_webp, encode_webp
+
+    rng = np.random.default_rng(1000 + seed)
+    h, w = int(rng.integers(4, 90)), int(rng.integers(4, 90))
+    if kind == "noise":
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).astype(np.uint8)
+    elif kind == "lowcolor":
+        lut = rng.integers(0, 256, (5, 3), dtype=np.uint8).astype(np.uint8)
+        px = lut[rng.integers(0, 5, (h, w))]
+    else:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        px = np.stack([
+            128 + 100 * np.sin(yy / 11 + seed), 128 + 100 * np.cos(xx / 7),
+            (yy * 2 + xx * 3) % 256,
+        ], -1).astype(np.uint8)
+    theirs = nc.encode_webp_native(px)
+    assert np.array_equal(decode_webp(theirs), px), (kind, h, w)
+    ours = encode_webp(px)
+    assert np.array_equal(nc.decode_webp_native(ours), px), (kind, h, w)
