@@ -1383,3 +1383,207 @@ def insert_exif_orientation(jpeg: bytes, orientation: int,
     payload = b"Exif\x00\x00" + tiff
     seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
     return jpeg[:2] + seg + jpeg[2:]
+
+
+# ---------------------------------------------------------------------------
+# EXIF GPS (geo-privacy): a crawled photo's APP1 routinely carries the
+# camera's GPS sub-IFD — coordinates a training corpus must not retain.
+# Extraction feeds a has_gps triage column; stripping zeroes the GPS IFD
+# and its out-of-line values IN PLACE (structure and length untouched, so
+# every other offset in the file stays valid and the pixels are
+# bit-identical).
+
+
+def _find_app1_exif(data: bytes):
+    """-> (tiff_start, tiff_end) offsets of the APP1 Exif TIFF blob inside
+    a JPEG, or None. Never raises on hostile bytes."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    try:
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker in (0xDA, 0xD9):
+                return None
+            (size,) = struct.unpack_from(">H", data, pos + 2)
+            if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                return pos + 10, pos + 2 + size
+            pos += 2 + size
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def _gps_ifd_offset(tiff: bytes):
+    """-> (byte_order, gps_ifd_offset) for a bare TIFF Exif blob, or
+    None when there is no GPS sub-IFD pointer (tag 0x8825)."""
+    try:
+        if tiff[:2] == b"II":
+            bo = "<"
+        elif tiff[:2] == b"MM":
+            bo = ">"
+        else:
+            return None
+        (ifd_off,) = struct.unpack_from(bo + "I", tiff, 4)
+        (n_entries,) = struct.unpack_from(bo + "H", tiff, ifd_off)
+        for i in range(n_entries):
+            at = ifd_off + 2 + 12 * i
+            tag, typ, _cnt = struct.unpack_from(bo + "HHI", tiff, at)
+            if tag == 0x8825 and typ in (4, 9):  # LONG pointer
+                (off,) = struct.unpack_from(bo + "I", tiff, at + 8)
+                if off + 2 <= len(tiff):
+                    return bo, off
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _gps_entries(tiff: bytes, bo: str, off: int):
+    """Yield (tag, typ, cnt, entry_at, value_at, value_len) for each GPS
+    IFD entry; value_at points at the inline field or the out-of-line
+    region."""
+    (n,) = struct.unpack_from(bo + "H", tiff, off)
+    for i in range(min(n, 64)):
+        at = off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", tiff, at)
+        size = _TIFF_TYPE_SIZES.get(typ, 1) * cnt
+        if size <= 4:
+            yield tag, typ, cnt, at, at + 8, size
+        else:
+            (voff,) = struct.unpack_from(bo + "I", tiff, at + 8)
+            if voff + size <= len(tiff):
+                yield tag, typ, cnt, at, voff, size
+
+
+def _rationals(tiff: bytes, bo: str, at: int, cnt: int):
+    out = []
+    for i in range(cnt):
+        num, den = struct.unpack_from(bo + "II", tiff, at + 8 * i)
+        out.append(num / den if den else 0.0)
+    return out
+
+
+def exif_gps(data: bytes):
+    """GPS coordinates from a JPEG's APP1 Exif, as
+    ``{'lat': signed_degrees, 'lon': signed_degrees}`` (plus ``'alt'``
+    when present), or None. Never raises on hostile input."""
+    span = _find_app1_exif(data)
+    if span is None:
+        return None
+    tiff = bytes(data[span[0] : span[1]])
+    loc = _gps_ifd_offset(tiff)
+    if loc is None:
+        return None
+    bo, off = loc
+    vals: dict = {}
+    try:
+        for tag, typ, cnt, _at, vat, _size in _gps_entries(tiff, bo, off):
+            if tag in (1, 3) and typ == 2:  # N/S / E/W refs, ASCII
+                vals[tag] = tiff[vat : vat + 1].decode("ascii", "replace")
+            elif tag in (2, 4) and typ == 5 and cnt == 3:  # D/M/S rationals
+                d, m, s = _rationals(tiff, bo, vat, 3)
+                vals[tag] = d + m / 60.0 + s / 3600.0
+            elif tag == 6 and typ == 5 and cnt >= 1:  # altitude
+                vals[tag] = _rationals(tiff, bo, vat, 1)[0]
+    except (struct.error, IndexError):
+        return None
+    if 2 not in vals or 4 not in vals:
+        return None
+    lat = vals[2] * (-1.0 if vals.get(1, "N").upper() == "S" else 1.0)
+    lon = vals[4] * (-1.0 if vals.get(3, "E").upper() == "W" else 1.0)
+    out = {"lat": lat, "lon": lon}
+    if 6 in vals:
+        out["alt"] = vals[6]
+    return out
+
+
+def strip_tiff_gps(tiff: bytes) -> bytes:
+    """Zero a bare TIFF Exif blob's GPS sub-IFD in place: every entry
+    (tags, types, pointers), each out-of-line value region, and the
+    entry count itself — no readable GPS data remains, every other
+    offset stays valid, length unchanged. No-op when there is no GPS
+    IFD."""
+    loc = _gps_ifd_offset(tiff)
+    if loc is None:
+        return tiff
+    bo, off = loc
+    buf = bytearray(tiff)
+    try:
+        for _tag, _typ, _cnt, at, vat, size in list(_gps_entries(tiff, bo, off)):
+            buf[at : at + 12] = b"\x00" * 12
+            if vat != at + 8:  # out-of-line value region
+                buf[vat : vat + size] = b"\x00" * size
+        buf[off : off + 2] = b"\x00\x00"  # entry count -> 0
+    except (struct.error, IndexError):
+        pass
+    return bytes(buf)
+
+
+def strip_exif_gps(data: bytes) -> bytes:
+    """JPEG bytes → same JPEG with any APP1 GPS sub-IFD zeroed in place
+    (pixels, markers, orientation and all other metadata untouched;
+    idempotent; returns the input unchanged when there is no Exif or no
+    GPS)."""
+    span = _find_app1_exif(data)
+    if span is None:
+        return data
+    tiff = bytes(data[span[0] : span[1]])
+    cleaned = strip_tiff_gps(tiff)
+    if cleaned == tiff:
+        return data
+    return data[: span[0]] + cleaned + data[span[1] :]
+
+
+def insert_exif_gps(jpeg: bytes, lat: float, lon: float,
+                    alt: float | None = None, orientation: int = 1) -> bytes:
+    """Splice an APP1 Exif segment carrying IFD0 (orientation + GPS
+    pointer) and a GPS sub-IFD with out-of-line D/M/S rationals — the
+    test-fixture builder for the geo-privacy path."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    bo = "<"
+
+    def rat(x: float, den: int = 10000) -> bytes:
+        return struct.pack(bo + "II", int(round(abs(x) * den)), den)
+
+    def dms(deg: float) -> bytes:
+        a = abs(deg)
+        d = int(a)
+        m = int((a - d) * 60)
+        s = (a - d - m / 60.0) * 3600.0
+        return struct.pack(bo + "II", d, 1) + struct.pack(bo + "II", m, 1) + rat(s)
+
+    # layout: header(8) IFD0(2+2*12+4) GPSIFD(2+n*12+4) values...
+    ifd0_off = 8
+    n0 = 2
+    gps_off = ifd0_off + 2 + n0 * 12 + 4
+    ngps = 5 if alt is not None else 4
+    val_off = gps_off + 2 + ngps * 12 + 4
+    lat_off = val_off
+    lon_off = lat_off + 24
+    alt_off = lon_off + 24
+    ifd0 = struct.pack(bo + "H", n0)
+    ifd0 += struct.pack(bo + "HHI", 0x0112, 3, 1) + struct.pack(bo + "H", orientation) + b"\x00\x00"
+    ifd0 += struct.pack(bo + "HHII", 0x8825, 4, 1, gps_off)
+    ifd0 += struct.pack(bo + "I", 0)
+    gps = struct.pack(bo + "H", ngps)
+    gps += struct.pack(bo + "HHI", 1, 2, 2) + (b"N\x00\x00\x00" if lat >= 0 else b"S\x00\x00\x00")
+    gps += struct.pack(bo + "HHII", 2, 5, 3, lat_off)
+    gps += struct.pack(bo + "HHI", 3, 2, 2) + (b"E\x00\x00\x00" if lon >= 0 else b"W\x00\x00\x00")
+    gps += struct.pack(bo + "HHII", 4, 5, 3, lon_off)
+    if alt is not None:
+        gps += struct.pack(bo + "HHII", 6, 5, 1, alt_off)
+    gps += struct.pack(bo + "I", 0)
+    values = dms(lat) + dms(lon) + (rat(alt, 100) if alt is not None else b"")
+    tiff = b"II" + struct.pack(bo + "HI", 42, ifd0_off) + ifd0 + gps + values
+    payload = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpeg[:2] + seg + jpeg[2:]

@@ -1056,6 +1056,30 @@ def _riff_chunks(data: bytes):
         pos += 8 + size + (size & 1)
 
 
+def strip_webp_gps(data: bytes) -> bytes:
+    """VP8X EXIF chunk geo-privacy: zero any GPS sub-IFD inside a WebP's
+    EXIF chunk in place (same length, all other chunks untouched) — the
+    WebP face of jpegcodec.strip_exif_gps. Returns the input unchanged
+    when there is no EXIF chunk or no GPS."""
+    from etlpy_spark.functions.jpegcodec import strip_tiff_gps
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return data
+    pos = 12
+    end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    while pos + 8 <= end:
+        tag = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if tag == b"EXIF" and pos + 8 + size <= len(data):
+            payload = bytes(data[pos + 8 : pos + 8 + size])
+            cleaned = strip_tiff_gps(payload)
+            if cleaned != payload:
+                return data[: pos + 8] + cleaned + data[pos + 8 + size :]
+            return data
+        pos += 8 + size + (size & 1)
+    return data
+
+
 def mux_webp(tag: bytes, payload: bytes) -> bytes:
     body = tag + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:

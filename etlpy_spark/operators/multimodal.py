@@ -115,6 +115,42 @@ def quality_gate(df: DataFrame, min_dim: int = 32, max_aspect: float = 8.0,
         min_dim, max_aspect, min_entropy, min_blur_var, max_border_uniformity))
 
 
+GPS_DDL = "image_id string, bytes binary, had_gps boolean"
+
+
+def redact_image_gps(df: DataFrame, id_col: str = "image_id",
+                     bytes_col: str = "bytes") -> DataFrame:
+    """Geo-privacy pass over an image-bytes column: zero any EXIF GPS
+    sub-IFD in place (JPEG APP1 and WebP EXIF chunks; other formats pass
+    through untouched — our from-scratch PNG/GIF/BMP emissions carry no
+    EXIF). Pixels are bit-identical, every other metadata field
+    (orientation included) survives, and a ``had_gps`` column records
+    what was removed. Arrow-batched mapInPandas, byte-level — no decode,
+    so it costs header-walk time, not codec time."""
+    cols = (id_col, bytes_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etlpy_spark.functions.jpegcodec import strip_exif_gps
+        from etlpy_spark.functions.webpcodec import strip_webp_gps
+
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "had_gps": []}
+            for iid, data in zip(pdf[cols[0]], pdf[cols[1]]):
+                b = bytes(data)
+                if b[:2] == b"\xff\xd8":
+                    cleaned = strip_exif_gps(b)
+                elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                    cleaned = strip_webp_gps(b)
+                else:
+                    cleaned = b
+                out["image_id"].append(iid)
+                out["bytes"].append(cleaned)
+                out["had_gps"].append(cleaned != b)
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(run, schema=GPS_DDL)
+
+
 def curate_images(images: DataFrame, min_dim: int = 32, max_aspect: float = 8.0,
                   min_entropy: float = 1.0, min_blur_var: float = 4.0,
                   max_border_uniformity: float = 0.999,
