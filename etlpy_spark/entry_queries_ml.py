@@ -299,6 +299,29 @@ def _media_webp_row(i: int):
             float(np.round(dec.astype(np.float64).mean(), 4)))
 
 
+def _media_video_stub_blob(i: int) -> bytes:
+    """Deterministic MP4/WebM triage fixtures (functions/videometa.py
+    builders): codec fourccs/IDs, dims, durations and timescales vary so
+    the moov and EBML walks are each exercised under the driver hash."""
+    from etlpy_spark.functions.videometa import (
+        encode_mp4_video_stub,
+        encode_webm_stub,
+    )
+
+    if i == 0:
+        return encode_mp4_video_stub(b"avc1", 640, 360, 120, 12800, 64000)
+    if i == 1:
+        return encode_mp4_video_stub(b"hev1", 1920, 1080, 250, 90000, 900000)
+    if i == 2:
+        return encode_webm_stub("V_VP9", 1280, 720, 4000.0)
+    if i == 3:
+        return encode_webm_stub("V_AV1", 854, 480, 125.0, timescale=8_000_000)
+    if i == 4:
+        return encode_mp4_video_stub(b"av01", 320, 240, 48, 600, 1200)
+    return encode_webm_stub("V_VP8", 640, 480, 12345.0,
+                            audio=("A_VORBIS", 44100, 2))
+
+
 def _media_compressed_audio_blob(i: int) -> bytes:
     """Deterministic compressed-audio fixtures for the triage rows."""
     from etlpy_spark.functions.audiometa import (make_adts, make_mp4_audio,
@@ -349,6 +372,11 @@ def q_media_decode_suite(spark, sf_dir):
     two ISO-BMFF moov walks — AAC-in-M4A plus Opus-in-MP4 behind a video
     trak with a v1 mdhd — functions/audiometa.py via the distributed
     audio_metadata operator; k=channels, m1=samples, m2=frames,
+    v=duration), and 6 video-triage rows (kind 'vmeta': MP4 moov walks
+    for avc1/hev1/av01 and WebM EBML walks for VP9/AV1/VP8 — incl. a
+    custom TimestampScale and a Vorbis audio track — via the distributed
+    video_triage operator, functions/videometa.py; container+codec are
+    pinned through the media_id; k=width, m1=height, m2=frames,
     v=duration). Oracle = serial numpy replica (computed VALUES), the
     image_pipeline pattern."""
     import pandas as pd
@@ -466,8 +494,30 @@ def q_media_decode_suite(spark, sf_dir):
         F.col("n_frames").alias("m2"),
         F.col("duration_s").alias("v"),
     )
+
+    def gen_vstubs(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "video_id": [f"{int(i):04d}" for i in pdf["id"]],
+                "bytes": [_media_video_stub_blob(int(i)) for i in pdf["id"]],
+            })
+
+    vstubs = spark.range(0, 6, 1, 2).mapInPandas(
+        gen_vstubs, schema="video_id string, bytes binary"
+    )
+    # video triage (kind 'vmeta'): MP4 moov + WebM EBML walks,
+    # container/codec pinned through the media_id string
+    vmrows = mm.video_triage(vstubs).select(
+        F.concat_ws("-", F.lit("vmt"), "video_id", "container", "codec")
+        .alias("media_id"),
+        F.lit("vmeta").alias("kind"),
+        F.col("width").alias("k"),
+        F.col("height").cast("long").alias("m1"),
+        F.col("n_frames").alias("m2"),
+        F.col("duration_s").alias("v"),
+    )
     return (vrows.unionByName(arows).unionByName(jrows)
-            .unionByName(wrows).unionByName(trows))
+            .unionByName(wrows).unionByName(trows).unionByName(vmrows))
 
 
 # ---------------------------------------------------------------------------
@@ -887,6 +937,12 @@ def _media_suite_oracle() -> str:
         m = _ameta(_media_compressed_audio_blob(i))
         rows.append((f"cmp-{i:04d}", "ameta", m["n_channels"], m["n_samples"],
                      m["n_frames"], m["duration_s"]))
+    from etlpy_spark.functions.videometa import video_metadata as _vmeta
+
+    for i in range(6):
+        m = _vmeta(_media_video_stub_blob(i))
+        rows.append((f"vmt-{i:04d}-{m['container']}-{m['codec']}", "vmeta",
+                     m["width"], m["height"], m["n_frames"], m["duration_s"]))
     return _values(rows, "media_id, kind, k, m1, m2, v")
 
 

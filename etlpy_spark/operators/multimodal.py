@@ -390,6 +390,47 @@ def audio_metadata(df: DataFrame, id_col: str = "clip_id",
     return df.select(id_col, bytes_col).mapInPandas(run, schema=AUDIO_TRIAGE_DDL)
 
 
+VIDEO_TRIAGE_DDL = (
+    "video_id string, container string, codec string, width int, height int, "
+    "n_frames long, duration_s double, fps double, decode_error string"
+)
+
+
+def video_triage(df: DataFrame, id_col: str = "video_id",
+                 bytes_col: str = "bytes") -> DataFrame:
+    """Header-walk video triage for every container a crawl meets —
+    including the inter-frame codecs whose decode is out of scope
+    (MP4/MOV moov walk, WebM/Matroska EBML walk; decodable AVI/Y4M
+    report through their demuxers; functions/videometa.py): container,
+    codec, dimensions, frame count, duration, fps. Enough to size,
+    filter, route and cost a video corpus without touching a coded
+    frame. Unrecognized/corrupt blobs become a ``decode_error`` row.
+    Arrow-batched mapInPandas; one pass, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etlpy_spark.functions.videometa import video_metadata as meta
+
+        cols = ("video_id", "container", "codec", "width", "height",
+                "n_frames", "duration_s", "fps", "decode_error")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for vid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    m = meta(bytes(data))
+                    err = None
+                except Exception as e:  # noqa: BLE001 — a row, not a crash
+                    m = {}
+                    msg = str(e).splitlines()[0] if str(e) else ""
+                    err = f"{type(e).__name__}: {msg}"
+                out["video_id"].append(vid)
+                for k in cols[1:-1]:
+                    out[k].append(m.get(k))
+                out["decode_error"].append(err)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema=VIDEO_TRIAGE_DDL)
+
+
 def sample_video_frames(df: DataFrame, every_n: int = 10, id_col: str = "video_id",
                         bytes_col: str = "bytes") -> DataFrame:
     """Every-Nth video frame sampling → RAW0 RGB frames (which flow
