@@ -186,6 +186,36 @@ def curate_images(images: DataFrame, min_dim: int = 32, max_aspect: float = 8.0,
     )
 
 
+def prepare_image_corpus(images: DataFrame, min_dim: int = 32,
+                         max_aspect: float = 8.0, min_entropy: float = 1.0,
+                         min_blur_var: float = 4.0,
+                         max_border_uniformity: float = 0.999,
+                         max_hamming: int = 3,
+                         checkpoint_dir: str | None = None) -> DataFrame:
+    """The image face of operators/corpus.prepare_corpus: crawl images
+    table → training-ready set in one call — quality curation
+    (curate_images: JVM gates before bytes reach Python, then the
+    Arrow-batched signal kernels), pHash near-duplicate DEDUP (banded
+    Hamming pairs → connected components → keep min image_id per
+    cluster; never all-pairs), and EXIF GPS redaction (byte-level,
+    pixels untouched). Output carries the original columns (bytes =
+    redacted) plus the quality signals and had_gps."""
+    from etlpy_spark.operators.dedup import dedup_by_pairs
+
+    curated = curate_images(
+        images, min_dim=min_dim, max_aspect=max_aspect,
+        min_entropy=min_entropy, min_blur_var=min_blur_var,
+        max_border_uniformity=max_border_uniformity,
+    )
+    pairs = phash_near_dup_pairs(
+        curated.select("image_id", "phash"), max_hamming=max_hamming)
+    unique = dedup_by_pairs(curated, pairs, id_col="image_id",
+                            checkpoint_dir=checkpoint_dir)
+    redacted = redact_image_gps(unique)
+    return (unique.drop("bytes")
+            .join(redacted, "image_id"))
+
+
 def resize_images(df: DataFrame, size: int = 16, id_col: str = "image_id",
                   bytes_col: str = "bytes") -> DataFrame:
     """Area-average (anti-aliased box) resize to size×size, re-encoded as

@@ -72,3 +72,42 @@ class TestCurateImages:
             spark.sparkContext.defaultParallelism * 2, "image_id")
         plan_wide = mm.curate_images(wide, min_dim=48)._jdf.queryExecution().toString()
         assert "RoundRobinPartitioning" not in plan_wide
+
+
+class TestPrepareImageCorpus:
+    def test_curates_dedups_and_redacts(self, spark, crawl_images):
+        from etlpy_spark.functions.imagecodec import decode, phash64
+        from etlpy_spark.functions.jpegcodec import exif_gps
+
+        out = mm.prepare_image_corpus(crawl_images, min_dim=48, max_hamming=2)
+        rows = out.collect()
+        curated_n = mm.curate_images(crawl_images, min_dim=48).count()
+        assert 0 < len(rows) <= curated_n
+        # near-dup dedup: no two survivors within the Hamming radius
+        # (check against the miner itself)
+        ids = spark.createDataFrame(
+            [(r["image_id"], r["phash"]) for r in rows],
+            "image_id string, phash long")
+        assert mm.phash_near_dup_pairs(ids, max_hamming=2).count() == 0
+        for r in rows[:8]:
+            b = bytes(r["bytes"])
+            assert exif_gps(b) is None
+            assert phash64(decode(b)) == r["phash"]  # pixels untouched
+            assert r["had_gps"] is False  # synthetic fixtures carry no GPS
+
+    def test_duplicate_injection_collapses(self, spark, crawl_images):
+        from pyspark.sql import functions as F
+
+        curated_ids = [r["image_id"] for r in
+                       mm.curate_images(crawl_images, min_dim=48)
+                       .select("image_id").limit(3).collect()]
+        # inject an exact byte copy of a surviving image under a LATER id
+        dup = crawl_images.filter(F.col("image_id") == curated_ids[0]).select(
+            F.concat(F.lit("zz-dup-"), "image_id").alias("image_id"),
+            *[c for c in crawl_images.columns if c != "image_id"])
+        bigger = crawl_images.unionByName(dup)
+        out_ids = {r["image_id"] for r in
+                   mm.prepare_image_corpus(bigger, min_dim=48)
+                   .select("image_id").collect()}
+        assert curated_ids[0] in out_ids          # min-id survivor kept
+        assert f"zz-dup-{curated_ids[0]}" not in out_ids
