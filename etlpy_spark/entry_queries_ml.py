@@ -269,7 +269,12 @@ def _media_jpeg_row(i: int):
     iid = f"jimg-{i:04d}"
     quality = (80, 92, 96)[i % 3]
     px = render_pixels(iid, 42, 1)
-    blob = encode_jpeg(px, quality=quality, restart_interval=8 if i % 2 else 0)
+    # rows 6-7 encode 4:2:0 so the subsampled-chroma decode path (libjpeg
+    # fancy-upsampling integer math, round-5 session 2) sits under the
+    # driver hash alongside the 4:4:4 rows
+    sub = "420" if i >= 6 else "444"
+    blob = encode_jpeg(px, quality=quality, restart_interval=8 if i % 2 else 0,
+                       subsampling=sub)
     dec = decode_jpeg(blob)
     return (iid, quality, phash64(dec), len(blob),
             float(np.round(psnr(px, dec), 4)))
