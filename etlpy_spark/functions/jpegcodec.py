@@ -1451,7 +1451,9 @@ def _gps_entries(tiff: bytes, bo: str, off: int):
     IFD entry; value_at points at the inline field or the out-of-line
     region."""
     (n,) = struct.unpack_from(bo + "H", tiff, off)
-    for i in range(min(n, 64)):
+    # cap well above the GPS spec's ~32 tags: a hostile count must not
+    # leave later entries' out-of-line values unstripped, only bound work
+    for i in range(min(n, 256)):
         at = off + 2 + 12 * i
         tag, typ, cnt = struct.unpack_from(bo + "HHI", tiff, at)
         size = _TIFF_TYPE_SIZES.get(typ, 1) * cnt
